@@ -1,0 +1,88 @@
+"""Numerical parity of the matmul-STFT log-mel frontend.
+
+Oracles (both shipped in the image, neither used at runtime on the hot path):
+  - torch.stft for the spectrogram math (same formula the reference's
+    TensorRT path uses, transcriber_tensorrt.py:311-367)
+  - transformers.audio_utils.mel_filter_bank for the Slaney filterbank
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisperlive_tpu.ops import mel as mel_ops
+
+
+def _torch_log_mel(audio: np.ndarray, n_mels: int) -> np.ndarray:
+    """Reference formula via torch STFT (behavior of the reference's
+    feature extractor: hann window, center reflect pad, drop last frame,
+    log10 clamp, dynamic-range max-8, (x+4)/4)."""
+    import torch
+
+    x = torch.from_numpy(audio.astype(np.float32))
+    window = torch.hann_window(mel_ops.N_FFT, periodic=True)
+    stft = torch.stft(
+        x, mel_ops.N_FFT, mel_ops.HOP_LENGTH, window=window,
+        center=True, pad_mode="reflect", return_complex=True,
+    )
+    magnitudes = stft[..., :-1].abs() ** 2  # [n_freqs, T]
+    from transformers.audio_utils import mel_filter_bank as hf_mel
+
+    fb = hf_mel(
+        num_frequency_bins=mel_ops.N_FFT // 2 + 1,
+        num_mel_filters=n_mels,
+        min_frequency=0.0,
+        max_frequency=8000.0,
+        sampling_rate=mel_ops.SAMPLE_RATE,
+        norm="slaney",
+        mel_scale="slaney",
+    ).astype(np.float32)  # [n_freqs, n_mels]
+    mel = torch.from_numpy(fb.T) @ magnitudes
+    log_spec = torch.clamp(mel, min=1e-10).log10()
+    log_spec = torch.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).numpy()  # [n_mels, T]
+
+
+def test_mel_filter_bank_matches_slaney():
+    from transformers.audio_utils import mel_filter_bank as hf_mel
+
+    for n_mels in (80, 128):
+        ours = mel_ops.mel_filter_bank(n_mels=n_mels)
+        ref = hf_mel(
+            num_frequency_bins=201,
+            num_mel_filters=n_mels,
+            min_frequency=0.0,
+            max_frequency=8000.0,
+            sampling_rate=16000,
+            norm="slaney",
+            mel_scale="slaney",
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_mels", [80, 128])
+def test_log_mel_matches_torch_oracle(rng, n_mels):
+    # 3 s of audio: same formula as the 30 s window, 10x faster on CI CPU.
+    n = 3 * mel_ops.SAMPLE_RATE
+    audio = rng.standard_normal(n).astype(np.float32) * 0.1
+    ref = _torch_log_mel(audio, n_mels)  # [n_mels, 300]
+    ours = np.asarray(mel_ops.log_mel_spectrogram(jnp.asarray(audio[None]), n_mels=n_mels))
+    assert ours.shape == (1, n // mel_ops.HOP_LENGTH, n_mels)
+    np.testing.assert_allclose(ours[0].T, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_log_mel_batched_equals_single(rng):
+    a = rng.standard_normal((2, 2 * mel_ops.SAMPLE_RATE)).astype(np.float32) * 0.05
+    batched = np.asarray(mel_ops.log_mel_spectrogram(jnp.asarray(a)))
+    singles = [np.asarray(mel_ops.log_mel_spectrogram(jnp.asarray(x[None])))[0] for x in a]
+    np.testing.assert_allclose(batched[0], singles[0], atol=1e-5)
+    np.testing.assert_allclose(batched[1], singles[1], atol=1e-5)
+
+
+def test_pad_or_trim():
+    x = np.ones(100, np.float32)
+    assert mel_ops.pad_or_trim(x).shape == (mel_ops.N_SAMPLES,)
+    y = np.ones(mel_ops.N_SAMPLES + 5, np.float32)
+    assert mel_ops.pad_or_trim(y).shape == (mel_ops.N_SAMPLES,)
+    assert mel_ops.pad_or_trim(x, 50).shape == (50,)

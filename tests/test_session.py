@@ -1,0 +1,166 @@
+"""Session ring buffer + stabilization state machine (hermetic, no model).
+
+Mirrors the reference's test_base_backend.py strategy: a fake transcriber's
+segments are fed straight into update_segments.
+"""
+
+import threading
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from whisperlive_tpu.serving.session import (
+    MAX_BUFFER_S,
+    SAMPLE_RATE,
+    SessionOptions,
+    StreamingSession,
+    format_segment,
+)
+
+
+def seg(start, end, text, no_speech=0.0, words=None):
+    return SimpleNamespace(
+        start=start, end=end, text=text, no_speech_prob=no_speech, words=words
+    )
+
+
+def audio(seconds):
+    return np.zeros(int(seconds * SAMPLE_RATE), np.float32)
+
+
+def test_format_segment_ms_precision_strings():
+    s = format_segment(1.23456, 2.0, " hi", True)
+    assert s == {"start": "1.235", "end": "2.000", "text": " hi", "completed": True}
+
+
+def test_add_frames_concat_and_duration():
+    sess = StreamingSession()
+    sess.add_frames(audio(1.0))
+    sess.add_frames(audio(2.0))
+    assert sess.frames_np.shape[0] == 3 * SAMPLE_RATE
+    assert sess.buffered_duration() == pytest.approx(3.0)
+
+
+def test_buffer_trim_at_45s():
+    sess = StreamingSession()
+    sess.add_frames(audio(45.5))
+    sess.add_frames(audio(1.0))  # triggers trim on next call
+    assert sess.frames_np.shape[0] <= (45.5 + 1.0 - 30.0) * SAMPLE_RATE + 1
+    assert sess.frames_offset == pytest.approx(30.0)
+    # committed cursor snapped forward to the new left edge
+    assert sess.timestamp_offset >= sess.frames_offset
+
+
+def test_chunk_since_timestamp_offset():
+    sess = StreamingSession()
+    sess.add_frames(audio(10.0))
+    sess.timestamp_offset = 4.0
+    chunk, dur = sess.get_audio_chunk_for_processing()
+    assert dur == pytest.approx(6.0)
+    assert chunk.shape[0] == 6 * SAMPLE_RATE
+
+
+def test_clip_audio_25s_keeps_5s_tail():
+    sess = StreamingSession(SessionOptions(clip_audio=True))
+    sess.add_frames(audio(30.0))
+    chunk, dur = sess.get_audio_chunk_for_processing()
+    assert dur == pytest.approx(5.0)
+    assert sess.timestamp_offset == pytest.approx(25.0)
+
+
+def test_concurrent_add_frames_thread_safety():
+    sess = StreamingSession()
+    threads = [
+        threading.Thread(target=lambda: [sess.add_frames(audio(0.01)) for _ in range(50)])
+        for _ in range(10)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sess.frames_np.shape[0] == int(0.01 * SAMPLE_RATE) * 500
+
+
+def test_update_segments_commits_all_but_last():
+    sess = StreamingSession()
+    sess.add_frames(audio(10.0))
+    last = sess.update_segments(
+        [seg(0.0, 2.0, " one"), seg(2.0, 4.0, " two"), seg(4.0, 5.0, " three")],
+        duration=5.0,
+    )
+    assert [s["text"] for s in sess.transcript] == [" one", " two"]
+    assert all(s["completed"] for s in sess.transcript)
+    assert last["text"] == " three" and last["completed"] is False
+    # cursor advanced to the end of the last committed segment
+    assert sess.timestamp_offset == pytest.approx(4.0)
+
+
+def test_update_segments_no_speech_filter():
+    sess = StreamingSession(SessionOptions(no_speech_thresh=0.5))
+    sess.add_frames(audio(10.0))
+    sess.update_segments(
+        [seg(0.0, 2.0, " noise", no_speech=0.9), seg(2.0, 3.0, " tail")],
+        duration=3.0,
+    )
+    assert sess.transcript == []  # filtered out
+    # filtered segments do not advance the cursor (only commits do)
+    assert sess.timestamp_offset == pytest.approx(0.0)
+
+
+def test_repetition_forced_commit():
+    sess = StreamingSession(SessionOptions(same_output_threshold=3))
+    sess.add_frames(audio(10.0))
+    for i in range(5):
+        last = sess.update_segments([seg(0.0, 2.0, " stuck")], duration=2.0)
+    # after 3 identical partials the segment is force-committed
+    assert [s["text"] for s in sess.transcript] == [" stuck"]
+    assert sess.timestamp_offset == pytest.approx(2.0)
+    assert last is None  # cleared after commit
+
+
+def test_repetition_not_double_committed():
+    sess = StreamingSession(SessionOptions(same_output_threshold=2))
+    sess.add_frames(audio(10.0))
+    for _ in range(8):
+        sess.update_segments([seg(0.0, 1.0, " loop")], duration=1.0)
+    texts = [s["text"] for s in sess.transcript]
+    assert texts.count(" loop") <= 2  # re-commit guard (base.py:449-459)
+
+
+def test_prepare_segments_last_n():
+    sess = StreamingSession(SessionOptions(send_last_n_segments=2))
+    for i in range(5):
+        sess.transcript.append(format_segment(i, i + 1, f"s{i}", True))
+    out = sess.prepare_segments()
+    assert [s["text"] for s in out] == ["s3", "s4"]
+    out2 = sess.prepare_segments(format_segment(5, 6, "cur", False))
+    assert [s["text"] for s in out2] == ["s3", "s4", "cur"]
+    assert out2[-1]["completed"] is False
+
+
+def test_segment_post_processor_hook():
+    sess = StreamingSession(
+        segment_post_processor=lambda segs: [dict(s, text=s["text"].upper()) for s in segs]
+    )
+    sess.transcript.append(format_segment(0, 1, "abc", True))
+    assert sess.prepare_segments()[0]["text"] == "ABC"
+
+
+def test_translation_queue_receives_committed():
+    import queue
+
+    sess = StreamingSession()
+    sess.translation_queue = queue.Queue(maxsize=100)
+    sess.add_frames(audio(5.0))
+    sess.update_segments([seg(0, 1, " a"), seg(1, 2, " b")], duration=2.0)
+    assert sess.translation_queue.get_nowait()["text"] == " a"
+
+
+def test_single_segment_is_partial_only():
+    sess = StreamingSession()
+    sess.add_frames(audio(5.0))
+    last = sess.update_segments([seg(0.0, 1.5, " partial")], duration=2.0)
+    assert sess.transcript == []
+    assert last["text"] == " partial"
+    assert sess.timestamp_offset == 0.0

@@ -1,0 +1,225 @@
+"""Voice activity detection: streaming gate + offline chunking.
+
+The reference uses silero VAD twice (SURVEY §2.14, §2.9a): a streaming ONNX
+session gating the TensorRT EOS path (whisper_live/vad.py) and
+faster-whisper's offline `get_speech_timestamps`/`collect_chunks` filter
+inside transcribe. Both contracts are reproduced here:
+
+  * `VoiceActivityDetector(threshold, frame_rate)` — streaming, stateful,
+    `__call__(chunk) -> bool` (any window above threshold).
+  * `get_speech_timestamps` / `collect_chunks` / `SpeechTimestampsMap` —
+    offline chunking + timestamp restoration with the same VadOptions
+    fields and merge rules as faster-whisper.
+
+The default detector is a self-contained adaptive energy + spectral-flatness
+model (no ONNX dependency; silero weights are a download the reference does
+at runtime — vad.py:111-128). The probability model is pluggable: anything
+mapping a 512-sample window to P(speech) can be passed as `prob_fn`, so a
+learned JAX VAD can be dropped in without touching call sites.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional
+
+import numpy as np
+
+SAMPLE_RATE = 16_000
+WINDOW = 512  # samples per VAD window @16 kHz (silero v5 framing)
+
+
+@dataclasses.dataclass
+class VadOptions:
+    """Mirrors faster_whisper.vad.VadOptions."""
+
+    threshold: float = 0.5
+    neg_threshold: Optional[float] = None
+    min_speech_duration_ms: int = 0
+    max_speech_duration_s: float = float("inf")
+    min_silence_duration_ms: int = 2000
+    speech_pad_ms: int = 400
+
+
+class EnergyVAD:
+    """Adaptive energy VAD over 512-sample windows.
+
+    Tracks a noise floor with an asymmetric EMA (fast down, slow up) and
+    scores each window by SNR plus a spectral-flatness penalty so steady
+    tones and hum don't register as speech. Stateless `probs()` for offline
+    use; `update()` carries state for streaming.
+    """
+
+    def __init__(self, floor_decay: float = 0.999, floor_rise: float = 0.9):
+        self.noise_floor = 1e-4
+        self.floor_decay = floor_decay
+        self.floor_rise = floor_rise
+
+    def reset(self) -> None:
+        self.noise_floor = 1e-4
+
+    def _window_prob(self, w: np.ndarray) -> float:
+        rms = float(np.sqrt(np.mean(w * w) + 1e-12))
+        # noise floor update: drop fast, rise slowly
+        if rms < self.noise_floor:
+            self.noise_floor = (
+                self.floor_rise * self.noise_floor + (1 - self.floor_rise) * rms
+            )
+        else:
+            self.noise_floor = (
+                self.floor_decay * self.noise_floor + (1 - self.floor_decay) * rms
+            )
+        snr = rms / (self.noise_floor + 1e-8)
+        # spectral flatness: speech is spectrally peaky, hum/noise is flat
+        spec = np.abs(np.fft.rfft(w * np.hanning(len(w))))[1:]
+        spec = spec + 1e-10
+        flatness = float(np.exp(np.mean(np.log(spec))) / np.mean(spec))
+        score = (snr - 1.5) * (1.0 - flatness)
+        # squash to (0, 1)
+        return float(1.0 / (1.0 + np.exp(-score)))
+
+    def update(self, audio: np.ndarray) -> np.ndarray:
+        """Per-window speech probabilities for a chunk (streaming)."""
+        n = len(audio) // WINDOW
+        if n == 0:
+            return np.zeros(0, np.float32)
+        probs = np.empty(n, np.float32)
+        for i in range(n):
+            probs[i] = self._window_prob(audio[i * WINDOW : (i + 1) * WINDOW])
+        return probs
+
+
+class VoiceActivityDetector:
+    """Streaming gate: `vad(chunk) -> bool` (reference vad.py:131-157)."""
+
+    def __init__(
+        self,
+        threshold: float = 0.5,
+        frame_rate: int = SAMPLE_RATE,
+        prob_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    ):
+        self.threshold = threshold
+        self.frame_rate = frame_rate
+        self._model = EnergyVAD()
+        self._prob_fn = prob_fn or self._model.update
+
+    def reset(self) -> None:
+        self._model.reset()
+
+    def __call__(self, audio_frame: np.ndarray) -> bool:
+        audio = np.asarray(audio_frame, np.float32).reshape(-1)
+        if self.frame_rate != SAMPLE_RATE:
+            # naive decimation is fine for gating
+            step = self.frame_rate // SAMPLE_RATE
+            if step > 1:
+                audio = audio[::step]
+        probs = self._prob_fn(audio)
+        return bool(len(probs) and np.any(probs > self.threshold))
+
+
+def get_speech_timestamps(
+    audio: np.ndarray,
+    vad_options: Optional[VadOptions] = None,
+    prob_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    sampling_rate: int = SAMPLE_RATE,
+) -> List[dict]:
+    """Speech regions as [{'start': sample, 'end': sample}] —
+    faster-whisper's merge semantics (threshold/neg_threshold hysteresis,
+    min_silence, min_speech, speech padding)."""
+    opts = vad_options or VadOptions()
+    model = EnergyVAD()
+    probs = (prob_fn or model.update)(np.asarray(audio, np.float32))
+    threshold = opts.threshold
+    neg_threshold = (
+        opts.neg_threshold if opts.neg_threshold is not None else max(threshold - 0.15, 0.01)
+    )
+    min_silence = opts.min_silence_duration_ms * sampling_rate // 1000
+    min_speech = opts.min_speech_duration_ms * sampling_rate // 1000
+    pad = opts.speech_pad_ms * sampling_rate // 1000
+    max_speech = int(opts.max_speech_duration_s * sampling_rate) if np.isfinite(
+        opts.max_speech_duration_s
+    ) else None
+
+    speeches: List[dict] = []
+    triggered = False
+    start = 0
+    temp_end = 0
+    for i, p in enumerate(probs):
+        pos = i * WINDOW
+        if p >= threshold and not triggered:
+            triggered = True
+            start = pos
+            temp_end = 0
+        elif triggered:
+            if max_speech is not None and pos - start > max_speech:
+                speeches.append({"start": start, "end": pos})
+                triggered = False
+                temp_end = 0
+                continue
+            if p < neg_threshold:
+                if temp_end == 0:
+                    temp_end = pos
+                if pos - temp_end >= min_silence:
+                    if temp_end - start >= min_speech:
+                        speeches.append({"start": start, "end": temp_end})
+                    triggered = False
+                    temp_end = 0
+            else:
+                temp_end = 0
+    if triggered:
+        end = len(audio)
+        if end - start >= min_speech:
+            speeches.append({"start": start, "end": end})
+
+    # pad and merge overlaps
+    padded: List[dict] = []
+    for s in speeches:
+        a = max(0, s["start"] - pad)
+        b = min(len(audio), s["end"] + pad)
+        if padded and a <= padded[-1]["end"]:
+            padded[-1]["end"] = b
+        else:
+            padded.append({"start": a, "end": b})
+    return padded
+
+
+def collect_chunks(audio: np.ndarray, chunks: List[dict]) -> np.ndarray:
+    """Concatenate speech regions (faster_whisper.vad.collect_chunks)."""
+    if not chunks:
+        return np.zeros(0, np.float32)
+    return np.concatenate([audio[c["start"] : c["end"]] for c in chunks])
+
+
+class SpeechTimestampsMap:
+    """Map timestamps in VAD-collapsed audio back to original time
+    (faster_whisper.vad.SpeechTimestampsMap; used at
+    transcriber_faster_whisper.py:1792-1817)."""
+
+    def __init__(self, chunks: List[dict], sampling_rate: int = SAMPLE_RATE):
+        self.sampling_rate = sampling_rate
+        self.chunk_end_sample: list[int] = []
+        self.total_silence_before: list[float] = []
+        prev_end = 0
+        silence = 0.0
+        for c in chunks:
+            silence += (c["start"] - prev_end) / sampling_rate
+            prev_end = c["end"]
+            self.chunk_end_sample.append(c["end"] - int(silence * sampling_rate))
+            self.total_silence_before.append(silence)
+
+    def get_chunk_index(self, time: float) -> int:
+        sample = int(time * self.sampling_rate)
+        lo = 0
+        for i, end in enumerate(self.chunk_end_sample):
+            lo = i
+            if sample < end:
+                return i
+        return lo
+
+    def get_original_time(self, time: float, chunk_index: Optional[int] = None) -> float:
+        if chunk_index is None:
+            chunk_index = self.get_chunk_index(time)
+        if not self.total_silence_before:
+            return time
+        return round(self.total_silence_before[chunk_index] + time, 6)

@@ -1,0 +1,458 @@
+"""WhisperEngine: the single TPU inference engine behind every session.
+
+Replaces all three reference backends (CTranslate2 / TensorRT-LLM /
+OpenVINO, SURVEY §2.9-§2.11) with three jitted XLA programs per
+(batch, prompt) shape bucket:
+
+  prepare(audio)   log-mel -> encoder -> cross-attention KV   (MXU-bound)
+  decode(...)      prompt prefill + full sampling loop in ONE
+                   `lax.while_loop` — logit rules, temperature/greedy
+                   sampling and per-item state all on-device, zero host
+                   round-trips per token
+  detect(...)      language identification from the encoder output
+
+Shape-bucketing policy: batch sizes and prompt lengths are padded up to a
+small static set of buckets, so a server under churn touches a handful of
+compiled programs and never recompiles (the reference freely uses ragged
+shapes and leans on CUDA kernels; XLA wants static shapes — SURVEY §7
+"hard parts").
+
+Temperature fallback (compression-ratio / logprob gates, mirroring
+transcriber_faster_whisper.py:1350-1478 and the batched variant
+batch_inference.py:312-384) is orchestrated host-side: the cross-KV of
+failing items is gathered on-device and only that sub-batch is re-decoded
+at the next temperature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import threading
+import zlib
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperlive_tpu.engine.tokenizer import (
+    TokenSpec,
+    WhisperTokenizer,
+    get_suppressed_tokens,
+)
+from whisperlive_tpu.models import whisper as wmod
+from whisperlive_tpu.ops import decoding as dec
+from whisperlive_tpu.ops import mel as mel_ops
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16)
+DEFAULT_PROMPT_BUCKETS = (16, 64, 256)
+
+
+@dataclasses.dataclass(frozen=True)
+class TranscribeOptions:
+    """Per-request decode options (mirrors the reference's
+    TranscriptionOptions dataclass, transcriber_faster_whisper.py:60-110)."""
+
+    language: str | None = None
+    task: str = "transcribe"
+    temperatures: tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    compression_ratio_threshold: float | None = 2.4
+    log_prob_threshold: float | None = -1.0
+    no_speech_threshold: float | None = 0.6
+    condition_on_previous_text: bool = True
+    initial_prompt: str | None = None
+    prefix: str | None = None
+    hotwords: str | None = None
+    suppress_blank: bool = True
+    suppress_tokens: tuple[int, ...] | None = (-1,)
+    without_timestamps: bool = False
+    max_initial_timestamp: float = 1.0
+    word_timestamps: bool = False
+    repetition_penalty: float = 1.0
+    max_new_tokens: int | None = None
+    beam_size: int = 1  # greedy; batched beam search lands in a later round
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    """Per-item decode output (host numpy)."""
+
+    tokens: np.ndarray  # sampled tokens, EOT stripped
+    avg_logprob: float
+    no_speech_prob: float
+    compression_ratio: float
+    temperature: float
+
+
+def compression_ratio(text: str) -> float:
+    """zlib compression ratio of the text — hallucination repetition gate
+    (same metric as transcriber_faster_whisper.py, threshold 2.4)."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class WhisperEngine:
+    """Owns the params on device and the compiled program cache.
+
+    Thread-safety: all public methods take an internal lock; in the serving
+    stack only the scheduler thread calls into the engine (SURVEY §7 sketch
+    item 2 — the scheduler is the single component touching the TPU).
+    """
+
+    def __init__(
+        self,
+        cfg: wmod.WhisperConfig,
+        params: wmod.Params,
+        tokenizer: WhisperTokenizer | None = None,
+        compute_dtype: Any = None,
+        batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+        prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
+        shardings: "Any | None" = None,
+    ):
+        if compute_dtype is None:
+            platform = jax.devices()[0].platform
+            compute_dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+        self.cfg = cfg.replace(dtype=compute_dtype)
+        self.tokenizer = tokenizer or WhisperTokenizer(
+            TokenSpec(cfg.n_vocab, multilingual=cfg.n_vocab >= 51865)
+        )
+        self.spec = dec.DecodingSpec(
+            n_vocab=cfg.n_vocab,
+            eot=self.tokenizer.eot,
+            blank=(self.tokenizer.encode(" ") or [220])[0],
+            no_speech=self.tokenizer.no_speech,
+            timestamp_begin=self.tokenizer.timestamp_begin,
+            max_length=cfg.n_text_ctx,
+        )
+        self.batch_buckets = tuple(batch_buckets)
+        self.prompt_buckets = tuple(p for p in prompt_buckets if p <= cfg.n_text_ctx)
+        self._shardings = shardings
+        if shardings is not None:
+            params = jax.device_put(params, shardings.param_shardings(params))
+        self.params = wmod.cast_params(params, compute_dtype)
+        self._lock = threading.Lock()
+        self._suppress_cache: dict[tuple, jax.Array] = {}
+
+        cfgc = self.cfg
+        spec = self.spec
+
+        def _prepare(params, audio):
+            melspec = mel_ops.log_mel_spectrogram(audio, n_mels=cfgc.n_mels)
+            enc = wmod.encode(params, cfgc, melspec)
+            return enc, wmod.compute_cross_kv(params, cfgc, enc)
+
+        def _prepare_mel(params, melspec):
+            enc = wmod.encode(params, cfgc, melspec)
+            return enc, wmod.compute_cross_kv(params, cfgc, enc)
+
+        def _decode(
+            params,
+            cross_kv,
+            prompts,  # [B, P] int32, right-padded
+            prompt_len,  # [B]
+            sot_idx,  # [B] position of <|sot|> inside the prompt
+            suppress_mask,  # [V] bool
+            ts_enabled,  # [B] bool
+            temperature,  # [B] f32
+            rep_penalty,  # [B] f32
+            max_new,  # [] int32 — cap on sampled tokens
+            key,
+        ):
+            b = prompts.shape[0]
+            self_kv = wmod.init_self_kv(cfgc, b)
+            state = dec.init_sampler_state(spec, prompts, prompt_len)
+            last_logits, sot_logits, self_kv = wmod.decode_prefill(
+                params, cfgc, prompts, prompt_len, self_kv, cross_kv, sot_idx=sot_idx
+            )
+            no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
+            stop_len = jnp.minimum(
+                state.sample_begin + max_new, spec.max_length
+            )  # [B]
+
+            def cond(carry):
+                state, *_ = carry
+                return ~jnp.all(state.finished)
+
+            def body(carry):
+                state, self_kv, logits, key = carry
+                key, sub = jax.random.split(key)
+                filtered = dec.apply_logit_rules(
+                    spec, logits, state, suppress_mask, ts_enabled
+                )
+                filtered = dec.apply_repetition_penalty(filtered, state, rep_penalty)
+                next_tok, lp = dec.sample_next(filtered, temperature, sub)
+                write_pos = state.cur_len  # position the token lands at
+                state = dec.advance_state(spec, state, next_tok, lp)
+                state = state._replace(
+                    finished=state.finished | (state.cur_len >= stop_len)
+                )
+                logits, self_kv = wmod.decode_step(
+                    params, cfgc, next_tok, write_pos, self_kv, cross_kv
+                )
+                return state, self_kv, logits, key
+
+            state, _, _, _ = jax.lax.while_loop(
+                cond, body, (state, self_kv, last_logits, key)
+            )
+            return (
+                state.tokens,
+                state.cur_len,
+                state.sample_begin,
+                state.sum_logprob,
+                no_speech_prob,
+            )
+
+        def _detect(params, cross_kv):
+            b = cross_kv.shape[2]
+            self_kv = wmod.init_self_kv(cfgc, b)
+            sot = jnp.full((b, 1), spec.eot + 1, jnp.int32)  # <|sot|>
+            ones = jnp.ones((b,), jnp.int32)
+            logits, _ = wmod.decode_prefill(
+                params, cfgc, sot, ones, self_kv, cross_kv
+            )
+            lang_ids = jnp.asarray(self.tokenizer.spec.all_language_tokens)
+            mask = jnp.zeros((cfgc.n_vocab,), bool).at[lang_ids].set(True)
+            logits = jnp.where(mask[None, :], logits, dec.NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return probs[:, lang_ids]  # [B, num_languages]
+
+        def _align(params, cross_kv, tokens, text_len):
+            return wmod.decode_with_cross_attn(params, cfgc, tokens, text_len, cross_kv)
+
+        self._prepare_fn = jax.jit(_prepare)
+        self._prepare_mel_fn = jax.jit(_prepare_mel)
+        self._decode_fn = jax.jit(_decode)
+        self._detect_fn = jax.jit(_detect)
+        self._align_fn = jax.jit(_align)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def suppress_mask_for(self, options: TranscribeOptions) -> jax.Array:
+        key = (options.suppress_tokens, options.suppress_blank)
+        if key not in self._suppress_cache:
+            ids = get_suppressed_tokens(self.tokenizer, options.suppress_tokens)
+            self._suppress_cache[key] = dec.build_suppress_mask(self.cfg.n_vocab, ids)
+        return self._suppress_cache[key]
+
+    def build_prompt(
+        self,
+        options: TranscribeOptions,
+        previous_tokens: Sequence[int] = (),
+        language: str | None = None,
+    ) -> tuple[list[int], int]:
+        """[<|sot_prev|> prev...] + sot-sequence + prefix tokens.
+
+        Mirrors get_prompt (transcriber_faster_whisper.py:1480-1513).
+        Returns (prompt_tokens, sot_index).
+        """
+        tok = self.tokenizer
+        prompt: list[int] = []
+        prev: list[int] = []
+        if options.hotwords and not options.prefix:
+            prev += tok.encode(" " + options.hotwords.strip())
+        if options.initial_prompt and not previous_tokens:
+            prev += tok.encode(" " + options.initial_prompt.strip())
+        if previous_tokens and options.condition_on_previous_text:
+            prev += list(previous_tokens)
+        if prev:
+            prompt.append(tok.sot_prev)
+            prompt.extend(prev[-(self.cfg.n_text_ctx // 2 - 1):])
+        sot_index = len(prompt)
+
+        lang = language or options.language
+        seq_tok = WhisperTokenizer(
+            tok.spec, tok.backend, language=lang, task=options.task
+        )
+        prompt.extend(seq_tok.sot_sequence(include_timestamps=not options.without_timestamps))
+        if options.prefix:
+            prefix_tokens = tok.encode(" " + options.prefix.strip())
+            prompt.extend(prefix_tokens[-(self.cfg.n_text_ctx // 2 - 1):])
+        return prompt, sot_index
+
+    def _pad_prompts(
+        self, prompts: list[list[int]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        pmax = _bucket(max(len(p) for p in prompts), self.prompt_buckets)
+        arr = np.zeros((len(prompts), pmax), np.int32)
+        lens = np.zeros((len(prompts),), np.int32)
+        for i, p in enumerate(prompts):
+            p = p[:pmax]
+            arr[i, : len(p)] = p
+            lens[i] = len(p)
+        return arr, lens
+
+    def _pad_batch(self, arrays: list[np.ndarray], bucket: int) -> np.ndarray:
+        out = np.zeros((bucket,) + arrays[0].shape, arrays[0].dtype)
+        for i, a in enumerate(arrays):
+            out[i] = a
+        return out
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def prepare(self, audio: np.ndarray):
+        """audio [B, N_SAMPLES] f32 -> (enc, cross_kv) on device."""
+        with self._lock:
+            return self._prepare_fn(self.params, jnp.asarray(audio))
+
+    def prepare_mel(self, melspec: np.ndarray):
+        with self._lock:
+            return self._prepare_mel_fn(self.params, jnp.asarray(melspec))
+
+    def detect_language_from_cross(self, cross_kv) -> list[tuple[str, float]]:
+        with self._lock:
+            probs = np.asarray(self._detect_fn(self.params, cross_kv))
+        codes = self.tokenizer.spec.language_codes
+        out = []
+        for row in probs:
+            i = int(np.argmax(row))
+            out.append((codes[i], float(row[i])))
+        return out
+
+    def decode_batch(
+        self,
+        cross_kv,
+        prompts: list[list[int]],
+        sot_indices: Sequence[int],
+        options: TranscribeOptions,
+        temperatures: Sequence[float] | None = None,
+        seed: int = 0,
+    ) -> list[DecodeResult]:
+        """One decode pass over a prepared batch. cross_kv batch dim must
+        equal len(prompts) (already padded to a bucket)."""
+        b = cross_kv.shape[2]
+        assert len(prompts) <= b
+        n_real = len(prompts)
+        prompts = list(prompts) + [[self.spec.eot + 1]] * (b - n_real)
+        sot_idx = np.asarray(
+            list(sot_indices) + [0] * (b - n_real), np.int32
+        )
+        if temperatures is None:
+            temperatures = [options.temperatures[0]] * n_real
+        temps = np.asarray(
+            list(temperatures) + [0.0] * (b - n_real), np.float32
+        )
+        prompt_arr, prompt_len = self._pad_prompts(prompts)
+        max_new = np.int32(
+            options.max_new_tokens
+            if options.max_new_tokens is not None
+            else self.cfg.n_text_ctx
+        )
+        with self._lock:
+            tokens, cur_len, sample_begin, sum_lp, ns_prob = self._decode_fn(
+                self.params,
+                cross_kv,
+                jnp.asarray(prompt_arr),
+                jnp.asarray(prompt_len),
+                jnp.asarray(sot_idx),
+                self.suppress_mask_for(options),
+                jnp.asarray(~np.full((b,), options.without_timestamps)),
+                jnp.asarray(temps),
+                jnp.full((b,), options.repetition_penalty, np.float32),
+                max_new,
+                jax.random.PRNGKey(seed),
+            )
+        tokens = np.asarray(tokens)
+        cur_len = np.asarray(cur_len)
+        sample_begin = np.asarray(sample_begin)
+        sum_lp = np.asarray(sum_lp)
+        ns_prob = np.asarray(ns_prob)
+
+        results = []
+        for i in range(n_real):
+            sampled = tokens[i, sample_begin[i] : cur_len[i]]
+            ended_with_eot = len(sampled) > 0 and sampled[-1] == self.spec.eot
+            text_tokens = sampled[:-1] if ended_with_eot else sampled
+            # whisper convention: avg over len(tokens)+1 (the +1 is EOT)
+            denom = len(text_tokens) + 1
+            text = self.tokenizer.decode([int(t) for t in text_tokens])
+            results.append(
+                DecodeResult(
+                    tokens=text_tokens.astype(np.int32),
+                    avg_logprob=float(sum_lp[i]) / max(denom, 1),
+                    no_speech_prob=float(ns_prob[i]),
+                    compression_ratio=compression_ratio(text),
+                    temperature=float(temps[i]),
+                )
+            )
+        return results
+
+    def decode_with_fallback(
+        self,
+        cross_kv,
+        prompts: list[list[int]],
+        sot_indices: Sequence[int],
+        options: TranscribeOptions,
+        seed: int = 0,
+    ) -> list[DecodeResult]:
+        """Temperature-fallback decode (generate_with_fallback semantics,
+        transcriber_faster_whisper.py:1350-1478): items whose output fails
+        the compression-ratio or avg-logprob gate are re-decoded — only that
+        sub-batch — at the next temperature."""
+        n = len(prompts)
+        results: list[DecodeResult | None] = [None] * n
+        pending = list(range(n))
+        sub_cross = cross_kv
+        sub_prompts, sub_sot = list(prompts), list(sot_indices)
+
+        for t_i, temp in enumerate(options.temperatures):
+            decoded = self.decode_batch(
+                sub_cross,
+                sub_prompts,
+                sub_sot,
+                options,
+                temperatures=[temp] * len(sub_prompts),
+                seed=seed + t_i,
+            )
+            still_failed = []
+            for j, item in enumerate(pending):
+                r = decoded[j]
+                results[item] = r
+                needs_fallback = False
+                if (
+                    options.compression_ratio_threshold is not None
+                    and r.compression_ratio > options.compression_ratio_threshold
+                ):
+                    needs_fallback = True
+                if (
+                    options.log_prob_threshold is not None
+                    and r.avg_logprob < options.log_prob_threshold
+                ):
+                    needs_fallback = True
+                if (
+                    options.no_speech_threshold is not None
+                    and r.no_speech_prob > options.no_speech_threshold
+                    and options.log_prob_threshold is not None
+                    and r.avg_logprob < options.log_prob_threshold
+                ):
+                    needs_fallback = False  # silence — keep, caller skips
+                if needs_fallback:
+                    still_failed.append(item)
+            pending = still_failed
+            if not pending or t_i == len(options.temperatures) - 1:
+                break
+            # Gather the failing sub-batch's cross-KV on device (padded to a
+            # batch bucket by repeating the last index — padding slots decode
+            # garbage that is simply dropped).
+            bucket = _bucket(len(pending), self.batch_buckets)
+            gather_idx = (pending + [pending[-1]] * bucket)[:bucket]
+            sub_cross = jnp.take(cross_kv, jnp.asarray(gather_idx, np.int32), axis=2)
+            sub_prompts = [prompts[item] for item in pending]
+            sub_sot = [sot_indices[item] for item in pending]
+        return [r for r in results if r is not None]

@@ -1,0 +1,211 @@
+"""Whisper decoding logit rules as fixed-shape batched JAX functions.
+
+The reference delegates these to CTranslate2's C++ sampler (options listed
+in SURVEY §2.9a: suppress_blank, suppress_tokens, max_initial_timestamp,
+timestamp pairing rules, repetition penalty). Here they are pure functions
+on `[B, V]` logits driven by a small carried state, so the whole sampling
+loop — rules included — lives inside one `lax.while_loop` on the TPU, with
+per-item state (different prompt lengths, languages, temperatures) and no
+host round-trip per token.
+
+All rules follow the openai-whisper semantics, which is what the
+faster-whisper output the reference serves is built on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodingSpec:
+    """Static (compile-time) decoding constants for one model/tokenizer."""
+
+    n_vocab: int
+    eot: int
+    blank: int  # token id of " "
+    no_speech: int
+    timestamp_begin: int
+    max_initial_timestamp_index: int = 50  # 1.0 s
+    max_length: int = 448  # total tokens incl. prompt
+
+
+class SamplerState(NamedTuple):
+    """Per-item decode state carried through the sampling loop.
+
+    tokens:       [B, max_length] right-padded full sequences (prompt + sampled)
+    cur_len:      [B] next write position (== current sequence length)
+    sample_begin: [B] index where sampled tokens start (== prompt length)
+    last_ts:      [B] most recent sampled timestamp token id (or
+                  timestamp_begin - 1 when none was sampled yet)
+    finished:     [B] bool
+    sum_logprob:  [B] accumulated logprob of sampled tokens (f32)
+    """
+
+    tokens: jax.Array
+    cur_len: jax.Array
+    sample_begin: jax.Array
+    last_ts: jax.Array
+    finished: jax.Array
+    sum_logprob: jax.Array
+
+
+def init_sampler_state(
+    spec: DecodingSpec, prompts: jax.Array, prompt_len: jax.Array
+) -> SamplerState:
+    """prompts: [B, P] right-padded; prompt_len: [B]."""
+    b, p = prompts.shape
+    tokens = jnp.zeros((b, spec.max_length), jnp.int32)
+    tokens = tokens.at[:, :p].set(prompts)
+    return SamplerState(
+        tokens=tokens,
+        cur_len=prompt_len.astype(jnp.int32),
+        sample_begin=prompt_len.astype(jnp.int32),
+        last_ts=jnp.full((b,), spec.timestamp_begin - 1, jnp.int32),
+        finished=jnp.zeros((b,), bool),
+        sum_logprob=jnp.zeros((b,), jnp.float32),
+    )
+
+
+def apply_logit_rules(
+    spec: DecodingSpec,
+    logits: jax.Array,  # [B, V] f32
+    state: SamplerState,
+    suppress_mask: jax.Array,  # [V] bool — True = always suppress
+    timestamps_enabled: jax.Array,  # [B] bool — False if <|notimestamps|> prompt
+) -> jax.Array:
+    """All Whisper logit filters, batched. Returns filtered logits [B, V]."""
+    b, v = logits.shape
+    vocab = jnp.arange(v)[None, :]  # [1, V]
+    num_sampled = state.cur_len - state.sample_begin  # [B]
+
+    # --- static suppress list (non-speech symbols + control specials) ------
+    logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
+
+    # --- SuppressBlank: first sampled token may not be " " or EOT ----------
+    first = (num_sampled == 0)[:, None]
+    blank_mask = (vocab == spec.blank) | (vocab == spec.eot)
+    logits = jnp.where(first & blank_mask, NEG_INF, logits)
+
+    # --- timestamp rules ----------------------------------------------------
+    last_tok = state.tokens[jnp.arange(b), jnp.maximum(state.cur_len - 1, 0)]
+    penult_tok = state.tokens[jnp.arange(b), jnp.maximum(state.cur_len - 2, 0)]
+    last_was_ts = (num_sampled >= 1) & (last_tok >= spec.timestamp_begin)
+    penult_was_ts = (num_sampled < 2) | (penult_tok >= spec.timestamp_begin)
+
+    is_ts = vocab >= spec.timestamp_begin  # [1, V]
+    is_text = vocab < spec.eot
+
+    # Timestamps come in pairs: after <ts> <ts>, the next token must be text;
+    # after text <ts>, the next must be a timestamp or EOT.
+    suppress_ts = (last_was_ts & penult_was_ts)[:, None] & is_ts
+    suppress_text = (last_was_ts & ~penult_was_ts)[:, None] & is_text
+
+    # Timestamps are non-decreasing. Lower bound is last_ts when we are
+    # completing a pair, last_ts + 1 otherwise.
+    lower = jnp.where(last_was_ts & ~penult_was_ts, state.last_ts, state.last_ts + 1)
+    has_ts = state.last_ts >= spec.timestamp_begin
+    suppress_low_ts = (has_ts[:, None]) & is_ts & (vocab < lower[:, None])
+
+    # First sampled token must be a timestamp, bounded by max_initial_timestamp.
+    init_lim = spec.timestamp_begin + spec.max_initial_timestamp_index
+    suppress_first = (num_sampled == 0)[:, None] & (~is_ts | (vocab > init_lim))
+    # (EOT stays suppressed at step 0 via SuppressBlank above.)
+
+    ts_rules = suppress_ts | suppress_text | suppress_low_ts | suppress_first
+    ts_rules = ts_rules & timestamps_enabled[:, None]
+    # When timestamps are disabled, suppress ALL timestamp tokens and
+    # <|notimestamps|> itself.
+    no_ts = ~timestamps_enabled[:, None] & (is_ts | (vocab == spec.timestamp_begin - 1))
+    logits = jnp.where(ts_rules | no_ts, NEG_INF, logits)
+
+    # Probability rule: if total timestamp probability beats the best text
+    # token, the sample must be a timestamp.
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(
+        jnp.where(is_ts, logprobs, NEG_INF), axis=-1
+    )  # [B]
+    max_text = jnp.max(jnp.where(is_ts, NEG_INF, logprobs), axis=-1)
+    force_ts = (ts_logprob > max_text) & timestamps_enabled
+    logits = jnp.where(force_ts[:, None] & ~is_ts, NEG_INF, logits)
+    return logits
+
+
+def apply_repetition_penalty(
+    logits: jax.Array,  # [B, V]
+    state: SamplerState,
+    penalty: jax.Array,  # [B] or scalar; 1.0 = disabled
+    window: int = 64,
+) -> jax.Array:
+    """CTranslate2-style repetition penalty over recently emitted tokens."""
+    b, v = logits.shape
+    # One-hot accumulate of the last `window` tokens (static shape).
+    start = jnp.maximum(state.cur_len - window, 0)
+    idx = jnp.arange(state.tokens.shape[1])[None, :]
+    valid = (idx >= start[:, None]) & (idx < state.cur_len[:, None])
+    seen = jnp.zeros((b, v), bool).at[
+        jnp.arange(b)[:, None], state.tokens
+    ].max(valid)
+    penalty = jnp.broadcast_to(jnp.asarray(penalty, jnp.float32), (b,))[:, None]
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen & (penalty != 1.0), penalized, logits)
+
+
+def sample_next(
+    logits: jax.Array,  # [B, V] post-rules
+    temperature: jax.Array,  # [B] — 0.0 means greedy
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy/temperature sampling. Returns (next_token [B], logprob [B])."""
+    greedy = jnp.argmax(logits, axis=-1)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    sampled = jax.random.categorical(key, logits / t, axis=-1)
+    next_tok = jnp.where(temperature > 0, sampled, greedy).astype(jnp.int32)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    lp = logprobs[jnp.arange(logits.shape[0]), next_tok]
+    return next_tok, lp
+
+
+def advance_state(
+    spec: DecodingSpec, state: SamplerState, next_tok: jax.Array, logprob: jax.Array
+) -> SamplerState:
+    """Write the sampled token and update per-item bookkeeping."""
+    b = next_tok.shape[0]
+    write = ~state.finished
+    # Finished items keep emitting EOT without advancing.
+    tok = jnp.where(write, next_tok, spec.eot)
+    tokens = state.tokens.at[jnp.arange(b), state.cur_len].set(
+        jnp.where(write, tok, state.tokens[jnp.arange(b), state.cur_len])
+    )
+    is_ts = (tok >= spec.timestamp_begin) & write
+    # sum_logprob includes the EOT that terminates the sequence (whisper
+    # convention: avg over len(tokens)+1 incl. EOT).
+    sum_logprob = state.sum_logprob + jnp.where(write, logprob, 0.0)
+    now_finished = state.finished | (tok == spec.eot) | (
+        state.cur_len + 1 >= spec.max_length
+    )
+    return SamplerState(
+        tokens=tokens,
+        cur_len=jnp.where(write, state.cur_len + 1, state.cur_len),
+        sample_begin=state.sample_begin,
+        last_ts=jnp.where(is_ts, tok, state.last_ts),
+        finished=now_finished,
+        sum_logprob=sum_logprob,
+    )
+
+
+def build_suppress_mask(n_vocab: int, token_ids) -> jax.Array:
+    """[V] bool mask from a python list of suppressed token ids."""
+    import numpy as np
+
+    mask = np.zeros((n_vocab,), bool)
+    for t in token_ids:
+        if 0 <= t < n_vocab:
+            mask[t] = True
+    return jnp.asarray(mask)

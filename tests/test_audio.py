@@ -1,0 +1,99 @@
+"""Audio IO, VAD chunking and the FLAC decoder."""
+
+import numpy as np
+import pytest
+
+from whisperlive_tpu.audio import io as audio_io
+from whisperlive_tpu.audio import vad as vad_mod
+
+
+def test_pcm_conversions():
+    f32 = np.array([0.0, 0.5, -0.5], np.float32)
+    assert np.allclose(audio_io.bytes_to_float_array(f32.tobytes(), "float32"), f32)
+    i16 = (f32 * 32768).astype(np.int16)
+    out = audio_io.bytes_to_float_array(i16.tobytes(), "int16")
+    assert np.allclose(out, f32, atol=1e-3)
+    u8 = ((f32 * 128) + 128).astype(np.uint8)
+    out = audio_io.bytes_to_float_array(u8.tobytes(), "uint8")
+    assert np.allclose(out, f32, atol=1e-1)
+    with pytest.raises(ValueError):
+        audio_io.bytes_to_float_array(b"", "pcm24")
+
+
+def test_wav_round_trip(tmp_path):
+    audio = (0.3 * np.sin(np.linspace(0, 100, 16000))).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    audio_io.write_wav(path, audio)
+    back, sr = audio_io.read_wav(path)
+    assert sr == 16000
+    np.testing.assert_allclose(back, audio, atol=1e-3)
+
+
+def test_resample_properties():
+    sr_in = 44100
+    t = np.arange(sr_in) / sr_in
+    audio = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = audio_io.resample_audio(audio, sr_in, 16000)
+    assert abs(len(out) - 16000) <= 2
+    # energy roughly preserved for an in-band tone
+    assert 0.5 < float(np.sqrt((out**2).mean())) / float(np.sqrt((audio**2).mean())) < 1.5
+
+
+def test_flac_decode_jfk():
+    import os
+
+    path = "/root/reference/assets/jfk.flac"
+    if not os.path.exists(path):
+        pytest.skip("reference asset unavailable")
+    from whisperlive_tpu.audio.flac import read_flac
+
+    audio, sr = read_flac(path)
+    assert sr in (16000, 22050, 44100, 48000)
+    assert 5.0 < len(audio) / sr < 60.0
+    assert float(np.abs(audio).max()) <= 1.0
+    assert float(np.sqrt((audio**2).mean())) > 0.01  # actual signal
+
+
+def test_vad_silence_vs_speechlike():
+    rng = np.random.default_rng(0)
+    vad = vad_mod.VoiceActivityDetector(threshold=0.5)
+    # establish the noise floor with near-silence
+    for _ in range(20):
+        assert isinstance(vad(rng.standard_normal(4096) * 1e-4), bool)
+    silence = rng.standard_normal(16000) * 1e-4
+    assert vad(silence) is False
+    # loud modulated "speech": amplitude bursts with harmonic structure
+    t = np.arange(16000) / 16000
+    speech = (
+        0.5
+        * np.sign(np.sin(2 * np.pi * 3 * t))
+        * (np.sin(2 * np.pi * 150 * t) + 0.5 * np.sin(2 * np.pi * 450 * t))
+    ).astype(np.float32)
+    assert vad(speech) is True
+
+
+def test_get_speech_timestamps_and_collect():
+    rng = np.random.default_rng(0)
+    t = np.arange(16000) / 16000
+    speech = (0.5 * np.sin(2 * np.pi * 200 * t) * np.sin(2 * np.pi * 4 * t)).astype(
+        np.float32
+    )
+    audio = np.concatenate(
+        [rng.standard_normal(32000) * 1e-5, speech, rng.standard_normal(48000) * 1e-5]
+    ).astype(np.float32)
+    opts = vad_mod.VadOptions(min_silence_duration_ms=500, speech_pad_ms=100)
+    chunks = vad_mod.get_speech_timestamps(audio, opts)
+    assert chunks, "no speech found"
+    # the detected region overlaps the real speech region
+    assert chunks[0]["start"] < 48000 < chunks[-1]["end"]
+    collected = vad_mod.collect_chunks(audio, chunks)
+    assert 0 < len(collected) <= len(audio)
+    # timestamp restoration maps collapsed time back into original time
+    m = vad_mod.SpeechTimestampsMap(chunks)
+    assert m.get_original_time(0.5) >= 0.5
+
+
+def test_speech_timestamps_empty_on_silence():
+    silence = np.zeros(64000, np.float32)
+    assert vad_mod.get_speech_timestamps(silence) == []
+    assert len(vad_mod.collect_chunks(silence, [])) == 0

@@ -1,0 +1,169 @@
+"""End-to-end server+client over real websockets (fake model).
+
+The asyncio analogue of the reference's test_server.py integration test:
+a real TranscriptionServer on a real port, the real client library
+streaming real PCM, asserting the full wire protocol — with the
+deterministic FakeBackend standing in for the model (the reference's
+hermetic seam, SURVEY §4)."""
+
+import asyncio
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from whisperlive_tpu.serving.backends import FakeBackend
+from whisperlive_tpu.serving.server import TranscriptionServer
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class ServerHarness:
+    def __init__(self, max_clients=4, api_key=None, max_connection_time=600):
+        self.port = _free_port()
+        self.max_clients = max_clients
+        self.api_key = api_key
+        self.max_connection_time = max_connection_time
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._loop = None
+
+    def _run(self):
+        self.server = TranscriptionServer()
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+        try:
+            self._loop.run_until_complete(
+                self.server.serve(
+                    FakeBackend(),
+                    host="127.0.0.1",
+                    port=self.port,
+                    backend_name="fake",
+                    max_clients=self.max_clients,
+                    max_connection_time=self.max_connection_time,
+                    api_key=self.api_key,
+                )
+            )
+        except Exception:
+            pass
+
+    def __enter__(self):
+        self._thread.start()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                with socket.create_connection(("127.0.0.1", self.port), timeout=0.2):
+                    return self
+            except OSError:
+                time.sleep(0.05)
+        raise RuntimeError("server did not start")
+
+    def __exit__(self, *exc):
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        return False
+
+
+@pytest.fixture()
+def server():
+    with ServerHarness() as h:
+        yield h
+
+
+def test_streaming_client_end_to_end(server):
+    from whisperlive_tpu.client import StreamingTranscriptionClient
+
+    committed, partials = [], []
+    client = StreamingTranscriptionClient(
+        "127.0.0.1",
+        server.port,
+        lang="en",
+        on_committed=committed.append,
+        on_partial=partials.append,
+        use_vad=False,
+        same_output_threshold=2,
+    )
+    audio = (0.1 * np.sin(2 * np.pi * 300 * np.arange(16000 * 4) / 16000)).astype(
+        np.float32
+    )
+    for off in range(0, len(audio), 8000):
+        client.send_array(audio[off : off + 8000])
+        time.sleep(0.05)
+    deadline = time.time() + 15
+    while not committed and time.time() < deadline:
+        time.sleep(0.1)
+    client.close(wait_for_server=False)
+    assert committed, "no committed segments received"
+    seg = committed[0]
+    assert set(seg) >= {"start", "end", "text", "completed"}
+    assert seg["completed"] is True
+    assert "." in seg["start"]  # ms-precision string format
+    assert seg["text"].strip().startswith("word")
+
+
+def test_server_full_sends_wait(server):
+    from whisperlive_tpu.client import Client, StreamingTranscriptionClient
+
+    clients = [
+        StreamingTranscriptionClient("127.0.0.1", server.port, use_vad=False)
+        for _ in range(4)
+    ]
+    # 5th client must get a WAIT status
+    extra = Client("127.0.0.1", server.port, log_transcription=False)
+    deadline = time.time() + 10
+    while not extra.waiting and time.time() < deadline:
+        time.sleep(0.05)
+    assert extra.waiting
+    extra.close_websocket()
+    for c in clients:
+        c.close(wait_for_server=False)
+
+
+def test_api_key_auth():
+    from whisperlive_tpu.client import StreamingTranscriptionClient
+
+    with ServerHarness(api_key="sekret") as h:
+        # wrong key: connection is closed before SERVER_READY
+        with pytest.raises((ConnectionError, TimeoutError)):
+            StreamingTranscriptionClient(
+                "127.0.0.1", h.port, connect_timeout=3, use_vad=False
+            )
+        # correct key via query token
+        ok = StreamingTranscriptionClient(
+            "127.0.0.1", h.port, connect_timeout=10, use_vad=False, api_key="sekret"
+        )
+        ok.close(wait_for_server=False)
+
+
+def test_transcription_client_file(tmp_path, server):
+    from whisperlive_tpu.audio.io import write_wav
+    from whisperlive_tpu.client import TranscriptionClient
+
+    wav = tmp_path / "t.wav"
+    audio = (0.05 * np.random.default_rng(0).standard_normal(16000 * 3)).astype(
+        np.float32
+    )
+    write_wav(str(wav), audio)
+    srt = tmp_path / "out.srt"
+    client = TranscriptionClient(
+        "127.0.0.1",
+        server.port,
+        lang="en",
+        use_vad=False,
+        same_output_threshold=2,
+        srt_file_path=str(srt),
+        log_transcription=False,
+    )
+    client.client.disconnect_if_no_response_for = 2
+    text = client(str(wav))
+    assert "word" in text
+    assert srt.exists()
+    content = srt.read_text()
+    assert "-->" in content and "word" in content

@@ -75,9 +75,12 @@ class EnergyVAD:
         spec = np.abs(np.fft.rfft(w * np.hanning(len(w))))[1:]
         spec = spec + 1e-10
         flatness = float(np.exp(np.mean(np.log(spec))) / np.mean(spec))
-        score = (snr - 1.5) * (1.0 - flatness)
-        # squash to (0, 1)
-        return float(1.0 / (1.0 + np.exp(-score)))
+        score = (snr - 1.5) * max(1.0 - flatness, 0.05)
+        rel = 1.0 / (1.0 + np.exp(-score))
+        # absolute level gate: anything under ~-55 dBFS is never speech
+        level_db = 20.0 * np.log10(rms + 1e-10)
+        gate = 1.0 / (1.0 + np.exp(-(level_db + 55.0) / 4.0))
+        return float(rel * gate)
 
     def update(self, audio: np.ndarray) -> np.ndarray:
         """Per-window speech probabilities for a chunk (streaming)."""

@@ -1,0 +1,183 @@
+"""Server CLI — flag-parity with the reference's run_server.py:14-145.
+
+Backend note: the reference multiplexes three GPU backends
+(faster_whisper/tensorrt/openvino); this framework has ONE TPU engine. The
+legacy --backend values are accepted and mapped onto it with a warning
+(mirroring the reference's runtime-fallback behavior, server.py:250-259)
+so existing launch scripts keep working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="whisperlive-tpu server")
+    parser.add_argument("--port", "-p", type=int, default=9090,
+                        help="Websocket port to run the server on.")
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--backend", "-b", type=str, default="tpu",
+                        choices=["tpu", "faster_whisper", "tensorrt", "openvino"],
+                        help="Backend name (legacy values map to 'tpu').")
+    parser.add_argument("--model", "-m", type=str, default="small",
+                        help="Whisper model size (tiny..large-v3) for random/converted init.")
+    parser.add_argument("--tpu_model_path", "-tpu", type=str, default=None,
+                        help="Path to a converted checkpoint dir or HF checkpoint dir.")
+    parser.add_argument("--faster_whisper_custom_model_path", "-fw", type=str,
+                        default=None, help="(accepted for parity; treated as checkpoint dir)")
+    parser.add_argument("--trt_model_path", "-trt", type=str, default=None,
+                        help="(accepted for parity; treated as checkpoint dir)")
+    parser.add_argument("--trt_multilingual", action="store_true",
+                        help="(parity flag; multilingual-ness comes from the checkpoint)")
+    parser.add_argument("--trt_py_session", action="store_true", help="(parity no-op)")
+    parser.add_argument("--omp_num_threads", "-omp", type=int, default=1,
+                        help="Number of threads for numpy/BLAS host work.")
+    parser.add_argument("--no_single_model", action="store_true",
+                        help="(parity no-op: the TPU engine is always shared)")
+    parser.add_argument("--max_clients", type=int, default=4,
+                        help="Maximum concurrent client connections.")
+    parser.add_argument("--max_connection_time", type=int, default=600,
+                        help="Per-client connection time budget in seconds.")
+    parser.add_argument("--cache_path", "-c", type=str, default="~/.cache/whisper-live-tpu/",
+                        help="Converted-checkpoint cache directory.")
+    parser.add_argument("--enable_rest", action="store_true",
+                        help="Enable the OpenAI-compatible REST API.")
+    parser.add_argument("--rest_port", type=int, default=9091)
+    parser.add_argument("--cors_origins", type=str, default="*",
+                        help="Comma-separated allowed CORS origins for REST.")
+    parser.add_argument("--batch_inference", action="store_true", default=True,
+                        help="Cross-client batching (always on for the TPU engine).")
+    parser.add_argument("--batch_max_size", type=int, default=8)
+    parser.add_argument("--batch_window_ms", type=int, default=50)
+    parser.add_argument("--raw_pcm_input", type=str, default="float32",
+                        choices=["float32", "int16", "uint8"],
+                        help="Default PCM format when clients don't specify one.")
+    parser.add_argument("--metrics_port", type=int, default=None,
+                        help="Prometheus /metrics port.")
+    parser.add_argument("--api_key", type=str, default=os.environ.get("WL_API_KEY"),
+                        help="Require 'Authorization: Bearer <key>' / ?token=.")
+    parser.add_argument("--rate_limit_rpm", type=int, default=0,
+                        help="Per-IP REST rate limit (requests/minute, 0=off).")
+    # TPU-specific
+    parser.add_argument("--fake_transcriber", action="store_true",
+                        help="Serve a deterministic fake model (protocol testing).")
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        choices=[None, "bfloat16", "float32"],
+                        help="Override engine compute dtype.")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel degree over the local device mesh.")
+    parser.add_argument("--compilation_cache", type=str,
+                        default="~/.cache/whisper-live-tpu/xla-cache",
+                        help="Persistent XLA compilation cache dir ('' to disable).")
+    return parser
+
+
+def create_backend(args):
+    """Build the (backend, name) pair the server serves with."""
+    from whisperlive_tpu.serving.backends import FakeBackend, TpuBackend
+
+    if args.fake_transcriber:
+        return FakeBackend(), "fake"
+
+    import jax
+
+    if args.compilation_cache:
+        path = os.path.expanduser(args.compilation_cache)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+
+    from whisperlive_tpu.engine.engine import WhisperEngine
+    from whisperlive_tpu.engine.scheduler import BatchScheduler
+    from whisperlive_tpu.models import convert as convert_mod
+    from whisperlive_tpu.models.whisper import WHISPER_CONFIGS, init_params
+
+    ckpt = args.tpu_model_path or args.faster_whisper_custom_model_path or args.trt_model_path
+    tokenizer = None
+    if ckpt:
+        ckpt = os.path.expanduser(ckpt)
+        if os.path.exists(os.path.join(ckpt, "model.safetensors")) or os.path.exists(
+            os.path.join(ckpt, "model.safetensors.index.json")
+        ):
+            cfg, params = convert_mod.load_hf_checkpoint(ckpt)
+        else:
+            cfg, params = convert_mod.load_converted(ckpt)
+        tok_file = os.path.join(ckpt, "tokenizer.json")
+        if os.path.exists(tok_file):
+            from whisperlive_tpu.engine.tokenizer import TokenSpec, WhisperTokenizer
+
+            tokenizer = WhisperTokenizer.from_files(
+                cfg.n_vocab, tok_file, multilingual=cfg.n_vocab >= 51865
+            )
+    else:
+        if args.model not in WHISPER_CONFIGS:
+            raise SystemExit(f"unknown model size {args.model!r}")
+        cfg = WHISPER_CONFIGS[args.model]
+        logging.warning(
+            "no checkpoint path given — initializing RANDOM %s weights "
+            "(pass -tpu <dir> with a converted/HF checkpoint for real output)",
+            args.model,
+        )
+        params = init_params(cfg)
+
+    compute_dtype = None
+    if args.compute_dtype:
+        import jax.numpy as jnp
+
+        compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.compute_dtype]
+
+    shardings = None
+    if args.tp > 1:
+        from whisperlive_tpu.parallel.mesh import EngineShardings
+
+        shardings = EngineShardings.create(tp=args.tp)
+
+    engine = WhisperEngine(cfg, params, tokenizer=tokenizer,
+                           compute_dtype=compute_dtype, shardings=shardings)
+    scheduler = BatchScheduler(
+        engine,
+        max_batch_size=args.batch_max_size,
+        batch_window_ms=args.batch_window_ms,
+    )
+    scheduler.start()
+    return TpuBackend(scheduler), "tpu"
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    if args.backend != "tpu":
+        logging.warning("backend %r is a legacy name; serving with the TPU engine",
+                        args.backend)
+    os.environ["OMP_NUM_THREADS"] = str(args.omp_num_threads)
+
+    backend, name = create_backend(args)
+
+    from whisperlive_tpu.serving.server import TranscriptionServer
+
+    server = TranscriptionServer()
+    server.raw_pcm_default = args.raw_pcm_input
+    rest_kwargs = dict(
+        cors_origins=args.cors_origins.split(","),
+        api_key=args.api_key,
+        rate_limit_rpm=args.rate_limit_rpm,
+    )
+    server.run(
+        backend,
+        host=args.host,
+        port=args.port,
+        backend_name=name if args.backend == "tpu" else args.backend,
+        max_clients=args.max_clients,
+        max_connection_time=args.max_connection_time,
+        api_key=args.api_key,
+        metrics_port=args.metrics_port,
+        rest_port=args.rest_port if args.enable_rest else None,
+        rest_kwargs=rest_kwargs,
+    )
+
+
+if __name__ == "__main__":
+    main()

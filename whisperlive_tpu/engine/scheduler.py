@@ -1,0 +1,261 @@
+"""Cross-stream batch scheduler: the one component that touches the TPU.
+
+The TPU-native analogue of the reference's `BatchInferenceWorker`
+(whisper_live/batch_inference.py): N sessions submit 30 s windows; a single
+worker thread drains the queue, groups compatible requests into a fixed
+batch-size bucket, and runs the engine's three programs (prepare → detect →
+decode-with-fallback). Differences by design:
+
+  * Every shape is padded to a bucket — there are no ragged batches and so
+    no recompilation as occupancy churns (the reference re-encodes ragged
+    sub-batches per temperature).
+  * The temperature-fallback sub-batching happens on-device via a cross-KV
+    gather (engine.decode_with_fallback), not by re-running VAD+mel+encode
+    per retry as the reference does (batch_inference.py:312-384).
+  * Results resolve `concurrent.futures.Future`s, which bridge cleanly into
+    the asyncio serving layer via `asyncio.wrap_future`.
+
+Batch grouping key: requests only share a device batch when their logit
+setup is batch-compatible (same suppress set). Per-item knobs — language,
+task, prompt, timestamps on/off, temperature — are array inputs and mix
+freely within a batch (mirroring batch_inference.py:273-310 per-item
+prompts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence
+
+import numpy as np
+
+from whisperlive_tpu.engine.engine import TranscribeOptions, WhisperEngine
+from whisperlive_tpu.engine.transcribe import (
+    Segment,
+    split_segments_by_timestamps,
+)
+from whisperlive_tpu.ops import mel as mel_ops
+from whisperlive_tpu.utils import metrics as wl_metrics
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class BatchRequest:
+    """One 30 s-window transcription request (cf. batch_inference.py:51-84)."""
+
+    audio: np.ndarray  # float32 mono 16 kHz, <= 30 s (truncated if longer)
+    options: TranscribeOptions
+    previous_tokens: Sequence[int] = ()
+    language: Optional[str] = None  # resolved language (None -> detect)
+    uid: str = ""
+    future: Future = dataclasses.field(default_factory=Future)
+    submitted_at: float = dataclasses.field(default_factory=time.monotonic)
+
+    def group_key(self):
+        return (self.options.suppress_tokens, self.options.suppress_blank)
+
+
+@dataclasses.dataclass
+class BatchResult:
+    segments: list[Segment]
+    language: str
+    language_prob: float
+    duration: float  # seconds of audio actually covered by this result
+
+
+class BatchScheduler:
+    """Single worker thread owning the engine (batch_inference.py:126-187)."""
+
+    def __init__(
+        self,
+        engine: WhisperEngine,
+        max_batch_size: int = 8,
+        batch_window_ms: float = 50.0,
+    ):
+        self.engine = engine
+        self.max_batch_size = max_batch_size
+        self.batch_window_ms = batch_window_ms
+        self._queue: "queue.Queue[Optional[BatchRequest]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._seed = 0
+
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(
+            target=self._worker_loop, name="tpu-batch-scheduler", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._queue.put(None)
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def submit(self, request: BatchRequest) -> Future:
+        self._queue.put(request)
+        return request.future
+
+    # ------------------------------------------------------------------
+
+    def _collect_batch(self) -> list[BatchRequest]:
+        """Block for the first request, then drain compatible requests for
+        up to batch_window_ms (batch_inference.py:155-187)."""
+        first = self._queue.get()
+        if first is None or self._stop.is_set():
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.batch_window_ms / 1000.0
+        leftovers: list[BatchRequest] = []
+        while len(batch) < self.max_batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if req is None:
+                break
+            if req.group_key() == first.group_key():
+                batch.append(req)
+            else:
+                leftovers.append(req)
+        for req in leftovers:
+            self._queue.put(req)
+        return batch
+
+    def _worker_loop(self) -> None:
+        logger.info("batch scheduler started (max_batch=%d window=%.0fms)",
+                    self.max_batch_size, self.batch_window_ms)
+        while not self._stop.is_set():
+            batch = self._collect_batch()
+            if not batch:
+                continue
+            try:
+                self._process_batch(batch)
+            except Exception as e:  # worker must survive (tested behavior)
+                logger.exception("batch processing failed")
+                wl_metrics.track_error("batch_processing")
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+        logger.info("batch scheduler stopped")
+
+    # ------------------------------------------------------------------
+
+    def _process_batch(self, batch: list[BatchRequest]) -> None:
+        eng = self.engine
+        t0 = time.monotonic()
+        n = len(batch)
+
+        durations = []
+        audio = np.zeros((n, mel_ops.N_SAMPLES), np.float32)
+        for i, req in enumerate(batch):
+            a = req.audio[: mel_ops.N_SAMPLES]
+            audio[i, : len(a)] = a
+            durations.append(len(a) / mel_ops.SAMPLE_RATE)
+
+        # Pad batch dim to a bucket so occupancy churn reuses one program.
+        from whisperlive_tpu.engine.engine import _bucket
+
+        bucket = _bucket(n, eng.batch_buckets)
+        if bucket > n:
+            audio = np.concatenate(
+                [audio, np.zeros((bucket - n, mel_ops.N_SAMPLES), np.float32)]
+            )
+
+        _, cross_kv = eng.prepare(audio)
+
+        # Per-item language detection for requests that didn't pin one
+        # (batch_inference.py:273-310 does the same per item).
+        detected = None
+        languages: list[Optional[str]] = []
+        language_probs = []
+        for req in batch:
+            lang = req.language or req.options.language
+            languages.append(lang)
+            language_probs.append(1.0)
+        if any(l is None for l in languages) and eng.tokenizer.spec.multilingual:
+            detected = eng.detect_language_from_cross(cross_kv)
+            for i in range(n):
+                if languages[i] is None:
+                    languages[i], language_probs[i] = detected[i]
+        for i in range(n):
+            if languages[i] is None:
+                languages[i] = "en"
+
+        prompts, sot_idx = [], []
+        for i, req in enumerate(batch):
+            p, s = eng.build_prompt(
+                req.options, previous_tokens=req.previous_tokens, language=languages[i]
+            )
+            prompts.append(p)
+            sot_idx.append(s)
+
+        self._seed += 1
+        results = eng.decode_with_fallback(
+            cross_kv, prompts, sot_idx, batch[0].options, seed=self._seed
+        )
+
+        for i, (req, res) in enumerate(zip(batch, results)):
+            try:
+                segments: list[Segment] = []
+                skip = (
+                    req.options.no_speech_threshold is not None
+                    and res.no_speech_prob > req.options.no_speech_threshold
+                    and (
+                        req.options.log_prob_threshold is None
+                        or res.avg_logprob < req.options.log_prob_threshold
+                    )
+                )
+                if not skip:
+                    segment_size = int(durations[i] * 100)  # mel frames
+                    pieces, _ = split_segments_by_timestamps(
+                        eng.spec, res.tokens, 0.0, durations[i], segment_size
+                    )
+                    for j, (start, end, toks) in enumerate(pieces):
+                        text = eng.tokenizer.decode(toks)
+                        if not text.strip():
+                            continue
+                        segments.append(
+                            Segment(
+                                id=j,
+                                seek=0,
+                                start=start,
+                                end=end,
+                                text=text,
+                                tokens=toks,
+                                temperature=res.temperature,
+                                avg_logprob=res.avg_logprob,
+                                compression_ratio=res.compression_ratio,
+                                no_speech_prob=res.no_speech_prob,
+                            )
+                        )
+                req.future.set_result(
+                    BatchResult(
+                        segments=segments,
+                        language=languages[i] or "en",
+                        language_prob=language_probs[i],
+                        duration=durations[i],
+                    )
+                )
+            except Exception as e:
+                if not req.future.done():
+                    req.future.set_exception(e)
+
+        dt = time.monotonic() - t0
+        wl_metrics.track_transcription_latency(dt)
+        wl_metrics.track_audio_seconds(sum(durations))
+        logger.debug("batch of %d done in %.0f ms", n, dt * 1e3)

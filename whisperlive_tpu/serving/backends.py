@@ -1,0 +1,151 @@
+"""Transcription backends for the serving layer.
+
+The reference dispatches to three per-client backend classes
+(faster_whisper/tensorrt/openvino, whisper_live/backend/*); here a backend
+is anything with
+
+    async def transcribe(chunk, options, *, language, previous_tokens, uid)
+        -> BatchResult | None
+
+Two implementations:
+  * TpuBackend — the real path: VAD gate, then a BatchRequest into the
+    shared BatchScheduler (all sessions share one TPU program).
+  * FakeBackend — deterministic, model-free; the test seam the reference
+    establishes by stubbing `transcribe_audio` (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+from types import SimpleNamespace
+from typing import Optional, Sequence
+
+import numpy as np
+
+from whisperlive_tpu.engine.engine import TranscribeOptions
+from whisperlive_tpu.engine.scheduler import BatchRequest, BatchResult, BatchScheduler
+from whisperlive_tpu.serving.session import SessionOptions
+
+logger = logging.getLogger(__name__)
+
+
+def transcribe_options_from_session(
+    options: SessionOptions, language: Optional[str] = None
+) -> TranscribeOptions:
+    """Map per-connection handshake options onto engine decode options."""
+    return TranscribeOptions(
+        language=language or options.language,
+        task=options.task,
+        initial_prompt=options.initial_prompt,
+        hotwords=options.hotwords,
+        word_timestamps=options.word_timestamps,
+    )
+
+
+class TpuBackend:
+    """Routes chunks through the shared batch scheduler, with host-side
+    VAD gating (the reference gates with silero before decode)."""
+
+    def __init__(
+        self,
+        scheduler: BatchScheduler,
+        use_vad_default: bool = True,
+        vad_threshold: float = 0.5,
+    ):
+        self.scheduler = scheduler
+        self.use_vad_default = use_vad_default
+        self._vads: dict[str, object] = {}
+        self._vad_threshold = vad_threshold
+
+    def _vad_for(self, uid: str, options: SessionOptions):
+        from whisperlive_tpu.audio.vad import VoiceActivityDetector
+
+        if uid not in self._vads:
+            params = options.vad_parameters or {}
+            self._vads[uid] = VoiceActivityDetector(
+                threshold=params.get("threshold", self._vad_threshold)
+            )
+        return self._vads[uid]
+
+    def release(self, uid: str) -> None:
+        self._vads.pop(uid, None)
+
+    async def transcribe(
+        self,
+        chunk: np.ndarray,
+        options: SessionOptions,
+        *,
+        language: Optional[str] = None,
+        previous_tokens: Sequence[int] = (),
+        uid: str = "",
+    ) -> Optional[BatchResult]:
+        if options.use_vad:
+            vad = self._vad_for(uid, options)
+            if not vad(chunk):
+                return None  # silence: nothing decoded, cursor stays
+
+        req = BatchRequest(
+            audio=chunk,
+            options=transcribe_options_from_session(options, language),
+            previous_tokens=tuple(previous_tokens),
+            language=language,
+            uid=uid,
+        )
+        self.scheduler.submit(req)
+        return await asyncio.wait_for(asyncio.wrap_future(req.future), timeout=60)
+
+
+class FakeBackend:
+    """Deterministic streaming transcriber: one word per second of audio.
+
+    Used by the hermetic server/client tests and by `--fake_transcriber`
+    (handy for protocol debugging without a model, and the analogue of the
+    reference's mocked-transcriber test seam)."""
+
+    def __init__(self, latency_s: float = 0.0):
+        self.latency_s = latency_s
+
+    async def transcribe(
+        self,
+        chunk: np.ndarray,
+        options: SessionOptions,
+        *,
+        language: Optional[str] = None,
+        previous_tokens: Sequence[int] = (),
+        uid: str = "",
+    ) -> BatchResult:
+        if self.latency_s:
+            await asyncio.sleep(self.latency_s)
+        duration = len(chunk) / 16000.0
+        segments = []
+        whole = int(duration)
+        for i in range(whole):
+            segments.append(
+                SimpleNamespace(
+                    start=float(i),
+                    end=float(i + 1),
+                    text=f" word{i}",
+                    tokens=[],
+                    no_speech_prob=0.0,
+                    words=None,
+                )
+            )
+        if duration > whole:
+            segments.append(
+                SimpleNamespace(
+                    start=float(whole),
+                    end=duration,
+                    text=" partial",
+                    tokens=[],
+                    no_speech_prob=0.0,
+                    words=None,
+                )
+            )
+        return BatchResult(
+            segments=segments,
+            language=language or options.language or "en",
+            language_prob=0.99,
+            duration=duration,
+        )

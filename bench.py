@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: streaming transcription throughput on one TPU chip.
+
+Measures the full engine path — on-device log-mel -> encoder -> cross-KV ->
+prompt prefill -> N-token autoregressive decode — at a production batch
+size, and reports the real-time factor: seconds of audio transcribed per
+wall-clock second (RTFx). The reference keeps RTF < 1 per stream by
+construction (BASELINE.md "implicit real-time factor"), so RTFx is also
+the upper bound on concurrent real-time streams one chip sustains.
+
+Prints ONE JSON line:
+  {"metric": "rtfx_streaming", "value": N, "unit": "audio_s_per_s",
+   "vs_baseline": N}
+vs_baseline is vs RTF=1.0 (the reference's per-stream real-time contract —
+it publishes no absolute throughput numbers, BASELINE.md).
+
+Weights are random (no egress in this environment): throughput is
+weight-value-independent. Decode length is fixed at DECODE_TOKENS per 30 s
+window — matching dense speech (~4 tokens/s), since random weights never
+emit EOT early.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+MODEL = os.environ.get("WL_BENCH_MODEL", "large-v3")
+BATCH = int(os.environ.get("WL_BENCH_BATCH", "8"))
+DECODE_TOKENS = int(os.environ.get("WL_BENCH_TOKENS", "120"))
+ITERS = int(os.environ.get("WL_BENCH_ITERS", "4"))
+WINDOW_S = 30.0
+
+
+def main() -> None:
+    import jax
+
+    cache = os.path.expanduser("~/.cache/whisper-live-tpu/xla-cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
+
+    from whisperlive_tpu.engine.engine import TranscribeOptions, WhisperEngine
+    from whisperlive_tpu.models.whisper import WHISPER_CONFIGS, init_params
+    from whisperlive_tpu.ops.mel import N_SAMPLES
+
+    import jax.numpy as jnp
+
+    cfg = WHISPER_CONFIGS[MODEL]
+    # bf16 init directly on device: a large-v3 f32 copy alone is ~6 GB HBM
+    params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    engine = WhisperEngine(cfg, params, batch_buckets=(BATCH,))
+    options = TranscribeOptions(
+        language="en",
+        temperatures=(0.0,),  # fallback cascade disabled: fixed work per iter
+        log_prob_threshold=None,
+        compression_ratio_threshold=None,
+        max_new_tokens=DECODE_TOKENS,
+    )
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((BATCH, N_SAMPLES)) * 0.1).astype(np.float32)
+    prompts, sots = [], []
+    for _ in range(BATCH):
+        p, s = engine.build_prompt(options)
+        prompts.append(p)
+        sots.append(s)
+
+    # warmup / compile
+    enc, cross = engine.prepare(audio)
+    jax.block_until_ready(cross)
+    engine.decode_batch(cross, prompts, sots, options, seed=0)
+
+    t0 = time.monotonic()
+    total_audio = 0.0
+    total_tokens = 0
+    for i in range(ITERS):
+        _, cross = engine.prepare(audio)
+        results = engine.decode_batch(cross, prompts, sots, options, seed=i)
+        total_audio += BATCH * WINDOW_S
+        total_tokens += sum(len(r.tokens) for r in results)
+    wall = time.monotonic() - t0
+
+    rtfx = total_audio / wall
+    result = {
+        "metric": "rtfx_streaming",
+        "value": round(rtfx, 2),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(rtfx / 1.0, 2),
+        "detail": {
+            "model": MODEL,
+            "batch": BATCH,
+            "decode_tokens_per_window": DECODE_TOKENS,
+            "tokens_per_s": round(total_tokens / wall, 1),
+            "wall_s": round(wall, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

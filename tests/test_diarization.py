@@ -1,0 +1,116 @@
+"""Online speaker clustering behavior (deterministic mocked embedder, same
+strategy as the reference's test_diarization.py)."""
+
+import numpy as np
+import pytest
+
+from whisperlive_tpu.diarization import SpeakerDiarizer, SpectralEmbedder
+
+
+def make_embedder(table):
+    """Embedder double: maps audio 'key' (first sample value) to a vector."""
+
+    def embed(audio):
+        key = int(round(float(audio[0]) * 10))
+        v = np.asarray(table[key], np.float32)
+        return v / np.linalg.norm(v)
+
+    return embed
+
+
+def audio_for(key, seconds=1.0):
+    a = np.zeros(int(seconds * 16000), np.float32)
+    a[0] = key / 10.0
+    return a
+
+
+TABLE = {
+    1: [1.0, 0.0, 0.0],
+    2: [0.95, 0.3, 0.0],  # close to speaker 1
+    3: [0.0, 1.0, 0.0],  # orthogonal: new speaker
+    4: [0.0, 0.0, 1.0],
+}
+
+
+def test_new_speaker_then_match():
+    d = SpeakerDiarizer(max_speakers=4, embedder=make_embedder(TABLE))
+    assert d.identify_speaker(audio_for(1)) == "SPEAKER_0"
+    assert d.identify_speaker(audio_for(2)) == "SPEAKER_0"  # cosine ~0.95
+    assert d.identify_speaker(audio_for(3)) == "SPEAKER_1"
+    assert d.identify_speaker(audio_for(1)) == "SPEAKER_0"
+
+
+def test_max_speakers_cap():
+    d = SpeakerDiarizer(max_speakers=2, embedder=make_embedder(TABLE))
+    d.identify_speaker(audio_for(1))
+    d.identify_speaker(audio_for(3))
+    # a third distinct voice snaps to the nearest existing cluster
+    label = d.identify_speaker(audio_for(4))
+    assert label in ("SPEAKER_0", "SPEAKER_1")
+
+
+def test_min_audio_length():
+    d = SpeakerDiarizer(embedder=make_embedder(TABLE))
+    assert d.identify_speaker(np.zeros(100, np.float32)) is None
+
+
+def test_named_enrollment():
+    d = SpeakerDiarizer(embedder=make_embedder(TABLE))
+    assert d.enroll_speaker("alice", audio_for(1))
+    assert d.identify_speaker(audio_for(2)) == "alice"
+    assert d.identify_speaker(audio_for(3)) == "SPEAKER_1"
+
+
+def test_reset():
+    d = SpeakerDiarizer(embedder=make_embedder(TABLE))
+    d.identify_speaker(audio_for(1))
+    d.reset()
+    assert d.speakers == []
+    assert d.identify_speaker(audio_for(3)) == "SPEAKER_0"
+
+
+def test_ema_update_drifts_centroid():
+    d = SpeakerDiarizer(embedder=make_embedder(TABLE))
+    d.identify_speaker(audio_for(1))
+    before = d.speakers[0].copy()
+    d.identify_speaker(audio_for(2))
+    assert not np.allclose(before, d.speakers[0])
+
+
+def test_spectral_embedder_separates_timbres():
+    """Different harmonic structures should be less similar than identical
+    ones (sanity check of the weight-free default embedder)."""
+    rng = np.random.default_rng(0)
+    t = np.arange(32000) / 16000
+
+    def voice(f0, tilt):
+        sig = sum(
+            (1.0 / (k**tilt)) * np.sin(2 * np.pi * f0 * k * t + rng.random())
+            for k in range(1, 12)
+        )
+        return (0.2 * sig / np.abs(sig).max()).astype(np.float32)
+
+    e = SpectralEmbedder()
+    low_a, low_b = e(voice(110, 1.0)), e(voice(118, 1.0))
+    high = e(voice(340, 2.5))
+    sim_same = float(np.dot(low_a, low_b))
+    sim_diff = float(np.dot(low_a, high))
+    assert sim_same > sim_diff
+
+
+def test_session_integration_speaker_field():
+    from types import SimpleNamespace
+
+    from whisperlive_tpu.serving.session import StreamingSession
+
+    d = SpeakerDiarizer(embedder=make_embedder(TABLE))
+    sess = StreamingSession(speaker_identifier=d.make_identifier())
+    sess.add_frames(audio_for(1, seconds=5.0))
+    sess.update_segments(
+        [
+            SimpleNamespace(start=0.0, end=2.0, text=" hi", no_speech_prob=0.0, words=None),
+            SimpleNamespace(start=2.0, end=3.0, text=" there", no_speech_prob=0.0, words=None),
+        ],
+        duration=3.0,
+    )
+    assert sess.transcript[0]["speaker"] == "SPEAKER_0"

@@ -1,0 +1,93 @@
+"""Engine-level transcription on CPU with a tiny random model: the full
+pipeline (mel -> encode -> detect -> prompt -> sampling loop -> timestamp
+segmentation -> seek loop) must run and produce structurally valid output.
+(Text quality needs trained weights; structure doesn't.)"""
+
+import numpy as np
+import pytest
+
+from whisperlive_tpu.engine.engine import TranscribeOptions, WhisperEngine
+from whisperlive_tpu.engine.transcribe import Transcriber, split_segments_by_timestamps
+from whisperlive_tpu.models.whisper import WhisperConfig, init_params
+
+
+@pytest.fixture(scope="module")
+def engine():
+    import jax.numpy as jnp
+
+    cfg = WhisperConfig(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    return WhisperEngine(
+        cfg, init_params(cfg, 0), compute_dtype=jnp.float32, batch_buckets=(1, 2)
+    )
+
+
+def test_transcribe_structure(engine, rng):
+    t = Transcriber(engine)
+    audio = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+    opts = TranscribeOptions(
+        language="en",
+        temperatures=(0.0,),
+        log_prob_threshold=None,  # random weights: don't gate
+        no_speech_threshold=None,
+        compression_ratio_threshold=None,
+        max_new_tokens=24,
+    )
+    segments, info = t.transcribe(audio, opts)
+    assert info.language == "en"
+    assert info.duration == pytest.approx(5.0)
+    for s in segments:
+        assert 0.0 <= s.start <= s.end <= 35.0
+        assert isinstance(s.text, str)
+        assert s.tokens
+
+
+def test_transcribe_language_detection(engine, rng):
+    t = Transcriber(engine)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    opts = TranscribeOptions(
+        temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=8,
+    )
+    _, info = t.transcribe(audio, opts)
+    assert info.language in engine.tokenizer.spec.language_codes
+    assert 0.0 <= info.language_probability <= 1.0
+
+
+class _Spec:
+    timestamp_begin = 1000
+    eot = 900
+
+
+def ts(s):  # timestamp token for s seconds
+    return 1000 + int(s / 0.02)
+
+
+def test_split_segments_consecutive_pairs():
+    toks = [ts(0.0), 5, 6, ts(2.0), ts(2.0), 7, ts(4.0)]
+    segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 10.0, 30.0, 3000)
+    assert len(segs) == 2
+    assert segs[0][0] == pytest.approx(10.0)
+    assert segs[0][1] == pytest.approx(12.0)
+    assert segs[0][2] == [ts(0.0), 5, 6, ts(2.0)]
+    # seek advances to the last consecutive pair boundary: 2.0s * 100 frames
+    assert advance == 200
+
+
+def test_split_segments_no_pair_single_segment():
+    toks = [ts(0.0), 5, 6, 7]
+    segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 0.0, 12.5, 1250)
+    assert len(segs) == 1
+    assert segs[0][0] == 0.0 and segs[0][1] == pytest.approx(12.5)
+    assert advance == 1250  # whole window consumed
+
+
+def test_split_segments_trailing_single_timestamp_bounds_duration():
+    toks = [ts(0.0), 5, ts(3.0)]
+    segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 0.0, 30.0, 3000)
+    assert segs[0][1] == pytest.approx(3.0)
+    assert advance == 3000

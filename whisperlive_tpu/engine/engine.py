@@ -393,6 +393,55 @@ class WhisperEngine:
             )
         return results
 
+    def align_words(
+        self,
+        cross_kv,
+        item_index: int,
+        text_tokens: Sequence[int],
+        num_frames: int,
+    ):
+        """Word timings for one decoded window item (cross-attention DTW).
+
+        Runs one teacher-forced B=1 pass over [sot-seq + text + eot] against
+        the item's slice of the already-computed cross-KV, then host-side
+        DTW (engine/align.py). Returns a list of WordTiming.
+        """
+        from whisperlive_tpu.engine import align as align_mod
+
+        tok = self.tokenizer
+        text_tokens = [int(t) for t in text_tokens if t < tok.eot]
+        if not text_tokens:
+            return []
+        seq = tok.sot_sequence() + text_tokens + [tok.eot]
+        sot_len = len(seq) - len(text_tokens) - 1
+        pmax = _bucket(len(seq), self.prompt_buckets)
+        arr = np.zeros((1, pmax), np.int32)
+        arr[0, : len(seq)] = seq[:pmax]
+        sub_cross = jnp.take(cross_kv, jnp.asarray([item_index]), axis=2)
+        with self._lock:
+            logits, cross = self._align_fn(
+                self.params, sub_cross, jnp.asarray(arr),
+                jnp.asarray([len(seq)], np.int32),
+            )
+        logits = np.asarray(logits[0], np.float32)  # [T, V]
+        cross = np.asarray(cross[:, 0], np.float32)  # [L, H, T, ctx]
+        # token probability: softmax at the position predicting each token
+        probs = []
+        for i, t in enumerate(text_tokens):
+            row = logits[sot_len - 1 + i]
+            row = row - row.max()
+            p = np.exp(row)
+            probs.append(float(p[t] / p.sum()))
+        timings = align_mod.find_alignment_from_attn(
+            cross[:, :, : len(seq), :],
+            np.asarray(probs, np.float64),
+            tok,
+            text_tokens,
+            sot_len,
+            num_frames,
+        )
+        return align_mod.merge_punctuations(timings)
+
     def decode_with_fallback(
         self,
         cross_kv,

@@ -225,10 +225,23 @@ class BatchScheduler:
                     pieces, _ = split_segments_by_timestamps(
                         eng.spec, res.tokens, 0.0, durations[i], segment_size
                     )
+                    timings = None
+                    if req.options.word_timestamps:
+                        try:
+                            timings = eng.align_words(
+                                cross_kv, i, res.tokens, segment_size
+                            )
+                        except Exception:
+                            logger.exception("word alignment failed")
                     for j, (start, end, toks) in enumerate(pieces):
                         text = eng.tokenizer.decode(toks)
                         if not text.strip():
                             continue
+                        words = None
+                        if timings is not None:
+                            from whisperlive_tpu.engine.align import words_for_segment
+
+                            words = words_for_segment(timings, start, end)
                         segments.append(
                             Segment(
                                 id=j,
@@ -241,6 +254,7 @@ class BatchScheduler:
                                 avg_logprob=res.avg_logprob,
                                 compression_ratio=res.compression_ratio,
                                 no_speech_prob=res.no_speech_prob,
+                                words=words,
                             )
                         )
                 req.future.set_result(

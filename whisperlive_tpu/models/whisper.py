@@ -92,11 +92,11 @@ def sinusoids(length: int, channels: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _init_linear(key, d_in, d_out, bias=True):
-    w = jax.random.normal(key, (d_in, d_out), jnp.float32) * (d_in**-0.5)
+def _init_linear(key, d_in, d_out, bias=True, dtype=jnp.float32):
+    w = jax.random.normal(key, (d_in, d_out), dtype) * jnp.asarray(d_in**-0.5, dtype)
     p = {"w": w}
     if bias:
-        p["b"] = jnp.zeros((d_out,), jnp.float32)
+        p["b"] = jnp.zeros((d_out,), dtype)
     return p
 
 
@@ -104,29 +104,29 @@ def _init_ln(d):
     return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
 
 
-def _init_attn(key, d, cross=False):
+def _init_attn(key, d, cross=False, dtype=jnp.float32):
     ks = jax.random.split(key, 4)
     return {
-        "q": _init_linear(ks[0], d, d),
-        "k": _init_linear(ks[1], d, d, bias=False),
-        "v": _init_linear(ks[2], d, d),
-        "o": _init_linear(ks[3], d, d),
+        "q": _init_linear(ks[0], d, d, dtype=dtype),
+        "k": _init_linear(ks[1], d, d, bias=False, dtype=dtype),
+        "v": _init_linear(ks[2], d, d, dtype=dtype),
+        "o": _init_linear(ks[3], d, d, dtype=dtype),
     }
 
 
-def _init_block(key, d, cross: bool):
+def _init_block(key, d, cross: bool, dtype=jnp.float32):
     ks = jax.random.split(key, 6)
     p = {
-        "attn": _init_attn(ks[0], d),
+        "attn": _init_attn(ks[0], d, dtype=dtype),
         "attn_ln": _init_ln(d),
         "mlp": {
-            "fc1": _init_linear(ks[1], d, 4 * d),
-            "fc2": _init_linear(ks[2], 4 * d, d),
+            "fc1": _init_linear(ks[1], d, 4 * d, dtype=dtype),
+            "fc2": _init_linear(ks[2], 4 * d, d, dtype=dtype),
         },
         "mlp_ln": _init_ln(d),
     }
     if cross:
-        p["cross_attn"] = _init_attn(ks[3], d, cross=True)
+        p["cross_attn"] = _init_attn(ks[3], d, cross=True, dtype=dtype)
         p["cross_attn_ln"] = _init_ln(d)
     return p
 
@@ -135,37 +135,41 @@ def _stack_layers(blocks: list[Params]) -> Params:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
-def init_params(cfg: WhisperConfig, seed: int = 0) -> Params:
-    """Random-init parameters with the exact pytree structure conversion emits."""
+def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.float32) -> Params:
+    """Random-init parameters with the exact pytree structure conversion emits.
+
+    `dtype` generates weights directly in that dtype on device — large-v3 in
+    float32 alone is ~6 GB of HBM, so benchmarks pass bfloat16 here.
+    """
     key = jax.random.PRNGKey(seed)
     k_e, k_d, k_c1, k_c2, k_emb = jax.random.split(key, 5)
     d, dd = cfg.n_audio_state, cfg.n_text_state
 
     enc_blocks = [
-        _init_block(k, d, cross=False)
+        _init_block(k, d, cross=False, dtype=dtype)
         for k in jax.random.split(k_e, cfg.n_audio_layer)
     ]
     dec_blocks = [
-        _init_block(k, dd, cross=True)
+        _init_block(k, dd, cross=True, dtype=dtype)
         for k in jax.random.split(k_d, cfg.n_text_layer)
     ]
     return {
         "encoder": {
             "conv1": {
-                "w": jax.random.normal(k_c1, (3, cfg.n_mels, d)) * 0.05,
-                "b": jnp.zeros((d,)),
+                "w": jax.random.normal(k_c1, (3, cfg.n_mels, d), dtype) * 0.05,
+                "b": jnp.zeros((d,), dtype),
             },
             "conv2": {
-                "w": jax.random.normal(k_c2, (3, d, d)) * 0.05,
-                "b": jnp.zeros((d,)),
+                "w": jax.random.normal(k_c2, (3, d, d), dtype) * 0.05,
+                "b": jnp.zeros((d,), dtype),
             },
             "pos": jnp.asarray(sinusoids(cfg.n_audio_ctx, d)),
             "layers": _stack_layers(enc_blocks),
             "ln_post": _init_ln(d),
         },
         "decoder": {
-            "embed": jax.random.normal(k_emb, (cfg.n_vocab, dd)) * 0.02,
-            "pos": jax.random.normal(k_emb, (cfg.n_text_ctx, dd)) * 0.01,
+            "embed": jax.random.normal(k_emb, (cfg.n_vocab, dd), dtype) * 0.02,
+            "pos": jax.random.normal(k_emb, (cfg.n_text_ctx, dd), dtype) * 0.01,
             "layers": _stack_layers(dec_blocks),
             "ln": _init_ln(dd),
         },
@@ -435,7 +439,9 @@ def decode_with_cross_attn(
     x, _, cross = _decoder_forward(
         params, cfg, tokens, pos_idx, self_kv, cross_kv, collect_cross_attn=True
     )
-    return _project_logits(params, x), cross.astype(jnp.float32)
+    # cross stays in compute dtype: [L, B, H, T, ctx] is large — the f32
+    # upcast happens on host after slicing the alignment heads.
+    return _project_logits(params, x), cross
 
 
 def param_count(params: Params) -> int:

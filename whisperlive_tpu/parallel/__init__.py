@@ -1,0 +1,3 @@
+"""Device-mesh parallelism: shardings for serving (TP) and training (DP+TP)."""
+
+from whisperlive_tpu.parallel.mesh import EngineShardings, make_mesh  # noqa: F401

@@ -247,6 +247,7 @@ class TranscriptionServer:
         self.raw_pcm_default = "float32"
         self.translator_factory = None
         self.diarizer = None
+        self.translation_model_dir: Optional[str] = None
 
     # ------------------------------------------------------------------
 
@@ -322,10 +323,28 @@ class TranscriptionServer:
             backend_name=self.backend_name,
         )
         client.audio_format = audio_format
-        if options.enable_diarization and self.diarizer is not None:
-            client.session.speaker_identifier = self.diarizer.make_identifier()
-        if options.enable_translation and self.translator_factory is not None:
-            client.translator = self.translator_factory(client, options.target_language)
+        if options.enable_diarization:
+            from whisperlive_tpu.diarization import SpeakerDiarizer
+
+            diarizer = SpeakerDiarizer(max_speakers=options.max_speakers)
+            client.session.speaker_identifier = diarizer.make_identifier()
+            client.diarizer = diarizer
+        if options.enable_translation:
+            if self.translator_factory is not None:
+                client.translator = self.translator_factory(
+                    client, options.target_language
+                )
+            else:
+                from whisperlive_tpu.translation import (
+                    TranslationWorker,
+                    make_translator,
+                )
+
+                client.translator = TranslationWorker(
+                    client,
+                    options.target_language,
+                    make_translator(self.translation_model_dir),
+                )
             client.session.translation_queue = client.translator.queue
         self.client_manager.add_client(websocket, client)
         wl_metrics.track_connection_accepted()

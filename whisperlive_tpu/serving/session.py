@@ -183,7 +183,13 @@ class StreamingSession:
         speaker = None
         if self.speaker_identifier is not None:
             try:
-                speaker = self.speaker_identifier(self.frames_np, start, end)
+                # start/end are absolute stream seconds; frames_np begins at
+                # frames_offset after left-trims.
+                speaker = self.speaker_identifier(
+                    self.frames_np,
+                    max(start - self.frames_offset, 0.0),
+                    max(end - self.frames_offset, 0.0),
+                )
             except Exception:
                 logger.exception("speaker identification failed")
         seg = format_segment(start, end, text, completed=True, speaker=speaker, words=words)

@@ -1,0 +1,162 @@
+"""Any-to-any text translation of committed segments.
+
+Behavioral port of the reference's translation backend
+(whisper_live/backend/translation_backend.py, §2.16): a per-client worker
+consumes completed segments from a bounded queue (maxsize 100), translates
+them to `target_language`, and pushes `{"translated_segments": [...]}` to
+the client.
+
+Differences: the worker is an asyncio task (no thread per client), and the
+translation model is pluggable behind `Translator`:
+
+  * `HFTranslator` — an on-disk M2M100/SMALL100 checkpoint via transformers
+    (torch CPU), loaded lazily and shared across clients — the reference's
+    model, when its weights are available.
+  * `IdentityTranslator` — pass-through fallback so the wire contract works
+    without model weights (tests, protocol debugging).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import queue as queue_mod
+import threading
+from typing import Optional, Protocol
+
+logger = logging.getLogger(__name__)
+
+QUEUE_MAX = 100  # base.py:41
+
+
+class Translator(Protocol):
+    def translate(self, text: str, target_language: str) -> str: ...
+
+
+class IdentityTranslator:
+    """Pass-through (used when no translation weights are on disk)."""
+
+    def translate(self, text: str, target_language: str) -> str:
+        return text
+
+
+class HFTranslator:
+    """M2M100/SMALL100 via transformers+torch CPU from a LOCAL checkpoint
+    dir (the reference pulls SMALL100 from the hub at runtime;
+    translation_backend.py:56-89)."""
+
+    _lock = threading.Lock()
+    _shared: dict[str, "HFTranslator"] = {}
+
+    def __init__(self, model_dir: str):
+        import torch  # noqa: F401
+        from transformers import AutoTokenizer, M2M100ForConditionalGeneration
+
+        self.model = M2M100ForConditionalGeneration.from_pretrained(model_dir)
+        self.model.eval()
+        self.tokenizer = AutoTokenizer.from_pretrained(model_dir)
+
+    @classmethod
+    def shared(cls, model_dir: str) -> "HFTranslator":
+        with cls._lock:
+            if model_dir not in cls._shared:
+                cls._shared[model_dir] = cls(model_dir)
+            return cls._shared[model_dir]
+
+    def translate(self, text: str, target_language: str) -> str:
+        import torch
+
+        tok = self.tokenizer
+        if hasattr(tok, "tgt_lang"):
+            tok.tgt_lang = target_language
+        inputs = tok(text, return_tensors="pt")
+        with torch.no_grad():
+            kwargs = {}
+            if hasattr(tok, "get_lang_id"):
+                kwargs["forced_bos_token_id"] = tok.get_lang_id(target_language)
+            out = self.model.generate(**inputs, max_new_tokens=256, **kwargs)
+        return tok.batch_decode(out, skip_special_tokens=True)[0]
+
+
+def make_translator(model_dir: Optional[str] = None) -> Translator:
+    if model_dir:
+        try:
+            return HFTranslator.shared(model_dir)
+        except Exception:
+            logger.exception("failed to load translation model from %s", model_dir)
+    logger.warning(
+        "no translation model available — translated_segments will pass "
+        "through untranslated"
+    )
+    return IdentityTranslator()
+
+
+class TranslationWorker:
+    """Per-client async worker: drains the session's translation queue,
+    translates in a thread executor (model inference must not block the
+    event loop), sends results (translation_backend.py:120-177)."""
+
+    def __init__(
+        self,
+        client,  # ServeClient: needs .send(payload) and .uid
+        target_language: str,
+        translator: Translator,
+        send_original: bool = False,
+    ):
+        self.client = client
+        self.target_language = target_language or "fr"
+        self.translator = translator
+        self.send_original = send_original
+        self.queue: "queue_mod.Queue[dict]" = queue_mod.Queue(maxsize=QUEUE_MAX)
+        self._stop = False
+        self._task = asyncio.get_running_loop().create_task(self._run())
+        self._wake = asyncio.Event()
+
+    def poke(self) -> None:
+        self._wake.set()
+
+    async def stop(self) -> None:
+        self._stop = True
+        self._wake.set()
+        try:
+            await asyncio.wait_for(self._task, timeout=5)
+        except Exception:
+            self._task.cancel()
+
+    async def _run(self) -> None:
+        loop = asyncio.get_running_loop()
+        while not self._stop:
+            batch: list[dict] = []
+            while True:
+                try:
+                    batch.append(self.queue.get_nowait())
+                except queue_mod.Empty:
+                    break
+            if not batch:
+                self._wake.clear()
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=0.5)
+                except asyncio.TimeoutError:
+                    pass
+                continue
+            translated = []
+            for seg in batch:
+                try:
+                    text = await loop.run_in_executor(
+                        None,
+                        self.translator.translate,
+                        seg["text"],
+                        self.target_language,
+                    )
+                except Exception:
+                    logger.exception("translation failed")
+                    text = seg["text"]
+                out = dict(seg)
+                out["text"] = text
+                if self.send_original:
+                    out["original_text"] = seg["text"]
+                translated.append(out)
+            if translated:
+                await self.client.send(
+                    {"uid": self.client.uid, "translated_segments": translated}
+                )

@@ -1,5 +1,6 @@
 """Whisper logit-rule semantics (openai-whisper behavior, which the
-reference's CTranslate2 sampler implements in C++)."""
+reference's CTranslate2 sampler implements in C++). State is the lockstep
+layout: all items sample their s-th token at the same loop iteration."""
 
 import numpy as np
 
@@ -18,31 +19,29 @@ SPEC = dec.DecodingSpec(
     max_length=16,
 )
 
+MAX_GEN = 8
 
-def make_state(prompt_rows, sampled_rows):
-    """Build a SamplerState from per-item (prompt, sampled) python lists."""
-    b = len(prompt_rows)
-    prompts = np.zeros((b, 8), np.int32)
-    plens = np.zeros((b,), np.int32)
-    for i, p in enumerate(prompt_rows):
-        prompts[i, : len(p)] = p
-        plens[i] = len(p)
-    state = dec.init_sampler_state(SPEC, jnp.asarray(prompts), jnp.asarray(plens))
-    for i, row in enumerate(sampled_rows):
-        for t in row:
-            pos = int(state.cur_len[i])
-            state = state._replace(
-                tokens=state.tokens.at[i, pos].set(t),
-                cur_len=state.cur_len.at[i].add(1),
-                last_ts=state.last_ts.at[i].set(
-                    t if t >= SPEC.timestamp_begin else int(state.last_ts[i])
-                ),
-            )
+
+def make_state(prompt_lens, sampled_rows):
+    """State double: per-item prompt lengths + equal-length sampled rows."""
+    b = len(prompt_lens)
+    state = dec.init_sampler_state(
+        SPEC, jnp.asarray(prompt_lens, jnp.int32), MAX_GEN
+    )
+    n = len(sampled_rows[0])
+    assert all(len(r) == n for r in sampled_rows), "lockstep: equal lengths"
+    for s in range(n):
+        toks = jnp.asarray([row[s] for row in sampled_rows], jnp.int32)
+        state = state._replace(
+            sampled=state.sampled.at[:, s].set(toks),
+            step=state.step + 1,
+            last_ts=jnp.where(toks >= SPEC.timestamp_begin, toks, state.last_ts),
+        )
     return state
 
 
 def apply(state, ts_enabled=True, suppress=(), logits=None):  # helper
-    b = state.tokens.shape[0]
+    b = state.sampled.shape[0]
     if logits is None:
         logits = jnp.zeros((b, SPEC.n_vocab), jnp.float32)
     mask = dec.build_suppress_mask(SPEC.n_vocab, suppress)
@@ -54,7 +53,7 @@ def apply(state, ts_enabled=True, suppress=(), logits=None):  # helper
 
 
 def test_first_token_must_be_initial_timestamp():
-    state = make_state([[50]], [[]])
+    state = make_state([1], [[]])
     out = apply(state)
     # text + eot + blank suppressed, timestamps beyond the cap suppressed
     assert np.all(out[0, : SPEC.timestamp_begin] == dec.NEG_INF)
@@ -66,7 +65,7 @@ def test_first_token_must_be_initial_timestamp():
 def test_after_opening_timestamp_text_must_follow():
     # sampled = [ts]: the initial timestamp OPENS a segment; openai treats
     # len(sampled) < 2 as "penultimate was timestamp" -> timestamps banned.
-    state = make_state([[50]], [[SPEC.timestamp_begin + 2]])
+    state = make_state([1], [[SPEC.timestamp_begin + 2]])
     out = apply(state)
     assert np.all(out[0, SPEC.timestamp_begin :] == dec.NEG_INF)
     assert out[0, 10] != dec.NEG_INF  # text fine
@@ -76,7 +75,7 @@ def test_after_closing_timestamp_text_is_suppressed():
     # sampled = [ts, text, ts2]: ts2 closes the segment; next must be a
     # timestamp (opening the next segment, same value allowed) or EOT.
     ts2 = SPEC.timestamp_begin + 2
-    state = make_state([[50]], [[SPEC.timestamp_begin, 11, ts2]])
+    state = make_state([1], [[SPEC.timestamp_begin, 11, ts2]])
     # Give EOT a dominant logit so the "sum of timestamp probs beats best
     # text prob" rule doesn't additionally kick in.
     logits = np.zeros((1, SPEC.n_vocab), np.float32)
@@ -90,7 +89,7 @@ def test_after_closing_timestamp_text_is_suppressed():
 
 def test_after_timestamp_pair_timestamps_suppressed():
     ts = SPEC.timestamp_begin + 2
-    state = make_state([[50]], [[SPEC.timestamp_begin, 11, ts, ts]])
+    state = make_state([1], [[SPEC.timestamp_begin, 11, ts, ts]])
     out = apply(state)
     assert np.all(out[0, SPEC.timestamp_begin :] == dec.NEG_INF)
     assert out[0, 10] != dec.NEG_INF  # text fine
@@ -98,7 +97,7 @@ def test_after_timestamp_pair_timestamps_suppressed():
 
 def test_timestamps_nondecreasing_after_text():
     ts = SPEC.timestamp_begin + 3
-    state = make_state([[50]], [[ts, ts, 11, 12]])
+    state = make_state([1], [[ts, ts, 11, 12]])
     out = apply(state)
     # next timestamp must be strictly greater than the completed pair
     assert np.all(out[0, SPEC.timestamp_begin : ts + 1] == dec.NEG_INF)
@@ -106,33 +105,31 @@ def test_timestamps_nondecreasing_after_text():
 
 
 def test_suppress_blank_only_first_step():
-    state = make_state([[50]], [[]])
+    state = make_state([1], [[]])
     out = apply(state, ts_enabled=False)
     assert out[0, SPEC.blank] == dec.NEG_INF
     assert out[0, SPEC.eot] == dec.NEG_INF
-    state2 = make_state([[50]], [[11]])
+    state2 = make_state([1], [[11]])
     out2 = apply(state2, ts_enabled=False)
     assert out2[0, SPEC.blank] == 0
     assert out2[0, SPEC.eot] == 0
 
 
 def test_notimestamps_suppresses_all_ts():
-    state = make_state([[50]], [[11]])
+    state = make_state([1], [[11]])
     out = apply(state, ts_enabled=False)
     assert np.all(out[0, SPEC.timestamp_begin :] == dec.NEG_INF)
 
 
 def test_static_suppress_mask():
-    state = make_state([[50]], [[11]])
+    state = make_state([1], [[11]])
     out = apply(state, ts_enabled=False, suppress=[7, 9])
     assert out[0, 7] == dec.NEG_INF and out[0, 9] == dec.NEG_INF
 
 
 def test_prob_rule_forces_timestamp():
-    state = make_state([[50]], [[11]])
-    b = 1
-    logits = np.zeros((b, SPEC.n_vocab), np.float32)
-    # pile probability mass on the timestamp region
+    state = make_state([1], [[11]])
+    logits = np.zeros((1, SPEC.n_vocab), np.float32)
     logits[0, SPEC.timestamp_begin :] = 5.0
     out = np.asarray(
         dec.apply_logit_rules(
@@ -140,10 +137,23 @@ def test_prob_rule_forces_timestamp():
             jnp.asarray(logits),
             state,
             dec.build_suppress_mask(SPEC.n_vocab, []),
-            jnp.ones((b,), bool),
+            jnp.ones((1,), bool),
         )
     )
     assert np.all(out[0, : SPEC.timestamp_begin] == dec.NEG_INF)
+
+
+def test_per_item_rules_differ_in_one_batch():
+    # item 0 just closed a pair (text banned); item 1 is mid-text (text ok)
+    ts = SPEC.timestamp_begin + 2
+    state = make_state([1, 1], [[SPEC.timestamp_begin, 11], [11, 12]])
+    # give both items a dominant EOT so the prob rule stays quiet
+    logits = np.zeros((2, SPEC.n_vocab), np.float32)
+    logits[:, SPEC.eot] = 10.0
+    # item 0: last sampled is text after opening ts -> text allowed
+    out = apply(state, logits=logits)
+    assert out[0, 11] != dec.NEG_INF
+    assert out[1, 11] != dec.NEG_INF
 
 
 def test_sample_greedy_vs_temperature():
@@ -151,31 +161,41 @@ def test_sample_greedy_vs_temperature():
     tok, lp = dec.sample_next(logits, jnp.zeros((1,)), jax.random.PRNGKey(0))
     assert int(tok[0]) == 42
     assert lp.shape == (1,)
-    # temperature sampling still valid token
     tok2, _ = dec.sample_next(logits, jnp.ones((1,)), jax.random.PRNGKey(0))
     assert 0 <= int(tok2[0]) < 120
 
 
 def test_advance_state_finish_and_eot_padding():
-    state = make_state([[50], [50]], [[], []])
+    state = make_state([1, 1], [[], []])
     nxt = jnp.asarray([SPEC.eot, 11], np.int32)
     lp = jnp.asarray([-1.0, -2.0], np.float32)
     state = dec.advance_state(SPEC, state, nxt, lp)
     assert bool(state.finished[0]) and not bool(state.finished[1])
     assert float(state.sum_logprob[0]) == -1.0
-    # finished item does not advance or accumulate
+    assert int(state.step) == 1
+    assert int(state.gen_len[0]) == 1 and int(state.gen_len[1]) == 1
+    # finished item stops accumulating; step still advances in lockstep
     state2 = dec.advance_state(SPEC, state, jnp.asarray([12, 12]), lp)
-    assert int(state2.cur_len[0]) == int(state.cur_len[0])
+    assert int(state2.gen_len[0]) == 1  # frozen
+    assert int(state2.gen_len[1]) == 2
     assert float(state2.sum_logprob[0]) == -1.0
-    assert int(state2.cur_len[1]) == int(state.cur_len[1]) + 1
+    assert int(state2.step) == 2
+
+
+def test_advance_state_max_length_cap():
+    # prompt_len 14 + 2 sampled tokens hits max_length=16
+    state = make_state([14], [[11]])
+    state = dec.advance_state(SPEC, state, jnp.asarray([12]), jnp.asarray([-0.5]))
+    assert bool(state.finished[0])
 
 
 def test_repetition_penalty_penalizes_seen():
-    state = make_state([[50]], [[11]])
+    state = make_state([1], [[11]])
     logits = jnp.ones((1, SPEC.n_vocab), jnp.float32)
     out = np.asarray(
         dec.apply_repetition_penalty(logits, state, jnp.asarray([2.0], jnp.float32))
     )
     assert out[0, 11] == 0.5  # positive logit divided by penalty
-    assert out[0, 50] == 0.5  # prompt token also in window
     assert out[0, 12] == 1.0
+    # token 0 appears in the buffer only as padding (idx >= step): not seen
+    assert out[0, 0] == 1.0

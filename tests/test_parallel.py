@@ -65,8 +65,10 @@ def test_tp_decode_step_matches_single_device(rng):
     cross = wmod.compute_cross_kv(params, CFG, enc)
     kv = wmod.init_self_kv(CFG, 2)
     tok = jnp.asarray([3, 5], jnp.int32)
-    pos = jnp.asarray([0, 0], jnp.int32)
-    ref_logits, _ = wmod.decode_step(params, CFG, tok, pos, kv, cross)
+    pos = jnp.asarray([2, 2], jnp.int32)
+    plen = jnp.asarray([2, 2], jnp.int32)
+    slot = jnp.int32(4)
+    ref_logits, _ = wmod.decode_step(params, CFG, tok, pos, slot, plen, 4, kv, cross)
 
     sh = EngineShardings.create(tp=2)
     sp = jax.device_put(params, sh.param_shardings(params))
@@ -75,7 +77,7 @@ def test_tp_decode_step_matches_single_device(rng):
         enc = wmod.encode(p, CFG, m)
         cross = wmod.compute_cross_kv(p, CFG, enc)
         kv = wmod.init_self_kv(CFG, 2)
-        return wmod.decode_step(p, CFG, tok, pos, kv, cross)[0]
+        return wmod.decode_step(p, CFG, tok, pos, slot, plen, 4, kv, cross)[0]
 
     out = np.asarray(jax.jit(f)(sp, mel, tok, pos))
     np.testing.assert_allclose(out, np.asarray(ref_logits), atol=2e-4, rtol=1e-4)

@@ -1,0 +1,149 @@
+"""REST endpoint over a real aiohttp server with the fake backend."""
+
+import asyncio
+import io
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from whisperlive_tpu.audio.io import write_wav
+from whisperlive_tpu.serving.backends import FakeBackend
+from whisperlive_tpu.serving.rest import start_rest_server
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class RestHarness:
+    def __init__(self, **kwargs):
+        self.port = _free_port()
+        self.kwargs = kwargs
+        self._loop = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+        self._loop.run_until_complete(
+            start_rest_server(FakeBackend(), port=self.port, host="127.0.0.1",
+                              **self.kwargs)
+        )
+        self._loop.run_forever()
+
+    def __enter__(self):
+        self._thread.start()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                with socket.create_connection(("127.0.0.1", self.port), timeout=0.2):
+                    return self
+            except OSError:
+                time.sleep(0.05)
+        raise RuntimeError("REST server did not start")
+
+    def __exit__(self, *exc):
+        if self._loop:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        return False
+
+
+def _multipart(fields, files):
+    boundary = "XloBoundaryX"
+    body = io.BytesIO()
+    for name, value in fields.items():
+        body.write(f"--{boundary}\r\n".encode())
+        body.write(f'Content-Disposition: form-data; name="{name}"\r\n\r\n'.encode())
+        body.write(f"{value}\r\n".encode())
+    for name, (fname, data) in files.items():
+        body.write(f"--{boundary}\r\n".encode())
+        body.write(
+            f'Content-Disposition: form-data; name="{name}"; filename="{fname}"\r\n'.encode()
+        )
+        body.write(b"Content-Type: application/octet-stream\r\n\r\n")
+        body.write(data)
+        body.write(b"\r\n")
+    body.write(f"--{boundary}--\r\n".encode())
+    return body.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def _post(port, fields, files, headers=None):
+    data, ctype = _multipart(fields, files)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/audio/transcriptions", data=data, method="POST"
+    )
+    req.add_header("Content-Type", ctype)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def _wav_bytes(seconds=2.0, seed=0):
+    import tempfile, os
+
+    audio = (0.1 * np.random.default_rng(seed).standard_normal(int(16000 * seconds))).astype(
+        np.float32
+    )
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    write_wav(path, audio)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    return data
+
+
+def test_rest_json_and_formats():
+    with RestHarness() as h:
+        wav = _wav_bytes(2.5)
+        code, body = _post(h.port, {"response_format": "json"}, {"file": ("a.wav", wav)})
+        assert code == 200
+        assert "word0" in json.loads(body)["text"]
+
+        code, body = _post(h.port, {"response_format": "verbose_json"}, {"file": ("a.wav", wav)})
+        data = json.loads(body)
+        assert code == 200 and data["segments"]
+        assert data["duration"] == pytest.approx(2.5, abs=0.1)
+
+        code, body = _post(h.port, {"response_format": "vtt"}, {"file": ("a.wav", wav)})
+        assert code == 200 and body.startswith("WEBVTT")
+
+        code, body = _post(h.port, {"response_format": "nope"}, {"file": ("a.wav", wav)})
+        assert code == 400
+
+
+def test_rest_auth_and_rate_limit():
+    with RestHarness(api_key="k3y", rate_limit_rpm=2) as h:
+        wav = _wav_bytes(1.0)
+        code, _ = _post(h.port, {}, {"file": ("a.wav", wav)})
+        assert code == 401
+        ok = {"Authorization": "Bearer k3y"}
+        assert _post(h.port, {}, {"file": ("a.wav", wav)}, ok)[0] == 200
+        assert _post(h.port, {}, {"file": ("a.wav", wav)}, ok)[0] == 200
+        assert _post(h.port, {}, {"file": ("a.wav", wav)}, ok)[0] == 429
+
+
+def test_rest_known_speakers():
+    with RestHarness() as h:
+        wav = _wav_bytes(3.0)
+        ref = _wav_bytes(1.0, seed=1)
+        code, body = _post(
+            h.port,
+            {"response_format": "verbose_json", "known_speaker_names": "alice"},
+            {"file": ("a.wav", wav), "known_speaker_files": ("alice.wav", ref)},
+        )
+        assert code == 200
+        segs = json.loads(body)["segments"]
+        assert segs and any("speaker" in s for s in segs)

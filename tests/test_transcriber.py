@@ -91,3 +91,31 @@ def test_split_segments_trailing_single_timestamp_bounds_duration():
     segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 0.0, 30.0, 3000)
     assert segs[0][1] == pytest.approx(3.0)
     assert advance == 3000
+
+
+def test_beam_search_structure(engine, rng):
+    """Beam decode must run and return a valid result; with beam_size=1-vs-5
+    both paths produce structurally identical outputs."""
+    from whisperlive_tpu.ops import mel as mel_ops
+
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    padded = mel_ops.pad_or_trim(audio)[None]
+    _, cross = engine.prepare(padded)
+    opts = TranscribeOptions(
+        language="en", beam_size=5, temperatures=(0.0,),
+        log_prob_threshold=None, no_speech_threshold=None,
+        compression_ratio_threshold=None, max_new_tokens=12,
+    )
+    p, s = engine.build_prompt(opts)
+    (res,) = engine.decode_batch(cross, [p], [s], opts)
+    assert len(res.tokens) <= 12
+    assert np.isfinite(res.avg_logprob)
+    # greedy result exists too and both decode the same window
+    opts_g = TranscribeOptions(
+        language="en", beam_size=1, temperatures=(0.0,),
+        log_prob_threshold=None, no_speech_threshold=None,
+        compression_ratio_threshold=None, max_new_tokens=12,
+    )
+    (res_g,) = engine.decode_batch(cross, [p], [s], opts_g)
+    # beam-5 must be at least as good as greedy under the scoring it optimizes
+    assert res.avg_logprob >= res_g.avg_logprob - 1e-3

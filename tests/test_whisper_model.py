@@ -92,7 +92,9 @@ def test_decoder_prefill_and_step_parity(rng, hf_model, converted):
         )
         ref_logits = out.logits.numpy()  # [B, T, V]
 
-    # Ours: encode once, prefill per-item prompts, then step one-by-one.
+    # Ours: encode once, prefill per-item prompts, then lockstep steps —
+    # the cache uses batch-uniform slots, per-item positions live only in
+    # the mask/pos-embedding.
     enc = wmod.encode(params, cfg, jnp.asarray(mel))
     cross_kv = wmod.compute_cross_kv(params, cfg, enc)
     self_kv = wmod.init_self_kv(cfg, b)
@@ -109,19 +111,21 @@ def test_decoder_prefill_and_step_parity(rng, hf_model, converted):
             np.asarray(last_logits)[i], ref_logits[i, pl - 1], atol=2e-3, rtol=1e-3
         )
 
-    # Autoregressive steps: feed the oracle's ground-truth next tokens and
-    # compare logits at every per-item position until total_len.
-    cur = prompt_lens.copy()
-    for _ in range(total_len - int(prompt_lens.max()) - 1):
+    # Lockstep autoregressive steps: item i's step-s token is the oracle's
+    # ground-truth token at logical position prompt_len[i] + s; compare
+    # logits at that position.
+    prompt_len_j = jnp.asarray(prompt_lens)
+    for s in range(total_len - int(prompt_lens.max()) - 1):
+        cur = prompt_lens + s
         tok = jnp.asarray(tokens[np.arange(b), cur])
         logits, self_kv = wmod.decode_step(
-            params, cfg, tok, jnp.asarray(cur), self_kv, cross_kv
+            params, cfg, tok, jnp.asarray(cur), jnp.int32(pmax + s),
+            prompt_len_j, pmax, self_kv, cross_kv,
         )
         for i in range(b):
             np.testing.assert_allclose(
                 np.asarray(logits)[i], ref_logits[i, cur[i]], atol=2e-3, rtol=1e-3
             )
-        cur = cur + 1
 
 
 def test_cross_attn_shapes(rng, converted):
@@ -147,3 +151,28 @@ def test_init_params_structure_matches_convert(hf_model, converted):
     assert ref_tree == rand_tree
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rand)):
         assert a.shape == b.shape, (a.shape, b.shape)
+
+
+def test_int8_cross_kv_close_to_bf16(rng, converted):
+    """int8 cross-KV with per-channel scales must track the f32 path."""
+    import jax
+
+    from whisperlive_tpu.models import whisper as wmod
+
+    cfg, params = converted
+    mel = _rand_mel(rng, cfg, 1)
+    enc = wmod.encode(params, cfg, jnp.asarray(mel))
+    cross = wmod.compute_cross_kv(params, cfg, enc)
+    crossq = wmod.quantize_cross_kv(cross)
+    assert crossq["kv"].dtype == jnp.int8
+
+    kv = wmod.init_self_kv(cfg, 1)
+    tok = jnp.asarray([5], jnp.int32)
+    pos = jnp.asarray([1], jnp.int32)
+    plen = jnp.asarray([1], jnp.int32)
+    ref, _ = wmod.decode_step(params, cfg, tok, pos, jnp.int32(4), plen, 4, kv, cross)
+    out, _ = wmod.decode_step(params, cfg, tok, pos, jnp.int32(4), plen, 4, kv, crossq)
+    ref, out = np.asarray(ref), np.asarray(out)
+    # logits track closely in absolute terms and argmax agrees
+    assert np.abs(ref - out).max() < 0.1
+    assert ref.argmax() == out.argmax()

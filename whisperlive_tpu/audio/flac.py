@@ -186,7 +186,22 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
 
 
 def read_flac_bytes(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a FLAC stream -> (float32 mono audio in [-1,1], sample_rate)."""
+    """Decode a FLAC stream -> (float32 mono audio in [-1,1], sample_rate).
+
+    Uses the wl_native C++ decoder when built (csrc/, ~100x faster on one
+    core); this pure-Python implementation is the verified fallback.
+    """
+    try:
+        import wl_native
+
+        pcm_bytes, sr = wl_native.decode_flac(data)
+        return np.frombuffer(pcm_bytes, np.float32).copy(), sr
+    except ImportError:
+        pass
+    return _read_flac_bytes_py(data)
+
+
+def _read_flac_bytes_py(data: bytes) -> tuple[np.ndarray, int]:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4

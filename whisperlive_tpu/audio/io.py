@@ -23,7 +23,12 @@ def bytes_to_float_array(data: bytes, audio_format: str = "float32") -> np.ndarr
     if audio_format == "float32":
         return np.frombuffer(data, np.float32).copy()
     if audio_format == "int16":
-        return (np.frombuffer(data, np.int16).astype(np.float32) / 32768.0)
+        try:
+            import wl_native
+
+            return np.frombuffer(wl_native.int16_to_float32(data), np.float32).copy()
+        except ImportError:
+            return np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
     if audio_format == "uint8":
         return (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
     raise ValueError(f"unsupported audio_format: {audio_format!r}")

@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Override engine compute dtype.")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel degree over the local device mesh.")
+    parser.add_argument("--no_warmup", action="store_true",
+                        help="Skip compiling the serving programs at startup.")
     parser.add_argument("--compilation_cache", type=str,
                         default="~/.cache/whisper-live-tpu/xla-cache",
                         help="Persistent XLA compilation cache dir ('' to disable).")
@@ -136,6 +138,8 @@ def create_backend(args):
 
     engine = WhisperEngine(cfg, params, tokenizer=tokenizer,
                            compute_dtype=compute_dtype, shardings=shardings)
+    if not args.no_warmup:
+        engine.warmup(batch_sizes={1, args.batch_max_size})
     scheduler = BatchScheduler(
         engine,
         max_batch_size=args.batch_max_size,

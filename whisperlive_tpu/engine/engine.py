@@ -74,7 +74,8 @@ class TranscribeOptions:
     word_timestamps: bool = False
     repetition_penalty: float = 1.0
     max_new_tokens: int | None = None
-    beam_size: int = 1  # greedy; batched beam search lands in a later round
+    beam_size: int = 1  # >1 runs the batched beam-search program (T=0)
+    length_penalty: float = 1.0
 
 
 @dataclasses.dataclass
@@ -122,10 +123,11 @@ class WhisperEngine:
         prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
         shardings: "Any | None" = None,
     ):
+        platform = jax.devices()[0].platform
+        on_tpu = platform in ("tpu", "axon")
         if compute_dtype is None:
-            platform = jax.devices()[0].platform
-            compute_dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
-        self.cfg = cfg.replace(dtype=compute_dtype)
+            compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        self.cfg = cfg.replace(dtype=compute_dtype, fused_encoder_attention=on_tpu)
         self.tokenizer = tokenizer or WhisperTokenizer(
             TokenSpec(cfg.n_vocab, multilingual=cfg.n_vocab >= 51865)
         )
@@ -139,7 +141,13 @@ class WhisperEngine:
         )
         self.batch_buckets = tuple(batch_buckets)
         self.prompt_buckets = tuple(p for p in prompt_buckets if p <= cfg.n_text_ctx)
+        # generation-budget buckets (tokens) -> static KV cache lengths
+        self.gen_buckets = (128, 256, cfg.n_text_ctx)
         self._shardings = shardings
+        # int8 cross-KV: halves the dominant decode HBM traffic term; the
+        # per-channel dequant folds into the attention matmuls. Auto-on for
+        # TPU serving, off on CPU (tests compare against f32 oracles).
+        self.cross_kv_int8 = on_tpu
         if shardings is not None:
             params = jax.device_put(params, shardings.param_shardings(params))
         self.params = wmod.cast_params(params, compute_dtype)
@@ -149,14 +157,22 @@ class WhisperEngine:
         cfgc = self.cfg
         spec = self.spec
 
+        quantize = self.cross_kv_int8
+
         def _prepare(params, audio):
             melspec = mel_ops.log_mel_spectrogram(audio, n_mels=cfgc.n_mels)
             enc = wmod.encode(params, cfgc, melspec)
-            return enc, wmod.compute_cross_kv(params, cfgc, enc)
+            cross = wmod.compute_cross_kv(params, cfgc, enc)
+            if quantize:
+                cross = wmod.quantize_cross_kv(cross)
+            return enc, cross
 
         def _prepare_mel(params, melspec):
             enc = wmod.encode(params, cfgc, melspec)
-            return enc, wmod.compute_cross_kv(params, cfgc, enc)
+            cross = wmod.compute_cross_kv(params, cfgc, enc)
+            if quantize:
+                cross = wmod.quantize_cross_kv(cross)
+            return enc, cross
 
         def _decode(
             params,
@@ -170,17 +186,18 @@ class WhisperEngine:
             rep_penalty,  # [B] f32
             max_new,  # [] int32 — cap on sampled tokens
             key,
+            cache_len: int = 0,  # static: KV slots (prompt_pad + gen budget)
         ):
-            b = prompts.shape[0]
-            self_kv = wmod.init_self_kv(cfgc, b)
-            state = dec.init_sampler_state(spec, prompts, prompt_len)
+            b, prompt_pad = prompts.shape
+            cache_len = cache_len or cfgc.n_text_ctx
+            max_gen = cache_len - prompt_pad  # static gen-slot budget
+            self_kv = wmod.init_self_kv(cfgc, b, cache_len)
+            state = dec.init_sampler_state(spec, prompt_len, max_gen)
             last_logits, sot_logits, self_kv = wmod.decode_prefill(
                 params, cfgc, prompts, prompt_len, self_kv, cross_kv, sot_idx=sot_idx
             )
             no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
-            stop_len = jnp.minimum(
-                state.sample_begin + max_new, spec.max_length
-            )  # [B]
+            max_steps = jnp.minimum(max_new, max_gen)
 
             def cond(carry):
                 state, *_ = carry
@@ -194,13 +211,15 @@ class WhisperEngine:
                 )
                 filtered = dec.apply_repetition_penalty(filtered, state, rep_penalty)
                 next_tok, lp = dec.sample_next(filtered, temperature, sub)
-                write_pos = state.cur_len  # position the token lands at
+                slot = prompt_pad + state.step  # batch-uniform cache slot
+                pos = state.prompt_len + state.step  # per-item logical pos
                 state = dec.advance_state(spec, state, next_tok, lp)
                 state = state._replace(
-                    finished=state.finished | (state.cur_len >= stop_len)
+                    finished=state.finished | (state.step >= max_steps)
                 )
                 logits, self_kv = wmod.decode_step(
-                    params, cfgc, next_tok, write_pos, self_kv, cross_kv
+                    params, cfgc, next_tok, pos, slot, prompt_len, prompt_pad,
+                    self_kv, cross_kv,
                 )
                 return state, self_kv, logits, key
 
@@ -208,15 +227,133 @@ class WhisperEngine:
                 cond, body, (state, self_kv, last_logits, key)
             )
             return (
-                state.tokens,
-                state.cur_len,
-                state.sample_begin,
+                state.sampled,
+                state.gen_len,
                 state.sum_logprob,
                 no_speech_prob,
             )
 
+        def _decode_beam(
+            params,
+            cross_kv,
+            prompts,  # [B, P]
+            prompt_len,  # [B]
+            sot_idx,  # [B]
+            suppress_mask,  # [V]
+            ts_enabled,  # [B]
+            rep_penalty,  # [B]
+            max_new,  # []
+            beam_size: int,  # static
+            length_penalty,  # [] f32
+            cache_len_: int = 0,  # static
+        ):
+            """Batched beam search (T=0; reference default beam_size=5,
+            transcriber_faster_whisper.py:1394-1407). B items x K beams are
+            flattened to a BK batch; each step expands BK x V candidates,
+            keeps the top K per item, and REORDERS the self-KV cache by the
+            surviving beams' parent indices (a batch-dim gather). Finished
+            beams freeze their score and only propose EOT."""
+            b, prompt_pad = prompts.shape
+            k = beam_size
+            bk = b * k
+            cache_len = cache_len_ or cfgc.n_text_ctx
+            max_gen = cache_len - prompt_pad
+
+            # Prefill at B, then tile everything beam-major to BK.
+            self_kv0 = wmod.init_self_kv(cfgc, b, cache_len)
+            last_logits, sot_logits, self_kv0 = wmod.decode_prefill(
+                params, cfgc, prompts, prompt_len, self_kv0, cross_kv,
+                sot_idx=sot_idx,
+            )
+            no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
+
+            def tile(x, axis):
+                return jnp.repeat(x, k, axis=axis)
+
+            self_kv = tile(self_kv0, 2)
+            cross_bk = jax.tree.map(lambda a: tile(a, 2), cross_kv)
+            prompt_len_bk = tile(prompt_len, 0)
+            ts_enabled_bk = tile(ts_enabled, 0)
+            rep_bk = tile(rep_penalty, 0)
+            logits = tile(last_logits, 0)  # [BK, V]
+
+            state = dec.init_sampler_state(spec, prompt_len_bk, max_gen)
+            sum_lp = jnp.zeros((bk,), jnp.float32)
+            # Kill duplicate beams at step 0 so topk picks K distinct tokens
+            # from beam 0 of each item.
+            beam_rank = jnp.tile(jnp.arange(k), b)  # [BK]
+            dup_penalty0 = jnp.where(beam_rank == 0, 0.0, dec.NEG_INF)
+            max_steps = jnp.minimum(max_new, max_gen)
+            v = cfgc.n_vocab
+
+            def cond(carry):
+                state, *_ = carry
+                return ~jnp.all(state.finished)
+
+            def body(carry):
+                state, self_kv, logits, sum_lp = carry
+                filtered = dec.apply_logit_rules(
+                    spec, logits, state, suppress_mask, ts_enabled_bk
+                )
+                filtered = dec.apply_repetition_penalty(filtered, state, rep_bk)
+                lp = jax.nn.log_softmax(filtered, axis=-1)  # [BK, V]
+                # finished beams: freeze — only EOT with unchanged score
+                eot_only = jnp.full((bk, v), dec.NEG_INF).at[:, spec.eot].set(0.0)
+                lp = jnp.where(state.finished[:, None], eot_only, lp)
+                cand = sum_lp[:, None] + lp  # [BK, V]
+                cand = cand + jnp.where(
+                    state.step == 0, dup_penalty0, 0.0
+                )[:, None]
+                cand = cand.reshape(b, k * v)
+                top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, K]
+                parent = top_idx // v + (jnp.arange(b) * k)[:, None]  # [B,K] -> BK ids
+                parent = parent.reshape(bk)
+                next_tok = (top_idx % v).reshape(bk).astype(jnp.int32)
+                new_sum = top_scores.reshape(bk)
+
+                # Reorder per-beam state by parent.
+                state = dec.SamplerState(
+                    sampled=state.sampled[parent],
+                    step=state.step,
+                    prompt_len=state.prompt_len,
+                    gen_len=state.gen_len[parent],
+                    last_ts=state.last_ts[parent],
+                    finished=state.finished[parent],
+                    sum_logprob=state.sum_logprob[parent],
+                )
+                self_kv = jnp.take(self_kv, parent, axis=2)
+                tok_lp = new_sum - sum_lp[parent]
+                sum_lp = new_sum
+
+                slot = prompt_pad + state.step
+                pos = state.prompt_len + state.step
+                state = dec.advance_state(spec, state, next_tok, tok_lp)
+                state = state._replace(
+                    finished=state.finished | (state.step >= max_steps)
+                )
+                logits, self_kv = wmod.decode_step(
+                    params, cfgc, next_tok, pos, slot, prompt_len_bk, prompt_pad,
+                    self_kv, cross_bk,
+                )
+                return state, self_kv, logits, sum_lp
+
+            state, _, _, sum_lp = jax.lax.while_loop(
+                cond, body, (state, self_kv, logits, sum_lp)
+            )
+            # Pick the best beam per item by length-penalized score
+            # (CTranslate2 convention: sum / len^penalty).
+            lengths = jnp.maximum(state.gen_len.astype(jnp.float32), 1.0)
+            score = state.sum_logprob / (lengths**length_penalty)
+            best = jnp.argmax(score.reshape(b, k), axis=1) + jnp.arange(b) * k
+            return (
+                state.sampled[best],
+                state.gen_len[best],
+                state.sum_logprob[best],
+                no_speech_prob,
+            )
+
         def _detect(params, cross_kv):
-            b = cross_kv.shape[2]
+            b = cross_kv["kv"].shape[2]
             self_kv = wmod.init_self_kv(cfgc, b)
             sot = jnp.full((b, 1), spec.eot + 1, jnp.int32)  # <|sot|>
             ones = jnp.ones((b,), jnp.int32)
@@ -234,7 +371,8 @@ class WhisperEngine:
 
         self._prepare_fn = jax.jit(_prepare)
         self._prepare_mel_fn = jax.jit(_prepare_mel)
-        self._decode_fn = jax.jit(_decode)
+        self._decode_fn = jax.jit(_decode, static_argnums=(11,))
+        self._decode_beam_fn = jax.jit(_decode_beam, static_argnums=(9, 11))
         self._detect_fn = jax.jit(_detect)
         self._align_fn = jax.jit(_align)
 
@@ -306,6 +444,36 @@ class WhisperEngine:
     # public API
     # ------------------------------------------------------------------
 
+    def warmup(
+        self,
+        batch_sizes: Sequence[int] | None = None,
+        options: TranscribeOptions | None = None,
+        detect: bool = True,
+    ) -> None:
+        """Compile the serving programs before traffic arrives.
+
+        The reference warms its TensorRT engines at startup
+        (trt_backend.py:101-111); here a cold XLA compile of the decode
+        program can take minutes, so the server compiles prepare/detect/
+        decode for the configured buckets before accepting connections.
+        """
+        from whisperlive_tpu.serving.backends import transcribe_options_from_session
+        from whisperlive_tpu.serving.session import SessionOptions
+
+        if options is None:
+            options = transcribe_options_from_session(SessionOptions())
+        if batch_sizes is None:
+            batch_sizes = {self.batch_buckets[0], self.batch_buckets[-1]}
+        for b in sorted(set(batch_sizes)):
+            logger.info("warmup: compiling programs for batch=%d", b)
+            audio = np.zeros((b, mel_ops.N_SAMPLES), np.float32)
+            _, cross = self.prepare(audio)
+            if detect and self.tokenizer.spec.multilingual:
+                self.detect_language_from_cross(cross)
+            prompt, sot = self.build_prompt(options, language="en")
+            self.decode_batch(cross, [prompt] * b, [sot] * b, options)
+        logger.info("warmup complete")
+
     def prepare(self, audio: np.ndarray):
         """audio [B, N_SAMPLES] f32 -> (enc, cross_kv) on device."""
         with self._lock:
@@ -336,7 +504,7 @@ class WhisperEngine:
     ) -> list[DecodeResult]:
         """One decode pass over a prepared batch. cross_kv batch dim must
         equal len(prompts) (already padded to a bucket)."""
-        b = cross_kv.shape[2]
+        b = cross_kv["kv"].shape[2]
         assert len(prompts) <= b
         n_real = len(prompts)
         prompts = list(prompts) + [[self.spec.eot + 1]] * (b - n_real)
@@ -349,34 +517,58 @@ class WhisperEngine:
             list(temperatures) + [0.0] * (b - n_real), np.float32
         )
         prompt_arr, prompt_len = self._pad_prompts(prompts)
-        max_new = np.int32(
+        prompt_pad = prompt_arr.shape[1]
+        requested = (
             options.max_new_tokens
             if options.max_new_tokens is not None
             else self.cfg.n_text_ctx
         )
+        max_new = np.int32(requested)
+        # Static cache length bucket: the self-KV cache is fully re-read
+        # every step, so size it to the generation budget, not the 448 max.
+        cache_len = prompt_pad + _bucket(
+            min(requested, self.cfg.n_text_ctx), self.gen_buckets
+        )
+        cache_len = min(cache_len, self.cfg.n_text_ctx)
+        common_args = (
+            self.params,
+            cross_kv,
+            jnp.asarray(prompt_arr),
+            jnp.asarray(prompt_len),
+            jnp.asarray(sot_idx),
+            self.suppress_mask_for(options),
+            jnp.asarray(~np.full((b,), options.without_timestamps)),
+        )
+        # Beam search runs at T=0 only; fallback re-decodes at T>0 switch to
+        # sampling (same policy as whisper's beam->sampling escalation).
+        use_beam = options.beam_size > 1 and all(t == 0.0 for t in temps)
         with self._lock:
-            tokens, cur_len, sample_begin, sum_lp, ns_prob = self._decode_fn(
-                self.params,
-                cross_kv,
-                jnp.asarray(prompt_arr),
-                jnp.asarray(prompt_len),
-                jnp.asarray(sot_idx),
-                self.suppress_mask_for(options),
-                jnp.asarray(~np.full((b,), options.without_timestamps)),
-                jnp.asarray(temps),
-                jnp.full((b,), options.repetition_penalty, np.float32),
-                max_new,
-                jax.random.PRNGKey(seed),
-            )
+            if use_beam:
+                tokens, gen_len, sum_lp, ns_prob = self._decode_beam_fn(
+                    *common_args,
+                    jnp.full((b,), options.repetition_penalty, np.float32),
+                    max_new,
+                    options.beam_size,
+                    jnp.float32(getattr(options, "length_penalty", 1.0)),
+                    cache_len,
+                )
+            else:
+                tokens, gen_len, sum_lp, ns_prob = self._decode_fn(
+                    *common_args,
+                    jnp.asarray(temps),
+                    jnp.full((b,), options.repetition_penalty, np.float32),
+                    max_new,
+                    jax.random.PRNGKey(seed),
+                    cache_len,
+                )
         tokens = np.asarray(tokens)
-        cur_len = np.asarray(cur_len)
-        sample_begin = np.asarray(sample_begin)
+        gen_len = np.asarray(gen_len)
         sum_lp = np.asarray(sum_lp)
         ns_prob = np.asarray(ns_prob)
 
         results = []
         for i in range(n_real):
-            sampled = tokens[i, sample_begin[i] : cur_len[i]]
+            sampled = tokens[i, : gen_len[i]]
             ended_with_eot = len(sampled) > 0 and sampled[-1] == self.spec.eot
             text_tokens = sampled[:-1] if ended_with_eot else sampled
             # whisper convention: avg over len(tokens)+1 (the +1 is EOT)
@@ -417,7 +609,9 @@ class WhisperEngine:
         pmax = _bucket(len(seq), self.prompt_buckets)
         arr = np.zeros((1, pmax), np.int32)
         arr[0, : len(seq)] = seq[:pmax]
-        sub_cross = jnp.take(cross_kv, jnp.asarray([item_index]), axis=2)
+        sub_cross = jax.tree.map(
+            lambda a: jnp.take(a, jnp.asarray([item_index]), axis=2), cross_kv
+        )
         with self._lock:
             logits, cross = self._align_fn(
                 self.params, sub_cross, jnp.asarray(arr),
@@ -501,7 +695,8 @@ class WhisperEngine:
             # garbage that is simply dropped).
             bucket = _bucket(len(pending), self.batch_buckets)
             gather_idx = (pending + [pending[-1]] * bucket)[:bucket]
-            sub_cross = jnp.take(cross_kv, jnp.asarray(gather_idx, np.int32), axis=2)
+            idx = jnp.asarray(gather_idx, np.int32)
+            sub_cross = jax.tree.map(lambda a: jnp.take(a, idx, axis=2), cross_kv)
             sub_prompts = [prompts[item] for item in pending]
             sub_sot = [sot_indices[item] for item in pending]
         return [r for r in results if r is not None]

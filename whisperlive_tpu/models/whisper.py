@@ -49,6 +49,9 @@ class WhisperConfig:
     n_text_layer: int = 4
     # Compute dtype for matmuls; params stay in param dtype.
     dtype: Any = jnp.float32
+    # Fused Pallas attention for the encoder (set on TPU; the naive path
+    # materializes [B, H, 1500, 1500] f32 scores and is ~19x off roofline).
+    fused_encoder_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -258,8 +261,17 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     x = x + p["pos"].astype(cfg.dtype)
 
     def block(x, lp):
-        h, _, _ = _self_attn_full(_layer_norm(x, lp["attn_ln"]), lp["attn"], cfg.n_audio_head, None)
-        x = x + h
+        h = _layer_norm(x, lp["attn_ln"])
+        if cfg.fused_encoder_attention:
+            from whisperlive_tpu.ops.attention import fused_attention
+
+            q = _split_heads(_linear(h, lp["attn"]["q"]), cfg.n_audio_head)
+            k = _split_heads(_linear(h, lp["attn"]["k"]), cfg.n_audio_head)
+            v = _split_heads(_linear(h, lp["attn"]["v"]), cfg.n_audio_head)
+            attn = _linear(_merge_heads(fused_attention(q, k, v)), lp["attn"]["o"])
+        else:
+            attn, _, _ = _self_attn_full(h, lp["attn"], cfg.n_audio_head, None)
+        x = x + attn
         x = x + _mlp(_layer_norm(x, lp["mlp_ln"]), lp["mlp"])
         return x, None
 
@@ -272,11 +284,15 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def compute_cross_kv(params: Params, cfg: WhisperConfig, enc: jax.Array) -> jax.Array:
+def compute_cross_kv(params: Params, cfg: WhisperConfig, enc: jax.Array) -> Params:
     """Precompute per-layer cross-attention K,V from encoder output.
 
-    Done once per window; every subsequent decode step reads it. Shape:
-    [L, 2, B, n_audio_ctx, H, hd].
+    Done once per window; every subsequent decode step reads ALL of it —
+    at B=8 on large-v3 that is ~4 GB of HBM traffic per sampled token, the
+    single largest term in the decode roofline. Returned as a pytree
+    {"kv": [L, 2, B, n_audio_ctx, H, hd], "scale": None}; pass through
+    `quantize_cross_kv` to store it int8 with per-channel scales (halves
+    the traffic; the dequant folds into the attention matmuls).
     """
 
     def one_layer(_, lp):
@@ -286,47 +302,88 @@ def compute_cross_kv(params: Params, cfg: WhisperConfig, enc: jax.Array) -> jax.
         return None, jnp.stack([k, v])
 
     _, kv = jax.lax.scan(one_layer, None, params["decoder"]["layers"])
-    return kv
+    return {"kv": kv, "scale": None}
 
 
-def init_self_kv(cfg: WhisperConfig, batch: int) -> jax.Array:
-    """Zeroed self-attention KV cache [L, 2, B, n_text_ctx, H, hd]."""
+def quantize_cross_kv(cross_kv: Params) -> Params:
+    """bf16 cross-KV -> int8 with per-(layer, k/v, batch, head, channel)
+    scales over the position axis."""
+    kv = cross_kv["kv"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kv), axis=3, keepdims=True)  # [L,2,B,1,H,hd]
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(kv / scale), -127, 127).astype(jnp.int8)
+    return {"kv": q, "scale": scale.astype(jnp.bfloat16)}
+
+
+def _cross_attend(qc, ckv, dtype, collect_probs=False):
+    """Cross-attention against one layer's (possibly int8) KV slice.
+
+    qc: [B, Tq, H, hd]; ckv: {"kv": [2, B, T, H, hd], "scale": optional
+    [2, B, 1, H, hd]}. Per-channel scales fold into q (for K) and into the
+    output (for V), so the int8 arrays feed the MXU directly.
+    """
+    k, v = ckv["kv"][0], ckv["kv"][1]
+    scale = ckv.get("scale")
+    if scale is not None:
+        qc = qc * scale[0][:, 0][:, None].astype(qc.dtype)  # [B,1,H,hd]
+    out, probs = _attention(qc, k.astype(dtype), v.astype(dtype), None)
+    if scale is not None:
+        out = out * scale[1][:, 0][:, None].astype(out.dtype)
+    if collect_probs:
+        return out, probs
+    return out, None
+
+
+def init_self_kv(cfg: WhisperConfig, batch: int, cache_len: int | None = None) -> jax.Array:
+    """Zeroed self-attention KV cache [L, 2, B, cache_len, H, hd].
+
+    cache_len defaults to the architectural max (n_text_ctx=448) but
+    serving sizes it to prompt_pad + generation budget — the cache is fully
+    re-read every decode step, so a 144-slot cache costs 1/3 the HBM
+    traffic of a 448-slot one.
+    """
+    if cache_len is None:
+        cache_len = cfg.n_text_ctx
     return jnp.zeros(
-        (cfg.n_text_layer, 2, batch, cfg.n_text_ctx, cfg.n_text_head, cfg.head_dim),
+        (cfg.n_text_layer, 2, batch, cache_len, cfg.n_text_head, cfg.head_dim),
         cfg.dtype,
     )
 
 
-def _decoder_block_step(x, lp, self_kv, cross_kv, pos_idx, n_head, cache_len):
+def _decoder_block_step(x, lp, self_kv, cross_kv, slot_start, attn_mask, n_head):
     """One decoder layer for Tq query tokens given caches.
 
-    x: [B, Tq, d]; self_kv: [2, B, C, H, hd]; cross_kv: [2, B, Tenc, H, hd];
-    pos_idx: [B, Tq] absolute positions of the query tokens (for causal mask
-    and cache writes). Returns (x, updated self_kv, cross-attn probs).
-    """
-    b, tq, d = x.shape
+    TPU-critical layout decision: new K/V land at a batch-UNIFORM cache slot
+    (`slot_start`, a scalar) via `dynamic_update_slice` — never a per-item
+    scatter, which lowers to a slow generic TPU scatter. Per-item prompt
+    lengths are expressed purely through `attn_mask` (and the position
+    embeddings chosen by the caller), not through the cache layout.
 
-    # Self-attention with cache write at per-item positions.
+    x: [B, Tq, d]; self_kv: [2, B, C, H, hd]; cross_kv: [2, B, Tenc, H, hd];
+    attn_mask: broadcastable to [B, 1, Tq, C]. Returns
+    (x, updated self_kv, cross-attn probs).
+    """
+    # Self-attention with a uniform-slot cache write.
     h = _layer_norm(x, lp["attn_ln"])
     q = _split_heads(_linear(h, lp["attn"]["q"]), n_head)
     k_new = _split_heads(_linear(h, lp["attn"]["k"]), n_head)
     v_new = _split_heads(_linear(h, lp["attn"]["v"]), n_head)
 
-    # Scatter new K,V into the cache at (batch, pos_idx).
-    bidx = jnp.arange(b)[:, None]
-    k_cache = self_kv[0].at[bidx, pos_idx].set(k_new)
-    v_cache = self_kv[1].at[bidx, pos_idx].set(v_new)
+    zero = jnp.zeros((), jnp.int32)
+    k_cache = jax.lax.dynamic_update_slice(
+        self_kv[0], k_new, (zero, slot_start, zero, zero)
+    )
+    v_cache = jax.lax.dynamic_update_slice(
+        self_kv[1], v_new, (zero, slot_start, zero, zero)
+    )
 
-    # Mask: query at abs position p attends to cache slots <= p.
-    slot = jnp.arange(cache_len)[None, None, None, :]  # [1,1,1,C]
-    mask = slot <= pos_idx[:, None, :, None]  # [B,1,Tq,C]
-    attn_out, _ = _attention(q, k_cache, v_cache, mask)
+    attn_out, _ = _attention(q, k_cache, v_cache, attn_mask)
     x = x + _linear(_merge_heads(attn_out), lp["attn"]["o"])
 
     # Cross-attention (full encoder context, no mask).
     h = _layer_norm(x, lp["cross_attn_ln"])
     qc = _split_heads(_linear(h, lp["cross_attn"]["q"]), n_head)
-    cross_out, cross_probs = _attention(qc, cross_kv[0], cross_kv[1], None)
+    cross_out, cross_probs = _cross_attend(qc, cross_kv, x.dtype, collect_probs=True)
     x = x + _linear(_merge_heads(cross_out), lp["cross_attn"]["o"])
 
     x = x + _mlp(_layer_norm(x, lp["mlp_ln"]), lp["mlp"])
@@ -337,7 +394,9 @@ def _decoder_forward(
     params: Params,
     cfg: WhisperConfig,
     tokens: jax.Array,  # [B, Tq] int32
-    pos_idx: jax.Array,  # [B, Tq] absolute positions
+    pos_idx: jax.Array,  # [B, Tq] logical positions (for position embedding)
+    slot_start,  # scalar: cache slot where these Tq tokens are written
+    attn_mask: jax.Array,  # broadcastable to [B, 1, Tq, C]
     self_kv: jax.Array,  # [L, 2, B, C, H, hd]
     cross_kv: jax.Array,  # [L, 2, B, Tenc, H, hd]
     collect_cross_attn: bool = False,
@@ -349,7 +408,7 @@ def _decoder_forward(
     def block(x, layer):
         lp, skv, ckv = layer
         x, new_skv, cross_probs = _decoder_block_step(
-            x, lp, skv, ckv, pos_idx, cfg.n_text_head, cfg.n_text_ctx
+            x, lp, skv, ckv, slot_start, attn_mask, cfg.n_text_head
         )
         out = (new_skv, cross_probs) if collect_cross_attn else (new_skv, None)
         return x, out
@@ -362,12 +421,14 @@ def _decoder_forward(
 
 
 def _project_logits(params: Params, x: jax.Array) -> jax.Array:
-    """Hidden states -> f32 logits via the tied token embedding."""
+    """Hidden states -> f32 logits via the tied token embedding.
+
+    Operands stay in compute dtype (MXU multiplies bf16 natively with f32
+    accumulation); casting the whole embedding to f32 per decode step costs
+    ~0.5 GB of HBM traffic on large-v3.
+    """
     embed = params["decoder"]["embed"]
-    return jnp.dot(
-        x.astype(jnp.float32), embed.T.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    return jnp.dot(x, embed.T.astype(x.dtype), preferred_element_type=jnp.float32)
 
 
 def decode_prefill(
@@ -381,10 +442,11 @@ def decode_prefill(
 ):
     """Teacher-forced pass over right-padded prompts.
 
-    Positions run 0..P-1 for every item; padded tail slots beyond
-    prompt_len[b] write garbage K,V at positions >= prompt_len which are
-    later OVERWRITTEN by the autoregressive loop (write pointer starts at
-    prompt_len), so no masking of the tail is needed.
+    Prompts occupy cache slots [0, P) for every item; pad-slot K/V beyond
+    prompt_len[b] is garbage but is excluded from all later attention by
+    the step mask (generation slots start at P — see decode_step). The
+    prefill causal mask is batch-uniform (j <= i), so pad queries only ever
+    read real-or-earlier-pad slots and their outputs are simply not used.
 
     Returns (last_logits [B, V] at position prompt_len-1, new self_kv), or —
     when `sot_idx` is given — (last_logits, sot_logits, new self_kv) where
@@ -393,7 +455,14 @@ def decode_prefill(
     """
     b, pmax = tokens.shape
     pos_idx = jnp.broadcast_to(jnp.arange(pmax)[None, :], (b, pmax))
-    x, new_kv, _ = _decoder_forward(params, cfg, tokens, pos_idx, self_kv, cross_kv)
+    c = self_kv.shape[3]
+    causal = (
+        jnp.arange(c)[None, :] <= jnp.arange(pmax)[:, None]
+    )[None, None]  # [1, 1, P, C]
+    x, new_kv, _ = _decoder_forward(
+        params, cfg, tokens, pos_idx, jnp.zeros((), jnp.int32), causal,
+        self_kv, cross_kv,
+    )
     # Project only the needed positions — avoids a [B, P, V] f32 buffer.
     last_hidden = x[jnp.arange(b), jnp.maximum(prompt_len - 1, 0)]
     last_logits = _project_logits(params, last_hidden)
@@ -407,14 +476,84 @@ def decode_step(
     params: Params,
     cfg: WhisperConfig,
     token: jax.Array,  # [B] current token ids
-    pos: jax.Array,  # [B] absolute position of `token`
+    pos: jax.Array,  # [B] logical position of `token` (prompt_len + step)
+    slot,  # scalar int32: uniform cache slot = prompt_pad + step
+    prompt_len: jax.Array,  # [B] true prompt lengths
+    prompt_pad: int,  # static: padded prompt length P (gen slots start here)
     self_kv: jax.Array,
     cross_kv: jax.Array,
 ):
-    """Single autoregressive step. Returns (logits [B, V], new self_kv)."""
-    x, new_kv, _ = _decoder_forward(
-        params, cfg, token[:, None], pos[:, None], self_kv, cross_kv
+    """Single autoregressive step with a batch-uniform cache slot.
+
+    Valid cache slots for item b at this step: [0, prompt_len[b]) — the real
+    prompt — plus [P, slot] — the generated tokens (uniform across items
+    because every item samples in lockstep). Returns (logits [B, V], kv).
+    """
+    p = params["decoder"]
+    embed = p["embed"].astype(cfg.dtype)
+    x = (
+        embed[token[:, None]]
+        + p["pos"].astype(cfg.dtype)[jnp.clip(pos[:, None], 0, cfg.n_text_ctx - 1)]
+    )  # [B, 1, d]
+
+    c = self_kv.shape[3]
+    j = jnp.arange(c)[None, :]  # [1, C]
+    # slots strictly before the current one; the current token attends
+    # itself via the separate `new` score column below.
+    mask = (j < prompt_len[:, None]) | ((j >= prompt_pad) & (j < slot))
+    mask = mask[:, None, None, :]  # [B, 1, 1, C]
+    n_head = cfg.n_text_head
+
+    def block(carry, layer):
+        x, kv = carry
+        l_idx, lp, ckv = layer
+        skv = jax.lax.dynamic_index_in_dim(kv, l_idx, 0, keepdims=False)
+
+        # Self-attention over (read-only cache) ++ (this step's K/V): the
+        # cache is never copied — only the one new slot is written back.
+        h = _layer_norm(x, lp["attn_ln"])
+        q = _split_heads(_linear(h, lp["attn"]["q"]), n_head)  # [B,1,H,hd]
+        k_new = _split_heads(_linear(h, lp["attn"]["k"]), n_head)
+        v_new = _split_heads(_linear(h, lp["attn"]["v"]), n_head)
+
+        hd = q.shape[-1]
+        sc_cache = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, skv[0], preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        sc_cache = jnp.where(mask, sc_cache, jnp.finfo(jnp.float32).min)
+        sc_new = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_new, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        scores = jnp.concatenate([sc_cache, sc_new], axis=-1)  # [B,H,1,C+1]
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs[..., :c], skv[1],
+            preferred_element_type=q.dtype,
+        ) + jnp.einsum(
+            "bhqk,bkhd->bqhd", probs[..., c:], v_new,
+            preferred_element_type=q.dtype,
+        )
+        x = x + _linear(_merge_heads(out), lp["attn"]["o"])
+
+        # Cross-attention (full encoder context).
+        h = _layer_norm(x, lp["cross_attn_ln"])
+        qc = _split_heads(_linear(h, lp["cross_attn"]["q"]), n_head)
+        cross_out, _ = _cross_attend(qc, ckv, x.dtype)
+        x = x + _linear(_merge_heads(cross_out), lp["cross_attn"]["o"])
+        x = x + _mlp(_layer_norm(x, lp["mlp_ln"]), lp["mlp"])
+
+        # Write back ONLY the new slot (in-place on the carried buffer).
+        zero = jnp.zeros((), jnp.int32)
+        kv = jax.lax.dynamic_update_slice(
+            kv, jnp.stack([k_new, v_new])[None], (l_idx, zero, zero, slot, zero, zero)
+        )
+        return (x, kv), None
+
+    layer_ids = jnp.arange(cfg.n_text_layer)
+    (x, new_kv), _ = jax.lax.scan(
+        block, (x, self_kv), (layer_ids, p["layers"], cross_kv)
     )
+    x = _layer_norm(x, p["ln"])
     return _project_logits(params, x[:, 0]), new_kv
 
 
@@ -436,8 +575,12 @@ def decode_with_cross_attn(
     b, t = tokens.shape
     self_kv = init_self_kv(cfg, b)
     pos_idx = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    causal = (
+        jnp.arange(self_kv.shape[3])[None, :] <= jnp.arange(t)[:, None]
+    )[None, None]
     x, _, cross = _decoder_forward(
-        params, cfg, tokens, pos_idx, self_kv, cross_kv, collect_cross_attn=True
+        params, cfg, tokens, pos_idx, jnp.zeros((), jnp.int32), causal,
+        self_kv, cross_kv, collect_cross_attn=True,
     )
     # cross stays in compute dtype: [L, B, H, T, ctx] is large — the f32
     # upcast happens on host after slicing the alignment heads.

@@ -8,6 +8,13 @@ loop — rules included — lives inside one `lax.while_loop` on the TPU, with
 per-item state (different prompt lengths, languages, temperatures) and no
 host round-trip per token.
 
+Batch-lockstep layout (TPU-critical): every item in a batch samples its
+s-th token at the same loop iteration, so the sampled-token buffer is
+indexed by a batch-UNIFORM scalar `step` — all buffer reads/writes are
+dynamic slices, never per-item scatters (which lower to slow generic TPU
+scatters). Per-item prompt lengths live only in attention masks and
+position indices.
+
 All rules follow the openai-whisper semantics, which is what the
 faster-whisper output the reference serves is built on.
 """
@@ -37,40 +44,47 @@ class DecodingSpec:
 
 
 class SamplerState(NamedTuple):
-    """Per-item decode state carried through the sampling loop.
+    """Lockstep decode state.
 
-    tokens:       [B, max_length] right-padded full sequences (prompt + sampled)
-    cur_len:      [B] next write position (== current sequence length)
-    sample_begin: [B] index where sampled tokens start (== prompt length)
-    last_ts:      [B] most recent sampled timestamp token id (or
-                  timestamp_begin - 1 when none was sampled yet)
-    finished:     [B] bool
-    sum_logprob:  [B] accumulated logprob of sampled tokens (f32)
+    sampled:     [B, MAX_GEN] sampled tokens, column s = step s (uniform)
+    step:        [] scalar — tokens sampled so far (same for every item)
+    prompt_len:  [B] true prompt lengths (for the max_length cap)
+    gen_len:     [B] per-item sampled count (stops growing at EOT)
+    last_ts:     [B] most recent sampled timestamp token id (or
+                 timestamp_begin - 1 when none was sampled yet)
+    finished:    [B] bool
+    sum_logprob: [B] accumulated logprob of sampled tokens (f32)
     """
 
-    tokens: jax.Array
-    cur_len: jax.Array
-    sample_begin: jax.Array
+    sampled: jax.Array
+    step: jax.Array
+    prompt_len: jax.Array
+    gen_len: jax.Array
     last_ts: jax.Array
     finished: jax.Array
     sum_logprob: jax.Array
 
 
 def init_sampler_state(
-    spec: DecodingSpec, prompts: jax.Array, prompt_len: jax.Array
+    spec: DecodingSpec, prompt_len: jax.Array, max_gen: int
 ) -> SamplerState:
-    """prompts: [B, P] right-padded; prompt_len: [B]."""
-    b, p = prompts.shape
-    tokens = jnp.zeros((b, spec.max_length), jnp.int32)
-    tokens = tokens.at[:, :p].set(prompts)
+    b = prompt_len.shape[0]
     return SamplerState(
-        tokens=tokens,
-        cur_len=prompt_len.astype(jnp.int32),
-        sample_begin=prompt_len.astype(jnp.int32),
+        sampled=jnp.zeros((b, max_gen), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+        prompt_len=prompt_len.astype(jnp.int32),
+        gen_len=jnp.zeros((b,), jnp.int32),
         last_ts=jnp.full((b,), spec.timestamp_begin - 1, jnp.int32),
         finished=jnp.zeros((b,), bool),
         sum_logprob=jnp.zeros((b,), jnp.float32),
     )
+
+
+def _col(sampled: jax.Array, idx) -> jax.Array:
+    """sampled[:, idx] with a scalar (traced) index — dynamic slice."""
+    return jax.lax.dynamic_slice_in_dim(
+        sampled, jnp.maximum(idx, 0), 1, axis=1
+    )[:, 0]
 
 
 def apply_logit_rules(
@@ -83,21 +97,21 @@ def apply_logit_rules(
     """All Whisper logit filters, batched. Returns filtered logits [B, V]."""
     b, v = logits.shape
     vocab = jnp.arange(v)[None, :]  # [1, V]
-    num_sampled = state.cur_len - state.sample_begin  # [B]
+    step = state.step  # scalar — uniform across the batch
 
     # --- static suppress list (non-speech symbols + control specials) ------
     logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
 
     # --- SuppressBlank: first sampled token may not be " " or EOT ----------
-    first = (num_sampled == 0)[:, None]
+    first = step == 0
     blank_mask = (vocab == spec.blank) | (vocab == spec.eot)
     logits = jnp.where(first & blank_mask, NEG_INF, logits)
 
     # --- timestamp rules ----------------------------------------------------
-    last_tok = state.tokens[jnp.arange(b), jnp.maximum(state.cur_len - 1, 0)]
-    penult_tok = state.tokens[jnp.arange(b), jnp.maximum(state.cur_len - 2, 0)]
-    last_was_ts = (num_sampled >= 1) & (last_tok >= spec.timestamp_begin)
-    penult_was_ts = (num_sampled < 2) | (penult_tok >= spec.timestamp_begin)
+    last_tok = _col(state.sampled, step - 1)
+    penult_tok = _col(state.sampled, step - 2)
+    last_was_ts = (step >= 1) & (last_tok >= spec.timestamp_begin)
+    penult_was_ts = (step < 2) | (penult_tok >= spec.timestamp_begin)
 
     is_ts = vocab >= spec.timestamp_begin  # [1, V]
     is_text = vocab < spec.eot
@@ -115,7 +129,7 @@ def apply_logit_rules(
 
     # First sampled token must be a timestamp, bounded by max_initial_timestamp.
     init_lim = spec.timestamp_begin + spec.max_initial_timestamp_index
-    suppress_first = (num_sampled == 0)[:, None] & (~is_ts | (vocab > init_lim))
+    suppress_first = first & (~is_ts | (vocab > init_lim))
     # (EOT stays suppressed at step 0 via SuppressBlank above.)
 
     ts_rules = suppress_ts | suppress_text | suppress_low_ts | suppress_first
@@ -141,16 +155,13 @@ def apply_repetition_penalty(
     logits: jax.Array,  # [B, V]
     state: SamplerState,
     penalty: jax.Array,  # [B] or scalar; 1.0 = disabled
-    window: int = 64,
 ) -> jax.Array:
-    """CTranslate2-style repetition penalty over recently emitted tokens."""
+    """CTranslate2-style repetition penalty over the sampled tokens."""
     b, v = logits.shape
-    # One-hot accumulate of the last `window` tokens (static shape).
-    start = jnp.maximum(state.cur_len - window, 0)
-    idx = jnp.arange(state.tokens.shape[1])[None, :]
-    valid = (idx >= start[:, None]) & (idx < state.cur_len[:, None])
+    idx = jnp.arange(state.sampled.shape[1])[None, :]
+    valid = idx < state.step
     seen = jnp.zeros((b, v), bool).at[
-        jnp.arange(b)[:, None], state.tokens
+        jnp.arange(b)[:, None], state.sampled
     ].max(valid)
     penalty = jnp.broadcast_to(jnp.asarray(penalty, jnp.float32), (b,))[:, None]
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
@@ -175,25 +186,25 @@ def sample_next(
 def advance_state(
     spec: DecodingSpec, state: SamplerState, next_tok: jax.Array, logprob: jax.Array
 ) -> SamplerState:
-    """Write the sampled token and update per-item bookkeeping."""
-    b = next_tok.shape[0]
+    """Write the sampled token (uniform column) and update bookkeeping."""
     write = ~state.finished
-    # Finished items keep emitting EOT without advancing.
     tok = jnp.where(write, next_tok, spec.eot)
-    tokens = state.tokens.at[jnp.arange(b), state.cur_len].set(
-        jnp.where(write, tok, state.tokens[jnp.arange(b), state.cur_len])
+    sampled = jax.lax.dynamic_update_slice_in_dim(
+        state.sampled, tok[:, None], state.step, axis=1
     )
     is_ts = (tok >= spec.timestamp_begin) & write
     # sum_logprob includes the EOT that terminates the sequence (whisper
     # convention: avg over len(tokens)+1 incl. EOT).
     sum_logprob = state.sum_logprob + jnp.where(write, logprob, 0.0)
+    gen_len = state.gen_len + write.astype(jnp.int32)
     now_finished = state.finished | (tok == spec.eot) | (
-        state.cur_len + 1 >= spec.max_length
-    )
+        state.prompt_len + state.step + 1 >= spec.max_length
+    ) | (state.step + 1 >= state.sampled.shape[1])
     return SamplerState(
-        tokens=tokens,
-        cur_len=jnp.where(write, state.cur_len + 1, state.cur_len),
-        sample_begin=state.sample_begin,
+        sampled=sampled,
+        step=state.step + 1,
+        prompt_len=state.prompt_len,
+        gen_len=gen_len,
         last_ts=jnp.where(is_ts, tok, state.last_ts),
         finished=now_finished,
         sum_logprob=sum_logprob,

@@ -31,6 +31,10 @@ from whisperlive_tpu.serving.session import SessionOptions
 logger = logging.getLogger(__name__)
 
 
+STREAMING_MAX_NEW_TOKENS = 224  # generation budget per 30 s window; keeps
+# the decode program on the 256-slot KV-cache bucket (engine.gen_buckets)
+
+
 def transcribe_options_from_session(
     options: SessionOptions, language: Optional[str] = None
 ) -> TranscribeOptions:
@@ -41,6 +45,7 @@ def transcribe_options_from_session(
         initial_prompt=options.initial_prompt,
         hotwords=options.hotwords,
         word_timestamps=options.word_timestamps,
+        max_new_tokens=STREAMING_MAX_NEW_TOKENS,
     )
 
 

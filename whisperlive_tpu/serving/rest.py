@@ -130,6 +130,7 @@ def _format_response(segments, language, duration, response_format):
                         "avg_logprob": s["avg_logprob"],
                         "compression_ratio": s["compression_ratio"],
                         "no_speech_prob": s["no_speech_prob"],
+                        **({"speaker": s["speaker"]} if "speaker" in s else {}),
                     }
                     for i, s in enumerate(segments)
                 ],
@@ -196,10 +197,21 @@ async def start_rest_server(
         fields: dict[str, str] = {}
         file_bytes = b""
         filename = "audio.wav"
+        known_speakers: list[tuple[str, bytes]] = []
+        speaker_names: list[str] = []
         async for part in reader:
             if part.name == "file":
                 filename = part.filename or filename
                 file_bytes = await part.read(decode=False)
+            elif part.name in ("known_speaker_files", "known_speaker_files[]"):
+                known_speakers.append(
+                    (part.filename or f"speaker_{len(known_speakers)}",
+                     await part.read(decode=False))
+                )
+            elif part.name in ("known_speaker_names", "known_speaker_names[]"):
+                speaker_names.append(
+                    (await part.read(decode=False)).decode("utf-8", "replace")
+                )
             else:
                 fields[part.name] = (await part.read(decode=False)).decode("utf-8", "replace")
 
@@ -279,6 +291,33 @@ async def start_rest_server(
             return resp
 
         segments, detected = await _transcribe_full(backend, audio, options, language)
+
+        # Known-speaker diarization (server.py:550-598, 812-821): enroll the
+        # uploaded reference voices, then label each segment.
+        if known_speakers:
+            from whisperlive_tpu.diarization import SpeakerDiarizer
+
+            diarizer = SpeakerDiarizer(max_speakers=max(len(known_speakers), 4))
+            for i, (fname, raw) in enumerate(known_speakers):
+                name = speaker_names[i] if i < len(speaker_names) else fname
+                try:
+                    if raw[:4] == b"fLaC":
+                        from whisperlive_tpu.audio.flac import read_flac_bytes
+
+                        ref_audio, ref_sr = read_flac_bytes(raw)
+                    else:
+                        ref_audio, ref_sr = audio_io.read_wav(raw)
+                    diarizer.enroll_speaker(
+                        name, audio_io.resample_audio(ref_audio, ref_sr)
+                    )
+                except Exception:
+                    logger.exception("failed to enroll speaker %s", name)
+            for s in segments:
+                a = audio[int(s["start"] * SAMPLE_RATE): int(s["end"] * SAMPLE_RATE)]
+                label = diarizer.identify_speaker(a)
+                if label is not None:
+                    s["speaker"] = label
+
         ctype, body = _format_response(segments, detected, duration, response_format)
         wl_metrics.track_rest_request("/v1/audio/transcriptions", 200)
         logger.info("REST transcription done in %.2fs (%.1fs audio)",

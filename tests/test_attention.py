@@ -27,3 +27,25 @@ def test_fused_handles_uneven_block(rng):
     ref, _ = _attention(q, q, q, None)
     out = fused_attention(q, q, q, block_q=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_int8_matmul_kernels(rng):
+    from whisperlive_tpu.ops.quant_matmul import int8_matmul, int8_matmul_t
+
+    m, k, n = 8, 64, 384
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    s = (np.abs(w).max(axis=0) / 127.0).astype(np.float32)
+    w8 = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    ref = x @ jnp.asarray(w8.astype(np.float32) * s)
+    out = int8_matmul(x, jnp.asarray(w8), jnp.asarray(s), block_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+    # transposed layout (vocab-major), uneven N forcing padding
+    n2 = 200
+    wt = rng.standard_normal((n2, k)).astype(np.float32)
+    st = (np.abs(wt).max(axis=1) / 127.0).astype(np.float32)
+    w8t = np.clip(np.round(wt / st[:, None]), -127, 127).astype(np.int8)
+    ref2 = x @ jnp.asarray((w8t.astype(np.float32) * st[:, None]).T)
+    out2 = int8_matmul_t(x, jnp.asarray(w8t), jnp.asarray(st), block_n=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-3, rtol=1e-3)

@@ -199,3 +199,24 @@ def test_repetition_penalty_penalizes_seen():
     assert out[0, 12] == 1.0
     # token 0 appears in the buffer only as padding (idx >= step): not seen
     assert out[0, 0] == 1.0
+
+
+def test_no_repeat_ngram_bans_completion():
+    # sampled = [5, 6, 7, 5, 6]; with n=3, context (5,6) matched at pos 0,
+    # so token 7 must be banned.
+    state = make_state([1], [[5, 6, 7, 5, 6]])
+    logits = jnp.zeros((1, SPEC.n_vocab), jnp.float32)
+    out = np.asarray(dec.apply_no_repeat_ngram(logits, state, 3))
+    assert out[0, 7] == dec.NEG_INF
+    assert out[0, 8] == 0.0
+    # disabled -> untouched
+    out0 = np.asarray(dec.apply_no_repeat_ngram(logits, state, 0))
+    assert np.all(out0 == 0.0)
+
+
+def test_no_repeat_ngram_ignores_padding():
+    # zeros in the padded tail must not create phantom (0,0)->0 ngrams
+    state = make_state([1], [[0, 0]])
+    logits = jnp.zeros((1, SPEC.n_vocab), jnp.float32)
+    out = np.asarray(dec.apply_no_repeat_ngram(logits, state, 3))
+    assert np.all(out == 0.0)  # only 2 sampled tokens: rule inactive

@@ -119,3 +119,24 @@ def test_beam_search_structure(engine, rng):
     (res_g,) = engine.decode_batch(cross, [p], [s], opts_g)
     # beam-5 must be at least as good as greedy under the scoring it optimizes
     assert res.avg_logprob >= res_g.avg_logprob - 1e-3
+
+
+def test_batched_transcriber_multiple_files(engine, rng):
+    from whisperlive_tpu.engine.transcribe import BatchedTranscriber
+
+    bt = BatchedTranscriber(engine)
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=12,
+    )
+    audios = [
+        (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32),
+        (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32),
+    ]
+    results = bt.transcribe(audios, opts)
+    assert len(results) == 2
+    for (segments, info), audio in zip(results, audios):
+        assert info.duration == pytest.approx(len(audio) / 16000)
+        for s in segments:
+            assert s.start >= 0

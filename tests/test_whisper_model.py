@@ -176,3 +176,26 @@ def test_int8_cross_kv_close_to_bf16(rng, converted):
     # logits track closely in absolute terms and argmax agrees
     assert np.abs(ref - out).max() < 0.1
     assert ref.argmax() == out.argmax()
+
+
+def test_int8_decoder_weights_close(rng, converted):
+    """Weight-only int8 decoder must track the f32 decoder closely."""
+    from whisperlive_tpu.models import whisper as wmod
+
+    cfg, params = converted
+    q = wmod.quantize_decoder_weights(params)
+    assert q["decoder"]["layers"]["attn"]["q"]["w8"].dtype == jnp.int8
+
+    mel = _rand_mel(rng, cfg, 1)
+    enc = wmod.encode(params, cfg, jnp.asarray(mel))
+    cross_ref = wmod.compute_cross_kv(params, cfg, enc)
+    cross_q = wmod.compute_cross_kv(q, cfg, enc)
+
+    kv = wmod.init_self_kv(cfg, 1)
+    prompts = jnp.asarray([[3, 7, 9, 0]], jnp.int32)
+    plen = jnp.asarray([3], jnp.int32)
+    ref, _ = wmod.decode_prefill(params, cfg, prompts, plen, kv, cross_ref)
+    out, _ = wmod.decode_prefill(q, cfg, prompts, plen, kv, cross_q)
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert np.abs(ref - out).max() < 0.15
+    assert ref.argmax() == out.argmax()

@@ -76,6 +76,7 @@ class TranscribeOptions:
     max_new_tokens: int | None = None
     beam_size: int = 1  # >1 runs the batched beam-search program (T=0)
     length_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
 
 
 @dataclasses.dataclass
@@ -122,6 +123,7 @@ class WhisperEngine:
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
         shardings: "Any | None" = None,
+        decoder_int8: bool | None = None,
     ):
         platform = jax.devices()[0].platform
         on_tpu = platform in ("tpu", "axon")
@@ -151,6 +153,12 @@ class WhisperEngine:
         if shardings is not None:
             params = jax.device_put(params, shardings.param_shardings(params))
         self.params = wmod.cast_params(params, compute_dtype)
+        # Weight-only int8 decoder: the decoder re-reads all its weights per
+        # sampled token (HBM-bound), so halving weight bytes ~halves step
+        # time at near-lossless accuracy. Auto-on for TPU serving.
+        self.decoder_int8 = on_tpu if decoder_int8 is None else decoder_int8
+        if self.decoder_int8:
+            self.params = wmod.quantize_decoder_weights(self.params)
         self._lock = threading.Lock()
         self._suppress_cache: dict[tuple, jax.Array] = {}
 
@@ -187,6 +195,7 @@ class WhisperEngine:
             max_new,  # [] int32 — cap on sampled tokens
             key,
             cache_len: int = 0,  # static: KV slots (prompt_pad + gen budget)
+            no_repeat_ngram: int = 0,  # static
         ):
             b, prompt_pad = prompts.shape
             cache_len = cache_len or cfgc.n_text_ctx
@@ -210,6 +219,7 @@ class WhisperEngine:
                     spec, logits, state, suppress_mask, ts_enabled
                 )
                 filtered = dec.apply_repetition_penalty(filtered, state, rep_penalty)
+                filtered = dec.apply_no_repeat_ngram(filtered, state, no_repeat_ngram)
                 next_tok, lp = dec.sample_next(filtered, temperature, sub)
                 slot = prompt_pad + state.step  # batch-uniform cache slot
                 pos = state.prompt_len + state.step  # per-item logical pos
@@ -246,6 +256,7 @@ class WhisperEngine:
             beam_size: int,  # static
             length_penalty,  # [] f32
             cache_len_: int = 0,  # static
+            no_repeat_ngram: int = 0,  # static
         ):
             """Batched beam search (T=0; reference default beam_size=5,
             transcriber_faster_whisper.py:1394-1407). B items x K beams are
@@ -296,6 +307,7 @@ class WhisperEngine:
                     spec, logits, state, suppress_mask, ts_enabled_bk
                 )
                 filtered = dec.apply_repetition_penalty(filtered, state, rep_bk)
+                filtered = dec.apply_no_repeat_ngram(filtered, state, no_repeat_ngram)
                 lp = jax.nn.log_softmax(filtered, axis=-1)  # [BK, V]
                 # finished beams: freeze — only EOT with unchanged score
                 eot_only = jnp.full((bk, v), dec.NEG_INF).at[:, spec.eot].set(0.0)
@@ -371,8 +383,8 @@ class WhisperEngine:
 
         self._prepare_fn = jax.jit(_prepare)
         self._prepare_mel_fn = jax.jit(_prepare_mel)
-        self._decode_fn = jax.jit(_decode, static_argnums=(11,))
-        self._decode_beam_fn = jax.jit(_decode_beam, static_argnums=(9, 11))
+        self._decode_fn = jax.jit(_decode, static_argnums=(11, 12))
+        self._decode_beam_fn = jax.jit(_decode_beam, static_argnums=(9, 11, 12))
         self._detect_fn = jax.jit(_detect)
         self._align_fn = jax.jit(_align)
 
@@ -549,8 +561,9 @@ class WhisperEngine:
                     jnp.full((b,), options.repetition_penalty, np.float32),
                     max_new,
                     options.beam_size,
-                    jnp.float32(getattr(options, "length_penalty", 1.0)),
+                    jnp.float32(options.length_penalty),
                     cache_len,
+                    options.no_repeat_ngram_size,
                 )
             else:
                 tokens, gen_len, sum_lp, ns_prob = self._decode_fn(
@@ -560,6 +573,7 @@ class WhisperEngine:
                     max_new,
                     jax.random.PRNGKey(seed),
                     cache_len,
+                    options.no_repeat_ngram_size,
                 )
         tokens = np.asarray(tokens)
         gen_len = np.asarray(gen_len)

@@ -230,3 +230,123 @@ class Transcriber:
             transcription_options=options,
         )
         return all_segments, info
+
+
+class BatchedTranscriber:
+    """Offline batched transcription of many files (the capability of the
+    reference's BatchedInferencePipeline, transcriber_faster_whisper.py:
+    113-571): each file's current 30 s window joins one device batch; files
+    advance their seek cursors independently until all are exhausted."""
+
+    def __init__(self, engine: WhisperEngine):
+        self.engine = engine
+
+    def transcribe(
+        self,
+        audios: list[np.ndarray],
+        options: TranscribeOptions | None = None,
+        seed: int = 0,
+    ) -> list[tuple[list[Segment], TranscriptionInfo]]:
+        options = options or TranscribeOptions()
+        eng = self.engine
+        n = len(audios)
+        seeks = [0] * n
+        all_segments: list[list[Segment]] = [[] for _ in range(n)]
+        all_tokens: list[list[int]] = [[] for _ in range(n)]
+        languages: list[Optional[str]] = [options.language] * n
+        language_probs = [1.0] * n
+        seg_ids = [0] * n
+
+        def active_items():
+            return [
+                i for i in range(n)
+                if seeks[i] < int(len(audios[i]) / mel_ops.HOP_LENGTH)
+            ]
+
+        while True:
+            active = active_items()
+            if not active:
+                break
+            windows = []
+            for i in active:
+                windows.append(
+                    mel_ops.pad_or_trim(
+                        audios[i][seeks[i] * mel_ops.HOP_LENGTH :][: mel_ops.N_SAMPLES]
+                    )
+                )
+            from whisperlive_tpu.engine.engine import _bucket
+
+            bucket = _bucket(len(active), eng.batch_buckets)
+            batch = np.zeros((bucket, mel_ops.N_SAMPLES), np.float32)
+            for j, w in enumerate(windows):
+                batch[j] = w
+            _, cross = eng.prepare(batch)
+
+            if any(languages[i] is None for i in active):
+                detected = eng.detect_language_from_cross(cross)
+                for j, i in enumerate(active):
+                    if languages[i] is None:
+                        languages[i], language_probs[i] = detected[j]
+
+            prompts, sots = [], []
+            for i in active:
+                p, s = eng.build_prompt(
+                    options, previous_tokens=all_tokens[i][-224:],
+                    language=languages[i],
+                )
+                prompts.append(p)
+                sots.append(s)
+            results = eng.decode_with_fallback(
+                cross, prompts, sots, options, seed=seed
+            )
+
+            for j, i in enumerate(active):
+                res = results[j]
+                content_frames = int(len(audios[i]) / mel_ops.HOP_LENGTH)
+                segment_size = min(mel_ops.N_FRAMES, content_frames - seeks[i])
+                time_offset = seeks[i] * mel_ops.HOP_LENGTH / mel_ops.SAMPLE_RATE
+                window_duration = segment_size * mel_ops.HOP_LENGTH / mel_ops.SAMPLE_RATE
+                skip = (
+                    options.no_speech_threshold is not None
+                    and res.no_speech_prob > options.no_speech_threshold
+                    and (
+                        options.log_prob_threshold is None
+                        or res.avg_logprob < options.log_prob_threshold
+                    )
+                )
+                if skip:
+                    seeks[i] += segment_size
+                    continue
+                pieces, advance = split_segments_by_timestamps(
+                    eng.spec, res.tokens, time_offset, window_duration, segment_size
+                )
+                seeks[i] += advance
+                for start, end, toks in pieces:
+                    text = eng.tokenizer.decode(toks)
+                    if not text.strip():
+                        continue
+                    all_segments[i].append(
+                        Segment(
+                            id=seg_ids[i], seek=seeks[i], start=start, end=end,
+                            text=text, tokens=toks,
+                            temperature=res.temperature,
+                            avg_logprob=res.avg_logprob,
+                            compression_ratio=res.compression_ratio,
+                            no_speech_prob=res.no_speech_prob,
+                        )
+                    )
+                    seg_ids[i] += 1
+                    all_tokens[i].extend(t for t in toks if t < eng.spec.eot)
+
+        return [
+            (
+                all_segments[i],
+                TranscriptionInfo(
+                    language=languages[i] or "en",
+                    language_probability=language_probs[i],
+                    duration=len(audios[i]) / mel_ops.SAMPLE_RATE,
+                    transcription_options=options,
+                ),
+            )
+            for i in range(n)
+        ]

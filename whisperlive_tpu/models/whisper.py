@@ -193,10 +193,42 @@ def _layer_norm(x, p, eps=1e-5):
 
 
 def _linear(x, p):
-    out = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "w8" in p:
+        # int8 weight-only with per-output-channel scales. On TPU the
+        # dequant MUST happen per-tile in VMEM (Pallas kernel) — a plain
+        # astype gets hoisted out of the decode loop by XLA and the streamed
+        # bytes stay bf16.
+        shape = x.shape
+        m = 1
+        for d_ in shape[:-1]:
+            m *= d_
+        # The Pallas path pays off when weights dominate the traffic (small
+        # M: the decode loop and prefill). For big-M single-use matmuls
+        # (cross-KV precompute at M=B*1500) XLA's native matmul with a
+        # one-time dequant is at least as good.
+        if jax.default_backend() in ("tpu", "axon") and m <= 512:
+            from whisperlive_tpu.ops.quant_matmul import int8_matmul
+
+            out = int8_matmul(
+                x.reshape(-1, shape[-1]), p["w8"], p["s"], out_dtype=x.dtype
+            ).reshape(*shape[:-1], p["w8"].shape[-1])
+        else:
+            out = jnp.dot(
+                x, p["w8"].astype(x.dtype), preferred_element_type=x.dtype
+            ) * p["s"].astype(x.dtype)
+    else:
+        out = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
     return out
+
+
+def _embed_lookup(p, tokens, dtype):
+    """Token-embedding rows, transparently dequantizing int8 embeddings."""
+    if "embed8" in p:
+        rows = p["embed8"][tokens].astype(dtype)
+        return rows * p["embed_s"][tokens][..., None].astype(dtype)
+    return p["embed"].astype(dtype)[tokens]
 
 
 def _split_heads(x, n_head):
@@ -402,8 +434,9 @@ def _decoder_forward(
     collect_cross_attn: bool = False,
 ):
     p = params["decoder"]
-    embed = p["embed"].astype(cfg.dtype)
-    x = embed[tokens] + p["pos"].astype(cfg.dtype)[jnp.clip(pos_idx, 0, cfg.n_text_ctx - 1)]
+    x = _embed_lookup(p, tokens, cfg.dtype) + p["pos"].astype(cfg.dtype)[
+        jnp.clip(pos_idx, 0, cfg.n_text_ctx - 1)
+    ]
 
     def block(x, layer):
         lp, skv, ckv = layer
@@ -424,10 +457,22 @@ def _project_logits(params: Params, x: jax.Array) -> jax.Array:
     """Hidden states -> f32 logits via the tied token embedding.
 
     Operands stay in compute dtype (MXU multiplies bf16 natively with f32
-    accumulation); casting the whole embedding to f32 per decode step costs
-    ~0.5 GB of HBM traffic on large-v3.
+    accumulation); with int8 embeddings the Pallas kernel streams half the
+    bytes and dequantizes per vocab tile in VMEM.
     """
-    embed = params["decoder"]["embed"]
+    p = params["decoder"]
+    if "embed8" in p:
+        if jax.default_backend() in ("tpu", "axon"):
+            from whisperlive_tpu.ops.quant_matmul import int8_matmul_t
+
+            shape = x.shape
+            out = int8_matmul_t(
+                x.reshape(-1, shape[-1]), p["embed8"], p["embed_s"]
+            )
+            return out.reshape(*shape[:-1], p["embed8"].shape[0])
+        embed = p["embed8"].astype(x.dtype) * p["embed_s"][:, None].astype(x.dtype)
+        return jnp.dot(x, embed.T, preferred_element_type=jnp.float32)
+    embed = p["embed"]
     return jnp.dot(x, embed.T.astype(x.dtype), preferred_element_type=jnp.float32)
 
 
@@ -490,9 +535,8 @@ def decode_step(
     because every item samples in lockstep). Returns (logits [B, V], kv).
     """
     p = params["decoder"]
-    embed = p["embed"].astype(cfg.dtype)
     x = (
-        embed[token[:, None]]
+        _embed_lookup(p, token[:, None], cfg.dtype)
         + p["pos"].astype(cfg.dtype)[jnp.clip(pos[:, None], 0, cfg.n_text_ctx - 1)]
     )  # [B, 1, d]
 
@@ -591,6 +635,48 @@ def param_count(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
 
+def quantize_decoder_weights(params: Params) -> Params:
+    """Weight-only int8 quantization of the DECODER's linear layers.
+
+    The decoder is HBM-bound (weights re-read every sampled token); int8
+    with per-output-channel scales halves that traffic at near-lossless
+    accuracy. The encoder (compute-bound, run once per window) and the
+    tied embedding (used for both lookup and logits) stay in compute dtype.
+    LayerNorms/biases are untouched.
+    """
+
+    def quant_linear(p):
+        if "w" not in p:
+            return p
+        w = p["w"].astype(jnp.float32)  # [L, d_in, d_out] (stacked layers)
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=-2, keepdims=True), 1e-8) / 127.0
+        w8 = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        out = {"w8": w8, "s": jnp.squeeze(s, axis=-2).astype(jnp.bfloat16)}
+        if "b" in p:
+            out["b"] = p["b"]
+        return out
+
+    dec = params["decoder"]
+    layers = dec["layers"]
+    embed = dec["embed"].astype(jnp.float32)  # [V, d]; per-row scales
+    e_s = jnp.maximum(jnp.max(jnp.abs(embed), axis=1), 1e-8) / 127.0
+    embed8 = jnp.clip(jnp.round(embed / e_s[:, None]), -127, 127).astype(jnp.int8)
+
+    def is_linear(node):
+        return isinstance(node, dict) and "w" in node
+
+    new_layers = jax.tree.map(
+        lambda n: quant_linear(n) if is_linear(n) else n,
+        layers,
+        is_leaf=is_linear,
+    )
+    new_dec = {k: v for k, v in dec.items() if k != "embed"}
+    new_dec["layers"] = new_layers
+    new_dec["embed8"] = embed8
+    new_dec["embed_s"] = e_s.astype(jnp.bfloat16)
+    return {"encoder": params["encoder"], "decoder": new_dec}
+
+
 def cast_params(params: Params, dtype) -> Params:
     """Cast matmul weights to `dtype`, keep layernorm params in f32."""
 
@@ -598,6 +684,10 @@ def cast_params(params: Params, dtype) -> Params:
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if name in ("scale", "bias"):
             return x.astype(jnp.float32)
+        if name in ("w8", "embed8"):  # int8-quantized weights stay int8
+            return x
+        if name in ("s", "embed_s"):  # their per-channel scales stay compact
+            return x.astype(jnp.bfloat16)
         return x.astype(dtype)
 
     return jax.tree_util.tree_map_with_path(cast, params)

@@ -168,6 +168,38 @@ def apply_repetition_penalty(
     return jnp.where(seen & (penalty != 1.0), penalized, logits)
 
 
+def apply_no_repeat_ngram(
+    logits: jax.Array,  # [B, V]
+    state: SamplerState,
+    n: int,  # static ngram size (0 disables; recompiles per value)
+) -> jax.Array:
+    """Ban tokens that would complete an already-generated n-gram
+    (CTranslate2's no_repeat_ngram_size option)."""
+    if n <= 0:
+        return logits
+    b, v = logits.shape
+    g = state.sampled.shape[1]
+    if g < n:
+        return logits
+    s = state.step
+    # context = last n-1 sampled tokens
+    ctx = jax.lax.dynamic_slice_in_dim(
+        state.sampled, jnp.maximum(s - (n - 1), 0), n - 1, axis=1
+    )  # [B, n-1]
+    # all historical windows of length n-1 and the token that followed each
+    widx = jnp.arange(g - n + 1)[:, None] + jnp.arange(n - 1)[None, :]
+    windows = state.sampled[:, widx]  # [B, W, n-1]
+    next_toks = state.sampled[:, n - 1 :]  # [B, W]
+    # a window is "real" only if its follower was generated before this step
+    valid = (jnp.arange(g - n + 1)[None, :] + n - 1) < s
+    match = jnp.all(windows == ctx[:, None, :], axis=-1) & valid  # [B, W]
+    ban = jnp.zeros((b, v), bool).at[
+        jnp.arange(b)[:, None], next_toks
+    ].max(match)
+    active = s >= (n - 1)
+    return jnp.where(ban & active, NEG_INF, logits)
+
+
 def sample_next(
     logits: jax.Array,  # [B, V] post-rules
     temperature: jax.Array,  # [B] — 0.0 means greedy

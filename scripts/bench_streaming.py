@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Streaming-serving benchmark: N concurrent real-time streams.
+
+Measures the north-star serving metric (BASELINE.md): partial-segment
+latency under N simultaneous real-time 16 kHz streams through the REAL
+serving stack — ServeClient session loops + batch scheduler + TPU engine —
+with only the websocket transport replaced by an in-process collector.
+
+    python scripts/bench_streaming.py --streams 32 --seconds 20 --model large-v3
+
+Reports p50/p95 latency from chunk-arrival to segment-push, plus achieved
+decode cadence per stream. Latency target from BASELINE.json: p50 < 500 ms.
+"""
+
+import argparse
+import asyncio
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--streams", type=int, default=32)
+    parser.add_argument("--seconds", type=float, default=20.0)
+    parser.add_argument("--model", type=str, default="large-v3")
+    parser.add_argument("--batch_max_size", type=int, default=8)
+    parser.add_argument("--batch_window_ms", type=int, default=10)
+    parser.add_argument("--chunk_ms", type=int, default=250)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisperlive_tpu.engine.engine import WhisperEngine
+    from whisperlive_tpu.engine.scheduler import BatchScheduler
+    from whisperlive_tpu.models.whisper import WHISPER_CONFIGS, init_params
+    from whisperlive_tpu.serving.backends import TpuBackend
+    from whisperlive_tpu.serving.server import ServeClient
+    from whisperlive_tpu.serving.session import SessionOptions
+
+    cfg = WHISPER_CONFIGS[args.model]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    params = init_params(cfg, 0, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    engine = WhisperEngine(cfg, params)
+    # warm every batch bucket the scheduler can produce — a cold compile at
+    # runtime stalls all streams for minutes
+    buckets = [b for b in engine.batch_buckets if b <= args.batch_max_size]
+    engine.warmup(batch_sizes=set(buckets))
+    scheduler = BatchScheduler(
+        engine,
+        max_batch_size=args.batch_max_size,
+        batch_window_ms=args.batch_window_ms,
+    )
+    scheduler.start()
+
+    class MeasuringBackend(TpuBackend):
+        """Records per-chunk decode round-trip latency (request -> result).
+
+        With random weights the decoded text is empty so no segment JSON is
+        pushed — the engine round-trip is the serving latency proper (the
+        remaining session work is sub-ms numpy + JSON)."""
+
+        async def transcribe(self, chunk, options, **kw):
+            t0 = time.monotonic()
+            result = await super().transcribe(chunk, options, **kw)
+            latencies.append(time.monotonic() - t0)
+            idx = int(kw.get("uid", "s0")[1:])
+            updates_per_stream[idx] += 1
+            return result
+
+    backend = MeasuringBackend(scheduler)
+
+    rng = np.random.default_rng(0)
+    chunk_samples = int(16000 * args.chunk_ms / 1000)
+
+    latencies: list[float] = []
+    updates_per_stream = [0] * args.streams
+
+    async def run() -> None:
+        clients = []
+        last_feed_time = [0.0] * args.streams
+
+        for i in range(args.streams):
+            idx = i
+
+            async def send_json(payload, idx=idx):
+                pass  # latency is measured at the backend round-trip
+
+            client = ServeClient(
+                websocket=None,
+                uid=f"s{i}",
+                options=SessionOptions(language="en", use_vad=False,
+                                       same_output_threshold=7),
+                backend=backend,
+                send_json=send_json,
+            )
+            client.start()
+            clients.append(client)
+
+        n_chunks = int(args.seconds * 1000 / args.chunk_ms)
+        t0 = time.monotonic()
+        for c in range(n_chunks):
+            target = t0 + (c + 1) * args.chunk_ms / 1000
+            for i, client in enumerate(clients):
+                tone = 100 + 10 * i
+                t = (np.arange(chunk_samples) + c * chunk_samples) / 16000
+                audio = (
+                    0.2 * np.sin(2 * np.pi * 3 * t) * np.sin(2 * np.pi * tone * t)
+                ).astype(np.float32)
+                last_feed_time[i] = time.monotonic()
+                client.add_frames(audio)
+            delay = target - time.monotonic()
+            if delay > 0:
+                await asyncio.sleep(delay)
+        # drain
+        await asyncio.sleep(2.0)
+        for client in clients:
+            await client.cleanup()
+
+    asyncio.run(run())
+    scheduler.stop()
+
+    latencies_np = np.asarray(latencies)
+    updates = np.asarray(updates_per_stream, np.float64)
+    cadence = float(np.median(updates)) / args.seconds  # decodes per stream-second
+    result = {
+        "metric": "p50_partial_latency",
+        "value": round(float(np.percentile(latencies_np, 50)), 3) if len(latencies_np) else None,
+        "unit": "s",
+        "detail": {
+            "streams": args.streams,
+            "model": args.model,
+            "p95_s": round(float(np.percentile(latencies_np, 95)), 3) if len(latencies_np) else None,
+            "decodes_total": int(len(latencies_np)),
+            "decodes_per_stream_per_s": round(cadence, 2),
+            "sustained_realtime": bool(cadence > 0.2),  # update at least every 5 s
+            "duration_s": args.seconds,
+        },
+    }
+    import json
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Prompt construction semantics (get_prompt, transcriber_faster_whisper.py:1480-1513)."""
+
+import pytest
+
+from whisperlive_tpu.engine.engine import TranscribeOptions, WhisperEngine
+from whisperlive_tpu.models.whisper import WhisperConfig, init_params
+
+
+@pytest.fixture(scope="module")
+def eng():
+    import jax.numpy as jnp
+
+    cfg = WhisperConfig(
+        n_mels=80, n_vocab=51865, n_audio_ctx=32, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=1, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=1,
+    )
+    return WhisperEngine(cfg, init_params(cfg), compute_dtype=jnp.float32)
+
+
+def test_basic_sot_sequence(eng):
+    prompt, sot_idx = eng.build_prompt(TranscribeOptions(language="en"))
+    tok = eng.tokenizer
+    assert prompt == [tok.sot, tok.spec.language_token("en"), tok.spec.transcribe]
+    assert sot_idx == 0
+
+
+def test_translate_task(eng):
+    prompt, _ = eng.build_prompt(TranscribeOptions(language="de", task="translate"))
+    assert prompt[2] == eng.tokenizer.spec.translate
+
+
+def test_without_timestamps_appends_notimestamps(eng):
+    prompt, _ = eng.build_prompt(TranscribeOptions(language="en", without_timestamps=True))
+    assert prompt[-1] == eng.tokenizer.no_timestamps
+
+
+def test_initial_prompt_prefixed_with_sot_prev(eng):
+    opts = TranscribeOptions(language="en", initial_prompt="hello")
+    prompt, sot_idx = eng.build_prompt(opts)
+    tok = eng.tokenizer
+    assert prompt[0] == tok.sot_prev
+    assert prompt[1 : 1 + len(tok.encode(" hello"))] == tok.encode(" hello")
+    assert prompt[sot_idx] == tok.sot
+
+
+def test_initial_prompt_only_on_first_window(eng):
+    opts = TranscribeOptions(language="en", initial_prompt="hello")
+    # once previous tokens exist, initial_prompt is dropped (ref behavior)
+    prompt, _ = eng.build_prompt(opts, previous_tokens=[500, 501])
+    tok = eng.tokenizer
+    assert prompt[0] == tok.sot_prev
+    assert 500 in prompt and 501 in prompt
+    assert tok.encode(" hello")[0] not in prompt[:3]
+
+
+def test_hotwords_used_when_no_prefix(eng):
+    opts = TranscribeOptions(language="en", hotwords="JAX TPU")
+    prompt, _ = eng.build_prompt(opts)
+    tok = eng.tokenizer
+    assert prompt[0] == tok.sot_prev
+    joined = prompt[1 : 1 + len(tok.encode(" JAX TPU"))]
+    assert joined == tok.encode(" JAX TPU")
+
+
+def test_prefix_appended_after_sot_sequence(eng):
+    opts = TranscribeOptions(language="en", prefix="so far")
+    prompt, sot_idx = eng.build_prompt(opts)
+    tok = eng.tokenizer
+    tail = prompt[sot_idx + 3 :]
+    assert tail == tok.encode(" so far")
+
+
+def test_condition_on_previous_disabled(eng):
+    opts = TranscribeOptions(language="en", condition_on_previous_text=False)
+    prompt, sot_idx = eng.build_prompt(opts, previous_tokens=[7, 8, 9])
+    assert sot_idx == 0  # no sot_prev block at all
+
+
+def test_previous_tokens_truncated_to_half_ctx(eng):
+    opts = TranscribeOptions(language="en")
+    prev = list(range(600, 600 + 400))
+    prompt, sot_idx = eng.build_prompt(opts, previous_tokens=prev)
+    # at most n_text_ctx // 2 - 1 = 223 prev tokens survive
+    assert sot_idx <= 224
+    assert prompt[sot_idx - 1] == prev[-1] + 0 if sot_idx > 1 else True
+    assert prompt[1:sot_idx] == prev[-(sot_idx - 1):]

@@ -167,3 +167,49 @@ def test_transcription_client_file(tmp_path, server):
     assert srt.exists()
     content = srt.read_text()
     assert "-->" in content and "word" in content
+
+
+def test_connection_time_eviction():
+    """Clients past max_connection_time get DISCONNECT and are dropped
+    (server.py:141-158 behavior)."""
+
+    with ServerHarness(max_connection_time=3) as h:
+        from whisperlive_tpu.client import Client
+
+        c = Client("127.0.0.1", h.port, log_transcription=False)
+        deadline = time.time() + 10
+        while not c.recording and time.time() < deadline:
+            time.sleep(0.05)
+        assert c.recording
+        # stream a little audio, then wait past the limit
+        c.send_packet_to_server(np.zeros(8000, np.float32).tobytes())
+        deadline = time.time() + 15
+        while c.recording and time.time() < deadline:
+            time.sleep(0.2)
+        assert not c.recording  # DISCONNECT flipped recording off
+        c.close_websocket()
+
+
+def test_model_mismatch_warning():
+    """Requesting a different model than served yields a WARNING status."""
+    with ServerHarness() as h:
+        h.server.backend.model_name = "large-v3"  # pretend a specific model
+
+        from whisperlive_tpu.client import Client
+
+        warnings = []
+        c = Client("127.0.0.1", h.port, model="tiny", log_transcription=False)
+        orig = c.handle_status_messages
+
+        def capture(msg):
+            if msg.get("status") == "WARNING":
+                warnings.append(msg["message"])
+            orig(msg)
+
+        c.handle_status_messages = capture
+        deadline = time.time() + 10
+        while not c.recording and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        c.close_websocket()
+        assert any("large-v3" in w for w in warnings)

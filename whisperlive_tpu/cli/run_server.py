@@ -122,7 +122,13 @@ def create_backend(args):
             "(pass -tpu <dir> with a converted/HF checkpoint for real output)",
             args.model,
         )
-        params = init_params(cfg)
+        import jax.numpy as jnp
+
+        params = init_params(
+            cfg,
+            dtype=jnp.bfloat16 if jax.default_backend() in ("tpu", "axon")
+            else jnp.float32,
+        )
 
     compute_dtype = None
     if args.compute_dtype:
@@ -146,7 +152,7 @@ def create_backend(args):
         batch_window_ms=args.batch_window_ms,
     )
     scheduler.start()
-    return TpuBackend(scheduler), "tpu"
+    return TpuBackend(scheduler, model_name=args.model if not ckpt else ckpt), "tpu"
 
 
 def main(argv=None) -> None:

@@ -116,6 +116,8 @@ class Client:
         if api_key:
             self.websocket_url += f"?token={api_key}"
         self._ws_module = websocket
+        self._retries_left = max_retries
+        self._closing = False
         self._connect()
         Client.INSTANCES[self.uid] = self
 
@@ -216,9 +218,33 @@ class Client:
 
     def on_close(self, ws, close_status_code, close_msg) -> None:
         logger.info("websocket closed: %s %s", close_status_code, close_msg)
+        was_recording = self.recording
         self.recording = False
         # NOTE: `waiting` stays sticky — a WAIT status followed by the
         # server closing must still read as "server full" to callers.
+        # Auto-reconnect (client.py:301-313): only for unexpected drops of a
+        # live session, never after a server-reported error or WAIT.
+        if (
+            was_recording
+            and not self._closing
+            and not self.server_error
+            and not self.waiting
+            and self._retries_left > 0
+        ):
+            self._retries_left -= 1
+            logger.info(
+                "connection lost; reconnecting in %.1fs (%d retries left)",
+                self.retry_delay, self._retries_left,
+            )
+            threading.Timer(self.retry_delay, self._reconnect).start()
+
+    def _reconnect(self) -> None:
+        if self._closing:
+            return
+        try:
+            self._connect()
+        except Exception:
+            logger.exception("reconnect failed")
 
     def on_open(self, ws) -> None:
         """Send handshake options (client.py:315-349)."""
@@ -252,6 +278,7 @@ class Client:
             logger.error("failed to send packet: %s", e)
 
     def close_websocket(self) -> None:
+        self._closing = True
         try:
             self.client_socket.close()
         except Exception:

@@ -1,0 +1,255 @@
+"""Functional JAX M2M100/SMALL100 — the translation model on TPU.
+
+The reference translates committed segments with SMALL100 (an M2M100
+variant) through torch on CPU (whisper_live/backend/translation_backend.py).
+This port runs the same checkpoints as jitted XLA programs so translation
+shares the TPU with transcription instead of competing for the host core.
+
+Architecture (HF M2M100ForConditionalGeneration conventions, verified by
+the parity test in tests/test_m2m100.py):
+  * shared token embedding scaled by sqrt(d_model); tied lm_head
+  * fairseq-style sinusoidal positions with offset 2 (padding_idx = 1,
+    unpadded position i embeds as table[i + 2])
+  * pre-norm transformer, ReLU MLP, all attention projections biased
+  * final layer_norm on both encoder and decoder
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisperlive_tpu.models.whisper import (
+    _attention,
+    _layer_norm,
+    _linear,
+    _merge_heads,
+    _split_heads,
+)
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class M2M100Config:
+    vocab_size: int = 128112
+    d_model: int = 1024
+    encoder_layers: int = 12
+    decoder_layers: int = 12
+    heads: int = 16
+    ffn_dim: int = 4096
+    max_positions: int = 1024
+    pad_token_id: int = 1
+    eos_token_id: int = 2
+    dtype: Any = jnp.float32
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def config_from_hf(hf: Mapping[str, Any]) -> M2M100Config:
+    return M2M100Config(
+        vocab_size=hf["vocab_size"],
+        d_model=hf["d_model"],
+        encoder_layers=hf["encoder_layers"],
+        decoder_layers=hf["decoder_layers"],
+        heads=hf["encoder_attention_heads"],
+        ffn_dim=hf["encoder_ffn_dim"],
+        max_positions=hf.get("max_position_embeddings", 1024),
+        pad_token_id=hf.get("pad_token_id", 1),
+        eos_token_id=hf.get("eos_token_id", 2),
+    )
+
+
+def sinusoidal_positions(n_positions: int, dim: int, padding_idx: int = 1) -> np.ndarray:
+    """fairseq/M2M100 sinusoid table (cat[sin, cos], padding row zeroed)."""
+    half = dim // 2
+    emb = np.log(10000.0) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb)
+    args = np.arange(n_positions)[:, None] * freqs[None, :]
+    table = np.concatenate([np.sin(args), np.cos(args)], axis=1)
+    if dim % 2:
+        table = np.concatenate([table, np.zeros((n_positions, 1))], axis=1)
+    table[padding_idx] = 0.0
+    return table.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Conversion
+# ---------------------------------------------------------------------------
+
+
+def _t(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, np.float32)
+
+
+def _attn_p(sd, prefix):
+    return {
+        "q": {"w": _t(sd[f"{prefix}.q_proj.weight"]).T, "b": _t(sd[f"{prefix}.q_proj.bias"])},
+        "k": {"w": _t(sd[f"{prefix}.k_proj.weight"]).T, "b": _t(sd[f"{prefix}.k_proj.bias"])},
+        "v": {"w": _t(sd[f"{prefix}.v_proj.weight"]).T, "b": _t(sd[f"{prefix}.v_proj.bias"])},
+        "o": {"w": _t(sd[f"{prefix}.out_proj.weight"]).T, "b": _t(sd[f"{prefix}.out_proj.bias"])},
+    }
+
+
+def _ln_p(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _block_p(sd, prefix, cross: bool):
+    p = {
+        "attn": _attn_p(sd, f"{prefix}.self_attn"),
+        "attn_ln": _ln_p(sd, f"{prefix}.self_attn_layer_norm"),
+        "mlp": {
+            "fc1": {"w": _t(sd[f"{prefix}.fc1.weight"]).T, "b": _t(sd[f"{prefix}.fc1.bias"])},
+            "fc2": {"w": _t(sd[f"{prefix}.fc2.weight"]).T, "b": _t(sd[f"{prefix}.fc2.bias"])},
+        },
+        "mlp_ln": _ln_p(sd, f"{prefix}.final_layer_norm"),
+    }
+    if cross:
+        p["cross_attn"] = _attn_p(sd, f"{prefix}.encoder_attn")
+        p["cross_attn_ln"] = _ln_p(sd, f"{prefix}.encoder_attn_layer_norm")
+    return p
+
+
+def params_from_state_dict(sd: Mapping[str, Any], cfg: M2M100Config) -> Params:
+    sd = dict(sd)
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    def stack(blocks):
+        return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *blocks)
+
+    enc = [_block_p(sd, f"encoder.layers.{i}", False) for i in range(cfg.encoder_layers)]
+    dec = [_block_p(sd, f"decoder.layers.{i}", True) for i in range(cfg.decoder_layers)]
+    return {
+        "embed": jnp.asarray(_t(sd["shared.weight"])),
+        "pos": jnp.asarray(
+            sinusoidal_positions(cfg.max_positions + 2, cfg.d_model, cfg.pad_token_id)
+        ),
+        "encoder": {
+            "layers": stack(enc),
+            "ln": _ln_p(sd, "encoder.layer_norm"),
+        },
+        "decoder": {
+            "layers": stack(dec),
+            "ln": _ln_p(sd, "decoder.layer_norm"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _block(x, lp, heads, mask=None, enc=None, enc_mask=None):
+    h = _layer_norm(x, lp["attn_ln"])
+    q = _split_heads(_linear(h, lp["attn"]["q"]), heads)
+    k = _split_heads(_linear(h, lp["attn"]["k"]), heads)
+    v = _split_heads(_linear(h, lp["attn"]["v"]), heads)
+    out, _ = _attention(q, k, v, mask)
+    x = x + _linear(_merge_heads(out), lp["attn"]["o"])
+    if enc is not None:
+        h = _layer_norm(x, lp["cross_attn_ln"])
+        qc = _split_heads(_linear(h, lp["cross_attn"]["q"]), heads)
+        kc = _split_heads(_linear(enc, lp["cross_attn"]["k"]), heads)
+        vc = _split_heads(_linear(enc, lp["cross_attn"]["v"]), heads)
+        out, _ = _attention(qc, kc, vc, enc_mask)
+        x = x + _linear(_merge_heads(out), lp["cross_attn"]["o"])
+    h = _layer_norm(x, lp["mlp_ln"])
+    h = _linear(jax.nn.relu(_linear(h, lp["mlp"]["fc1"])), lp["mlp"]["fc2"])
+    return x + h
+
+
+def _embed(params, cfg, tokens, positions):
+    scale = jnp.asarray(np.sqrt(cfg.d_model), cfg.dtype)
+    x = params["embed"].astype(cfg.dtype)[tokens] * scale
+    # fairseq offset-2 positions for unpadded sequences
+    return x + params["pos"].astype(cfg.dtype)[positions + 2]
+
+
+def encode(
+    params: Params, cfg: M2M100Config, tokens: jax.Array,
+    pad_mask: jax.Array | None = None,
+) -> jax.Array:
+    """tokens [B, T]; pad_mask [B, T] bool (True = real token). With a mask,
+    padded key positions are excluded from self-attention (bucket-padded
+    inputs stay numerically identical to unpadded ones)."""
+    b, t = tokens.shape
+    pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    x = _embed(params, cfg, tokens, pos)
+    mask = None if pad_mask is None else pad_mask[:, None, None, :]
+
+    def body(x, lp):
+        return _block(x, lp, cfg.heads, mask=mask), None
+
+    x, _ = jax.lax.scan(body, x, params["encoder"]["layers"])
+    return _layer_norm(x, params["encoder"]["ln"])
+
+
+def decode(
+    params: Params, cfg: M2M100Config, tokens: jax.Array, enc: jax.Array,
+    enc_mask: jax.Array | None = None,
+):
+    """Teacher-forced decoder pass -> logits [B, T, V]."""
+    b, t = tokens.shape
+    pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    x = _embed(params, cfg, tokens, pos)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    emask = None if enc_mask is None else enc_mask[:, None, None, :]
+
+    def body(x, lp):
+        return _block(x, lp, cfg.heads, mask=causal, enc=enc, enc_mask=emask), None
+
+    x, _ = jax.lax.scan(body, x, params["decoder"]["layers"])
+    x = _layer_norm(x, params["decoder"]["ln"])
+    return jnp.dot(
+        x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+
+
+def generate_greedy(
+    params: Params,
+    cfg: M2M100Config,
+    src_tokens: jax.Array,  # [B, T_src]
+    forced_bos: jax.Array,  # [B] target-language token id
+    max_new: int = 200,
+) -> jax.Array:
+    """Greedy generation -> [B, max_new] (eos-padded).
+
+    Decoder input starts [eos, lang] (HF decoder_start_token_id = eos).
+    Simple full-recompute loop (translation segments are short; KV caching
+    like the whisper decoder is a follow-up optimization).
+    """
+    b = src_tokens.shape[0]
+    src_mask = src_tokens != cfg.pad_token_id
+    enc = encode(params, cfg, src_tokens, pad_mask=src_mask)
+    buf = jnp.full((b, max_new + 2), cfg.pad_token_id, jnp.int32)
+    buf = buf.at[:, 0].set(cfg.eos_token_id)
+    buf = buf.at[:, 1].set(forced_bos)
+
+    def body(carry):
+        buf, i, done = carry
+        logits = decode(params, cfg, buf[:, : max_new + 2], enc, enc_mask=src_mask)
+        # next token predicted at position i (0-indexed current length i+1)
+        nxt = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt)
+        buf = buf.at[:, i + 1].set(nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return buf, i + 1, done
+
+    def cond(carry):
+        _, i, done = carry
+        return (i < max_new + 1) & ~jnp.all(done)
+
+    buf, _, _ = jax.lax.while_loop(
+        cond, body, (buf, jnp.int32(1), jnp.zeros((b,), bool))
+    )
+    return buf[:, 2:]

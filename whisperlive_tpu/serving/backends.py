@@ -31,8 +31,12 @@ from whisperlive_tpu.serving.session import SessionOptions
 logger = logging.getLogger(__name__)
 
 
-STREAMING_MAX_NEW_TOKENS = 224  # generation budget per 30 s window; keeps
-# the decode program on the 256-slot KV-cache bucket (engine.gen_buckets)
+import os
+
+# Generation budget per 30 s window (<=224 keeps the decode program on the
+# 256-slot KV-cache bucket). Overridable for load tests with random weights,
+# where decoding never hits EOT early (real speech is ~3-4 tokens/s).
+STREAMING_MAX_NEW_TOKENS = int(os.environ.get("WL_STREAM_MAX_TOKENS", "224"))
 
 
 def transcribe_options_from_session(
@@ -58,8 +62,10 @@ class TpuBackend:
         scheduler: BatchScheduler,
         use_vad_default: bool = True,
         vad_threshold: float = 0.5,
+        model_name: str | None = None,
     ):
         self.scheduler = scheduler
+        self.model_name = model_name
         self.use_vad_default = use_vad_default
         self._vads: dict[str, object] = {}
         self._vad_threshold = vad_threshold

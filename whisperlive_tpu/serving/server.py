@@ -315,6 +315,22 @@ class TranscriptionServer:
         if audio_format not in ("float32", "int16", "uint8"):
             audio_format = "float32"
 
+        # The engine serves ONE model; a client asking for a different size
+        # gets a WARNING (the reference's single-model mode does the same,
+        # faster_whisper_backend.py:100-105 + server WARNING path).
+        served_model = getattr(self.backend, "model_name", None)
+        if served_model and options.model not in (served_model, "small"):
+            await websocket.send(
+                json.dumps(
+                    {
+                        "uid": uid,
+                        "status": "WARNING",
+                        "message": f"server is running model '{served_model}'; "
+                        f"ignoring requested model '{options.model}'",
+                    }
+                )
+            )
+
         client = ServeClient(
             websocket,
             uid=uid,

@@ -78,8 +78,97 @@ class HFTranslator:
         return tok.batch_decode(out, skip_special_tokens=True)[0]
 
 
-def make_translator(model_dir: Optional[str] = None) -> Translator:
+class JAXTranslator:
+    """M2M100/SMALL100 on the accelerator (models/m2m100.py).
+
+    Loads an on-disk HF checkpoint dir; text tokenization still comes from
+    the checkpoint's tokenizer (via transformers). Source lengths are padded
+    to buckets so the jitted generate program is reused across segments.
+    """
+
+    _lock = threading.Lock()
+    _shared: dict[str, "JAXTranslator"] = {}
+
+    SRC_BUCKETS = (16, 32, 64, 128, 256)
+
+    def __init__(self, model_dir: str, max_new: int = 200):
+        import json
+        import os
+
+        import jax
+        import jax.numpy as jnp
+        import safetensors.numpy
+        from transformers import AutoTokenizer
+
+        from whisperlive_tpu.models import m2m100 as m2m
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            self.cfg = m2m.config_from_hf(json.load(f))
+        sd = safetensors.numpy.load_file(os.path.join(model_dir, "model.safetensors"))
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        self.cfg = self.cfg.replace(dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+        params = m2m.params_from_state_dict(sd, self.cfg)
+        if on_tpu:
+            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        self.params = params
+        self.tokenizer = AutoTokenizer.from_pretrained(model_dir)
+        self.max_new = max_new
+        self._generate = jax.jit(
+            lambda p, src, bos: m2m.generate_greedy(
+                p, self.cfg, src, bos, max_new=max_new
+            )
+        )
+        self._lang_lock = threading.Lock()
+
+    @classmethod
+    def shared(cls, model_dir: str) -> "JAXTranslator":
+        with cls._lock:
+            if model_dir not in cls._shared:
+                cls._shared[model_dir] = cls(model_dir)
+            return cls._shared[model_dir]
+
+    def _lang_id(self, code: str) -> int:
+        tok = self.tokenizer
+        if hasattr(tok, "get_lang_id"):
+            return tok.get_lang_id(code)
+        return tok.convert_tokens_to_ids(f"__{code}__")
+
+    def translate(self, text: str, target_language: str) -> str:
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        ids = self.tokenizer(text).input_ids
+        bucket = next(
+            (b for b in self.SRC_BUCKETS if len(ids) <= b), self.SRC_BUCKETS[-1]
+        )
+        src = np.full((1, bucket), self.cfg.pad_token_id, np.int32)
+        src[0, : min(len(ids), bucket)] = ids[:bucket]
+        out = np.asarray(
+            self._generate(
+                self.params, jnp.asarray(src),
+                jnp.asarray([self._lang_id(target_language)], jnp.int32),
+            )
+        )[0]
+        eos = np.where(out == self.cfg.eos_token_id)[0]
+        if len(eos):
+            out = out[: eos[0]]
+        return self.tokenizer.decode(
+            [int(t) for t in out], skip_special_tokens=True
+        )
+
+
+def make_translator(
+    model_dir: Optional[str] = None, prefer_jax: bool = True
+) -> Translator:
     if model_dir:
+        if prefer_jax:
+            try:
+                return JAXTranslator.shared(model_dir)
+            except Exception:
+                logger.exception(
+                    "JAX translator failed to load from %s; trying torch", model_dir
+                )
         try:
             return HFTranslator.shared(model_dir)
         except Exception:

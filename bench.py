@@ -69,18 +69,18 @@ def main() -> None:
         p, s = engine.build_prompt(options)
         prompts.append(p)
         sots.append(s)
+    known = [True] * BATCH
 
-    # warmup / compile
-    enc, cross = engine.prepare(audio)
-    jax.block_until_ready(cross)
-    engine.decode_batch(cross, prompts, sots, options, seed=0)
+    # warmup / compile (the fused single-dispatch serving program)
+    engine.transcribe_batch(audio, prompts, sots, known, options, seed=0)
 
     t0 = time.monotonic()
     total_audio = 0.0
     total_tokens = 0
     for i in range(ITERS):
-        _, cross = engine.prepare(audio)
-        results = engine.decode_batch(cross, prompts, sots, options, seed=i)
+        results, _, _ = engine.transcribe_batch(
+            audio, prompts, sots, known, options, seed=i
+        )
         total_audio += BATCH * WINDOW_S
         total_tokens += sum(len(r.tokens) for r in results)
     wall = time.monotonic() - t0

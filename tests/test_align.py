@@ -79,3 +79,27 @@ def test_engine_align_words_shapes(tiny_engine, rng):
         assert 0.0 <= w.probability <= 1.0
     # words reconstruct the text
     assert "".join(w.word for w in timings).strip().startswith("hello")
+
+
+def test_word_anomaly_score():
+    W = align_mod.WordTiming
+    good = W(" hello", [1], 0.0, 0.4, 0.9)
+    assert align_mod.word_anomaly_score(good) == 0.0
+    low_prob = W(" x", [1], 0.0, 0.4, 0.05)
+    assert align_mod.word_anomaly_score(low_prob) >= 1.0
+    too_short = W(" x", [1], 0.0, 0.01, 0.9)
+    assert align_mod.word_anomaly_score(too_short) > 1.0
+    too_long = W(" xxxx", [1], 0.0, 4.0, 0.9)
+    assert align_mod.word_anomaly_score(too_long) == pytest.approx(2.0)
+
+
+def test_is_segment_anomaly():
+    W = align_mod.WordTiming
+    good = [W(f" w{i}", [i], i * 0.3, i * 0.3 + 0.25, 0.9) for i in range(6)]
+    assert align_mod.is_segment_anomaly(good) is False
+    bad = [W(f" w{i}", [i], 0.0, 0.01, 0.05) for i in range(6)]
+    assert align_mod.is_segment_anomaly(bad) is True
+    assert align_mod.is_segment_anomaly([]) is False
+    # punctuation-only words don't count
+    punct = [W(".", [1], 0.0, 0.01, 0.01)]
+    assert align_mod.is_segment_anomaly(punct) is False

@@ -55,18 +55,34 @@ class FakeEngine:
     def build_prompt(self, options, previous_tokens=(), language=None):
         return [50258], 0
 
+    def _result(self):
+        return DecodeResult(
+            tokens=np.array([50364, 100, 101, 50374], np.int32),
+            avg_logprob=-0.2,
+            no_speech_prob=0.01,
+            compression_ratio=1.0,
+            temperature=0.0,
+        )
+
     def decode_with_fallback(self, cross, prompts, sots, options, seed=0):
         self.decode_calls.append(len(prompts))
-        return [
-            DecodeResult(
-                tokens=np.array([50364, 100, 101, 50374], np.int32),
-                avg_logprob=-0.2,
-                no_speech_prob=0.01,
-                compression_ratio=1.0,
-                temperature=0.0,
-            )
-            for _ in prompts
-        ]
+        return [self._result() for _ in prompts]
+
+    def transcribe_batch(self, audio, prompts, sots, lang_known, options, seed=0):
+        if self.fail_next:
+            self.fail_next = False
+            raise RuntimeError("device exploded")
+        self.prepare_calls.append(audio.shape)
+        self.decode_calls.append(len(prompts))
+
+        class _Cross:
+            shape = (2, 2, audio.shape[0], 10, 2, 4)
+
+        return (
+            [self._result() for _ in prompts],
+            [("en", 0.9)] * len(prompts),
+            _Cross(),
+        )
 
 
 @pytest.fixture()

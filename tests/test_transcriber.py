@@ -140,3 +140,31 @@ def test_batched_transcriber_multiple_files(engine, rng):
         assert info.duration == pytest.approx(len(audio) / 16000)
         for s in segments:
             assert s.start >= 0
+
+
+def test_fused_transcribe_matches_split(engine, rng):
+    """The single-dispatch fused program must equal prepare+detect+decode."""
+    from whisperlive_tpu.ops import mel as mel_ops
+
+    audio = np.zeros((1, mel_ops.N_SAMPLES), np.float32)
+    audio[0, : 16000 * 3] = (rng.standard_normal(16000 * 3) * 0.1)
+    opts = TranscribeOptions(
+        language=None, temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=10,
+    )
+    # split path
+    _, cross = engine.prepare(audio)
+    (lang, prob), = engine.detect_language_from_cross(cross)
+    p, s = engine.build_prompt(opts, language=lang)
+    (split_res,) = engine.decode_batch(cross, [p], [s], opts, seed=7)
+
+    # fused path with a placeholder language token
+    p2, s2 = engine.build_prompt(opts, language="en")
+    (fused_res,), langs, _ = engine.transcribe_batch(
+        audio, [p2], [s2], [False], opts, seed=7
+    )
+    assert langs[0][0] == lang
+    np.testing.assert_array_equal(fused_res.tokens, split_res.tokens)
+    assert fused_res.avg_logprob == pytest.approx(split_res.avg_logprob, abs=1e-4)
+    assert fused_res.no_speech_prob == pytest.approx(split_res.no_speech_prob, abs=1e-4)

@@ -21,7 +21,6 @@ learned JAX VAD can be dropped in without touching call sites.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Callable, List, Optional
 
 import numpy as np

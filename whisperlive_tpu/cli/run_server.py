@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Override engine compute dtype.")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel degree over the local device mesh.")
+    parser.add_argument("--profile_dir", type=str,
+                        default=os.environ.get("WL_PROFILE_DIR"),
+                        help="Write JAX profiler (xprof) traces to this dir.")
     parser.add_argument("--no_warmup", action="store_true",
                         help="Skip compiling the serving programs at startup.")
     parser.add_argument("--compilation_cache", type=str,
@@ -108,7 +111,7 @@ def create_backend(args):
             cfg, params = convert_mod.load_converted(ckpt)
         tok_file = os.path.join(ckpt, "tokenizer.json")
         if os.path.exists(tok_file):
-            from whisperlive_tpu.engine.tokenizer import TokenSpec, WhisperTokenizer
+            from whisperlive_tpu.engine.tokenizer import WhisperTokenizer
 
             tokenizer = WhisperTokenizer.from_files(
                 cfg.n_vocab, tok_file, multilingual=cfg.n_vocab >= 51865
@@ -145,7 +148,11 @@ def create_backend(args):
     engine = WhisperEngine(cfg, params, tokenizer=tokenizer,
                            compute_dtype=compute_dtype, shardings=shardings)
     if not args.no_warmup:
-        engine.warmup(batch_sizes={1, args.batch_max_size})
+        # every bucket the scheduler can produce — a cold compile at runtime
+        # stalls all live streams for minutes on this class of deployment
+        engine.warmup(
+            batch_sizes={b for b in engine.batch_buckets if b <= args.batch_max_size}
+        )
     scheduler = BatchScheduler(
         engine,
         max_batch_size=args.batch_max_size,
@@ -163,6 +170,11 @@ def main(argv=None) -> None:
         logging.warning("backend %r is a legacy name; serving with the TPU engine",
                         args.backend)
     os.environ["OMP_NUM_THREADS"] = str(args.omp_num_threads)
+
+    if args.profile_dir:
+        from whisperlive_tpu.utils.profiling import start_profiler
+
+        start_profiler(args.profile_dir)
 
     backend, name = create_backend(args)
 

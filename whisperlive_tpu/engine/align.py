@@ -192,6 +192,37 @@ def merge_punctuations(words: list[WordTiming]) -> list[WordTiming]:
     return [w for w in words if w.tokens]
 
 
+_PUNCT_ONLY = set('"\'.。,，!！?？:：")]}、 ')
+
+
+def word_anomaly_score(word) -> float:
+    """Suspiciousness of one aligned word (hallucination heuristic,
+    transcriber_faster_whisper.py:1189-1290 semantics): low probability,
+    impossibly short, or absurdly long words score up."""
+    probability = getattr(word, "probability", 1.0)
+    duration = word.end - word.start
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15.0
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def is_segment_anomaly(words) -> bool:
+    """True if a segment's words look hallucinated (first 8 content words
+    scoring >= 3, or nearly every word anomalous)."""
+    if not words:
+        return False
+    content = [w for w in words if w.word.strip() not in _PUNCT_ONLY][:8]
+    if not content:
+        return False
+    score = sum(word_anomaly_score(w) for w in content)
+    return score >= 3.0 or score + 0.01 >= len(content)
+
+
 def words_for_segment(
     timings: list[WordTiming], seg_start: float, seg_end: float
 ) -> list[Word]:

@@ -27,7 +27,6 @@ at the next temperature.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import threading
 import zlib
@@ -77,6 +76,8 @@ class TranscribeOptions:
     beam_size: int = 1  # >1 runs the batched beam-search program (T=0)
     length_penalty: float = 1.0
     no_repeat_ngram_size: int = 0
+    # with word_timestamps: drop anomalous (hallucination-suspect) segments
+    hallucination_silence_threshold: float | None = None
 
 
 @dataclasses.dataclass
@@ -104,6 +105,32 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
         if n <= b:
             return b
     return buckets[-1]
+
+
+def fails_quality_gates(options: TranscribeOptions, r: DecodeResult) -> bool:
+    """Temperature-fallback gate (generate_with_fallback semantics,
+    transcriber_faster_whisper.py:1350-1478): re-decode when the output
+    fails the compression-ratio or avg-logprob checks — unless it is
+    confidently silence."""
+    needs = False
+    if (
+        options.compression_ratio_threshold is not None
+        and r.compression_ratio > options.compression_ratio_threshold
+    ):
+        needs = True
+    if (
+        options.log_prob_threshold is not None
+        and r.avg_logprob < options.log_prob_threshold
+    ):
+        needs = True
+    if (
+        options.no_speech_threshold is not None
+        and r.no_speech_prob > options.no_speech_threshold
+        and options.log_prob_threshold is not None
+        and r.avg_logprob < options.log_prob_threshold
+    ):
+        needs = False  # silence — keep, caller skips
+    return needs
 
 
 class WhisperEngine:
@@ -378,6 +405,50 @@ class WhisperEngine:
             probs = jax.nn.softmax(logits, axis=-1)
             return probs[:, lang_ids]  # [B, num_languages]
 
+        multilingual = self.tokenizer.spec.multilingual
+
+        def _detect_decode(
+            params,
+            cross_kv,
+            prompts,
+            prompt_len,
+            sot_idx,
+            lang_known,  # [B] bool — False: detect + splice the lang token
+            suppress_mask,
+            ts_enabled,
+            temperature,
+            rep_penalty,
+            max_new,
+            key,
+            cache_len: int = 0,
+            no_repeat_ngram: int = 0,
+        ):
+            """Fused language-ID + decode in one dispatch: detects languages
+            for unpinned items, splices the detected token into the prompt on
+            device, then runs the sampling loop. NOTE: prepare stays a
+            SEPARATE program on purpose — the program boundary is what forces
+            the decode loop to stream the cross-KV as int8 (fusing them lets
+            XLA hoist the dequant out of the while-loop and the reads revert
+            to bf16; measured -25% throughput).
+            Returns (+ lang_probs) on top of _decode's outputs."""
+            b = prompts.shape[0]
+            if multilingual:
+                lang_probs = _detect(params, cross_kv)
+                lang_ids = jnp.asarray(self.tokenizer.spec.all_language_tokens)
+                detected = lang_ids[jnp.argmax(lang_probs, axis=-1)].astype(jnp.int32)
+                lang_pos = jnp.clip(sot_idx + 1, 0, prompts.shape[1] - 1)
+                given = prompts[jnp.arange(b), lang_pos]
+                tok = jnp.where(lang_known, given, detected)
+                prompts = prompts.at[jnp.arange(b), lang_pos].set(tok)
+            else:
+                lang_probs = jnp.zeros((b, 1), jnp.float32)
+            out = _decode(
+                params, cross_kv, prompts, prompt_len, sot_idx, suppress_mask,
+                ts_enabled, temperature, rep_penalty, max_new, key,
+                cache_len, no_repeat_ngram,
+            )
+            return (*out, lang_probs)
+
         def _align(params, cross_kv, tokens, text_len):
             return wmod.decode_with_cross_attn(params, cfgc, tokens, text_len, cross_kv)
 
@@ -385,6 +456,7 @@ class WhisperEngine:
         self._prepare_mel_fn = jax.jit(_prepare_mel)
         self._decode_fn = jax.jit(_decode, static_argnums=(11, 12))
         self._decode_beam_fn = jax.jit(_decode_beam, static_argnums=(9, 11, 12))
+        self._detect_decode_fn = jax.jit(_detect_decode, static_argnums=(12, 13))
         self._detect_fn = jax.jit(_detect)
         self._align_fn = jax.jit(_align)
 
@@ -479,11 +551,11 @@ class WhisperEngine:
         for b in sorted(set(batch_sizes)):
             logger.info("warmup: compiling programs for batch=%d", b)
             audio = np.zeros((b, mel_ops.N_SAMPLES), np.float32)
-            _, cross = self.prepare(audio)
-            if detect and self.tokenizer.spec.multilingual:
-                self.detect_language_from_cross(cross)
             prompt, sot = self.build_prompt(options, language="en")
-            self.decode_batch(cross, [prompt] * b, [sot] * b, options)
+            # the serving hot path: one fused program per batch bucket
+            self.transcribe_batch(
+                audio, [prompt] * b, [sot] * b, [True] * b, options
+            )
         logger.info("warmup complete")
 
     def prepare(self, audio: np.ndarray):
@@ -575,6 +647,11 @@ class WhisperEngine:
                     cache_len,
                     options.no_repeat_ngram_size,
                 )
+        return self._extract_results(tokens, gen_len, sum_lp, ns_prob, temps, n_real)
+
+    def _extract_results(
+        self, tokens, gen_len, sum_lp, ns_prob, temps, n_real
+    ) -> list[DecodeResult]:
         tokens = np.asarray(tokens)
         gen_len = np.asarray(gen_len)
         sum_lp = np.asarray(sum_lp)
@@ -598,6 +675,69 @@ class WhisperEngine:
                 )
             )
         return results
+
+    def transcribe_batch(
+        self,
+        audio: np.ndarray,  # [B_bucket, N_SAMPLES] float32
+        prompts: list[list[int]],
+        sot_indices: Sequence[int],
+        lang_known: Sequence[bool],
+        options: TranscribeOptions,
+        seed: int = 0,
+    ) -> tuple[list[DecodeResult], list[tuple[str, float]], Any]:
+        """Attempt-1 transcription of a window batch.
+
+        Items with lang_known[i] == False get their prompt's language token
+        spliced in from on-device detection. Two dispatches: prepare, then a
+        fused language-ID+decode program. Returns (results,
+        [(language, prob)] per item). Gate failures should be retried via
+        decode_with_fallback at the next temperatures."""
+        b = audio.shape[0]
+        _, cross_kv = self.prepare(audio)
+        n_real = len(prompts)
+        prompts = list(prompts) + [[self.spec.eot + 1]] * (b - n_real)
+        sot_idx = np.asarray(list(sot_indices) + [0] * (b - n_real), np.int32)
+        known = np.asarray(list(lang_known) + [True] * (b - n_real))
+        temps = np.full((b,), options.temperatures[0], np.float32)
+        prompt_arr, prompt_len = self._pad_prompts(prompts)
+        prompt_pad = prompt_arr.shape[1]
+        requested = (
+            options.max_new_tokens
+            if options.max_new_tokens is not None
+            else self.cfg.n_text_ctx
+        )
+        cache_len = min(
+            prompt_pad + _bucket(min(requested, self.cfg.n_text_ctx), self.gen_buckets),
+            self.cfg.n_text_ctx,
+        )
+        with self._lock:
+            tokens, gen_len, sum_lp, ns_prob, lang_probs = self._detect_decode_fn(
+                self.params,
+                cross_kv,
+                jnp.asarray(prompt_arr),
+                jnp.asarray(prompt_len),
+                jnp.asarray(sot_idx),
+                jnp.asarray(known),
+                self.suppress_mask_for(options),
+                jnp.asarray(~np.full((b,), options.without_timestamps)),
+                jnp.asarray(temps),
+                jnp.full((b,), options.repetition_penalty, np.float32),
+                np.int32(requested),
+                jax.random.PRNGKey(seed),
+                cache_len,
+                options.no_repeat_ngram_size,
+            )
+        results = self._extract_results(tokens, gen_len, sum_lp, ns_prob, temps, n_real)
+        langs: list[tuple[str, float]] = []
+        if self.tokenizer.spec.multilingual:
+            lang_probs = np.asarray(lang_probs)
+            codes = self.tokenizer.spec.language_codes
+            for i in range(n_real):
+                j = int(np.argmax(lang_probs[i]))
+                langs.append((codes[j], float(lang_probs[i][j])))
+        else:
+            langs = [("en", 1.0)] * n_real
+        return results, langs, cross_kv
 
     def align_words(
         self,
@@ -681,25 +821,7 @@ class WhisperEngine:
             for j, item in enumerate(pending):
                 r = decoded[j]
                 results[item] = r
-                needs_fallback = False
-                if (
-                    options.compression_ratio_threshold is not None
-                    and r.compression_ratio > options.compression_ratio_threshold
-                ):
-                    needs_fallback = True
-                if (
-                    options.log_prob_threshold is not None
-                    and r.avg_logprob < options.log_prob_threshold
-                ):
-                    needs_fallback = True
-                if (
-                    options.no_speech_threshold is not None
-                    and r.no_speech_prob > options.no_speech_threshold
-                    and options.log_prob_threshold is not None
-                    and r.avg_logprob < options.log_prob_threshold
-                ):
-                    needs_fallback = False  # silence — keep, caller skips
-                if needs_fallback:
+                if fails_quality_gates(options, r):
                     still_failed.append(item)
             pending = still_failed
             if not pending or t_i == len(options.temperatures) - 1:

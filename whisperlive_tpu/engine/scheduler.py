@@ -3,8 +3,8 @@
 The TPU-native analogue of the reference's `BatchInferenceWorker`
 (whisper_live/batch_inference.py): N sessions submit 30 s windows; a single
 worker thread drains the queue, groups compatible requests into a fixed
-batch-size bucket, and runs the engine's three programs (prepare → detect →
-decode-with-fallback). Differences by design:
+batch-size bucket, and runs the engine's hot path: prepare (mel->encoder->
+cross-KV) plus ONE fused language-ID+decode program. Differences by design:
 
   * Every shape is padded to a bucket — there are no ragged batches and so
     no recompilation as occupancy churns (the reference re-encodes ragged
@@ -58,7 +58,13 @@ class BatchRequest:
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
 
     def group_key(self):
-        return (self.options.suppress_tokens, self.options.suppress_blank)
+        # word_timestamps picks the split (alignment-capable) device path,
+        # so batches must be homogeneous in it
+        return (
+            self.options.suppress_tokens,
+            self.options.suppress_blank,
+            self.options.word_timestamps,
+        )
 
 
 @dataclasses.dataclass
@@ -168,7 +174,7 @@ class BatchScheduler:
             durations.append(len(a) / mel_ops.SAMPLE_RATE)
 
         # Pad batch dim to a bucket so occupancy churn reuses one program.
-        from whisperlive_tpu.engine.engine import _bucket
+        from whisperlive_tpu.engine.engine import _bucket, fails_quality_gates
 
         bucket = _bucket(n, eng.batch_buckets)
         if bucket > n:
@@ -176,38 +182,91 @@ class BatchScheduler:
                 [audio, np.zeros((bucket - n, mel_ops.N_SAMPLES), np.float32)]
             )
 
-        _, cross_kv = eng.prepare(audio)
-
-        # Per-item language detection for requests that didn't pin one
-        # (batch_inference.py:273-310 does the same per item).
-        detected = None
-        languages: list[Optional[str]] = []
-        language_probs = []
-        for req in batch:
-            lang = req.language or req.options.language
-            languages.append(lang)
-            language_probs.append(1.0)
-        if any(l is None for l in languages) and eng.tokenizer.spec.multilingual:
-            detected = eng.detect_language_from_cross(cross_kv)
-            for i in range(n):
-                if languages[i] is None:
-                    languages[i], language_probs[i] = detected[i]
-        for i in range(n):
-            if languages[i] is None:
-                languages[i] = "en"
-
+        languages: list[Optional[str]] = [
+            req.language or req.options.language for req in batch
+        ]
+        lang_known = [lang is not None for lang in languages]
+        language_probs = [1.0] * n
         prompts, sot_idx = [], []
         for i, req in enumerate(batch):
+            # unknown language: build with a placeholder token; the fused
+            # program splices the detected language token in on device
             p, s = eng.build_prompt(
-                req.options, previous_tokens=req.previous_tokens, language=languages[i]
+                req.options,
+                previous_tokens=req.previous_tokens,
+                language=languages[i] or "en",
             )
             prompts.append(p)
             sot_idx.append(s)
 
         self._seed += 1
-        results = eng.decode_with_fallback(
-            cross_kv, prompts, sot_idx, batch[0].options, seed=self._seed
+        need_align = batch[0].options.word_timestamps
+        cross_kv = None
+        if need_align:
+            # Split path: word-timestamp alignment reuses the window's
+            # cross-KV, so it must stay addressable outside the program.
+            _, cross_kv = eng.prepare(audio)
+            if not all(lang_known) and eng.tokenizer.spec.multilingual:
+                det = eng.detect_language_from_cross(cross_kv)
+                for i in range(n):
+                    if languages[i] is None:
+                        languages[i], language_probs[i] = det[i]
+                        prompts[i], sot_idx[i] = eng.build_prompt(
+                            batch[i].options,
+                            previous_tokens=batch[i].previous_tokens,
+                            language=languages[i],
+                        )
+            results = eng.decode_with_fallback(
+                cross_kv, prompts, sot_idx, batch[0].options, seed=self._seed
+            )
+        else:
+            # Common case: attempt 1 is ONE fused device program (mel ->
+            # encoder -> language ID -> prompt splice -> decode). Per-program
+            # dispatch overhead through the serving transport is substantial,
+            # so the hot path pays it once per batch.
+            results, detected, cross_kv = eng.transcribe_batch(
+                audio, prompts, sot_idx, lang_known, batch[0].options,
+                seed=self._seed,
+            )
+            for i in range(n):
+                if languages[i] is None:
+                    languages[i], language_probs[i] = detected[i]
+
+        # Temperature-fallback retries for gate failures (rare with trained
+        # weights): split path, re-encoding only the failing sub-batch —
+        # still cheaper than the reference, which re-runs VAD+mel+encode on
+        # every retry (batch_inference.py:312-384).
+        options = batch[0].options
+        retry_temps = options.temperatures[1:]
+        failed = (
+            []
+            if need_align  # split path already ran the full fallback cascade
+            else [i for i in range(n) if fails_quality_gates(options, results[i])]
         )
+        if failed and retry_temps:
+            import dataclasses as _dc
+            import jax
+            import jax.numpy as jnp
+
+            retry_bucket = _bucket(len(failed), eng.batch_buckets)
+            idx = jnp.asarray((failed + [failed[-1]] * retry_bucket)[:retry_bucket])
+            cross_sub = jax.tree.map(lambda a: jnp.take(a, idx, axis=2), cross_kv)
+            retry_prompts = []
+            retry_sots = []
+            for i in failed:
+                p, s = eng.build_prompt(
+                    batch[i].options,
+                    previous_tokens=batch[i].previous_tokens,
+                    language=languages[i],
+                )
+                retry_prompts.append(p)
+                retry_sots.append(s)
+            retry_opts = _dc.replace(options, temperatures=retry_temps)
+            retry_results = eng.decode_with_fallback(
+                cross_sub, retry_prompts, retry_sots, retry_opts, seed=self._seed
+            )
+            for j, i in enumerate(failed):
+                results[i] = retry_results[j]
 
         for i, (req, res) in enumerate(zip(batch, results)):
             try:
@@ -239,9 +298,22 @@ class BatchScheduler:
                             continue
                         words = None
                         if timings is not None:
-                            from whisperlive_tpu.engine.align import words_for_segment
+                            from whisperlive_tpu.engine.align import (
+                                is_segment_anomaly,
+                                words_for_segment,
+                            )
 
                             words = words_for_segment(timings, start, end)
+                            if (
+                                req.options.hallucination_silence_threshold
+                                is not None
+                                and is_segment_anomaly(words)
+                            ):
+                                logger.info(
+                                    "[%s] dropping hallucination-suspect "
+                                    "segment %r", req.uid, text[:40],
+                                )
+                                continue
                         segments.append(
                             Segment(
                                 id=j,

@@ -12,9 +12,8 @@ host-side orchestration on numpy token arrays.
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import logging
-from typing import Iterable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 

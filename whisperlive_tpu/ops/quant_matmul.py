@@ -17,7 +17,6 @@ dims — 1280/5120/51866-pad — are arranged to satisfy this).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

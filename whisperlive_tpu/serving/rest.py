@@ -10,7 +10,6 @@ REST requests batch together with live streams on the TPU).
 
 from __future__ import annotations
 
-import asyncio
 import json
 import logging
 import time

@@ -12,7 +12,6 @@ batch sizes.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax

@@ -97,3 +97,49 @@ def test_speech_timestamps_empty_on_silence():
     silence = np.zeros(64000, np.float32)
     assert vad_mod.get_speech_timestamps(silence) == []
     assert len(vad_mod.collect_chunks(silence, [])) == 0
+
+
+def test_learned_vad_available_and_streaming():
+    from whisperlive_tpu.audio.vad_model import LearnedVAD, weights_available
+
+    assert weights_available(), "vad_weights.npz must ship in the repo"
+    vad = LearnedVAD()
+    rng = np.random.default_rng(0)
+    probs = vad.update(rng.standard_normal(16000).astype(np.float32) * 1e-4)
+    assert probs.shape == (31,)
+    assert np.all((probs >= 0) & (probs <= 1))
+    vad.reset()
+    assert np.all(vad.h == 0)
+
+
+def test_learned_vad_beats_energy_on_tones():
+    """A stationary tone at speech-level amplitude fools the energy
+    heuristic but not the learned model; speech-like audio passes both."""
+    from whisperlive_tpu.audio.vad_model import LearnedVAD
+
+    t = np.arange(32000) / 16000
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    # speech-like: harmonics + formant peak + syllabic AM
+    am = 0.5 * (1 + np.sin(2 * np.pi * 4 * t)) ** 1.5
+    speech = (
+        0.3 * am * sum((1.0 / k) * np.sin(2 * np.pi * 150 * k * t) for k in range(1, 10))
+    ).astype(np.float32)
+    speech /= np.abs(speech).max() / 0.3
+
+    learned = LearnedVAD()
+    tone_p = learned.update(tone)
+    learned.reset()
+    speech_p = learned.update(speech)
+    assert np.median(speech_p) > np.median(tone_p)
+    assert np.median(tone_p) < 0.5, "tone must not read as speech"
+    assert np.max(speech_p) > 0.5, "speech-like audio must trigger"
+
+
+def test_vad_detector_uses_learned_by_default():
+    from whisperlive_tpu.audio.vad_model import LearnedVAD
+
+    vad = vad_mod.VoiceActivityDetector()
+    assert isinstance(vad._model, LearnedVAD)
+    # opt-out
+    e = vad_mod.VoiceActivityDetector(use_learned=False)
+    assert isinstance(e._model, vad_mod.EnergyVAD)

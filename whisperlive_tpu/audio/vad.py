@@ -92,6 +92,29 @@ class EnergyVAD:
         return probs
 
 
+def _default_model(use_learned: Optional[bool] = None):
+    """Learned GRU VAD when its weight file ships, else the energy model.
+
+    The learned model (audio/vad_model.py, trained by scripts/train_vad.py
+    on synthetic speech-vs-noise) rejects amplitude-matched tones/chirps the
+    energy heuristic cannot; set use_learned=False (or WL_VAD=energy) to
+    force the heuristic.
+    """
+    import os
+
+    if use_learned is None:
+        use_learned = os.environ.get("WL_VAD", "") != "energy"
+    if use_learned:
+        try:
+            from whisperlive_tpu.audio.vad_model import LearnedVAD, weights_available
+
+            if weights_available():
+                return LearnedVAD()
+        except Exception:  # corrupt/missing weights: fall through
+            pass
+    return EnergyVAD()
+
+
 class VoiceActivityDetector:
     """Streaming gate: `vad(chunk) -> bool` (reference vad.py:131-157)."""
 
@@ -100,10 +123,11 @@ class VoiceActivityDetector:
         threshold: float = 0.5,
         frame_rate: int = SAMPLE_RATE,
         prob_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        use_learned: Optional[bool] = None,
     ):
         self.threshold = threshold
         self.frame_rate = frame_rate
-        self._model = EnergyVAD()
+        self._model = _default_model(use_learned) if prob_fn is None else EnergyVAD()
         self._prob_fn = prob_fn or self._model.update
 
     def reset(self) -> None:

@@ -103,3 +103,17 @@ def test_is_segment_anomaly():
     # punctuation-only words don't count
     punct = [W(".", [1], 0.0, 0.01, 0.01)]
     assert align_mod.is_segment_anomaly(punct) is False
+
+
+def test_engine_align_single_word(tiny_engine, rng):
+    """Single-word alignment must not crash (empty cumsum dtype trap)."""
+    import jax.numpy as jnp
+
+    eng = tiny_engine
+    mel = rng.standard_normal((1, 2 * eng.cfg.n_audio_ctx, 80)).astype(np.float32)
+    _, cross = eng.prepare_mel(jnp.asarray(mel))
+    timings = eng.align_words(
+        cross, 0, eng.tokenizer.encode(" hi"), num_frames=2 * eng.cfg.n_audio_ctx
+    )
+    assert len(timings) == 1
+    assert timings[0].word == " hi"

@@ -122,8 +122,10 @@ def find_alignment_from_attn(
     )
     if not words:
         return []
-    word_boundaries = np.cumsum([len(t) for t in word_tokens[:-1]])
-    word_boundaries = np.concatenate([[0], word_boundaries])
+    # K+1 boundaries over ALL word groups, leading 0 (dtype=int matters:
+    # cumsum of an empty list is float64 and poisons index arithmetic)
+    word_boundaries = np.cumsum([len(t) for t in word_tokens], dtype=np.int64)
+    word_boundaries = np.concatenate([np.zeros(1, np.int64), word_boundaries])
 
     jumps = np.diff(text_indices, prepend=-1) > 0
     jump_times = time_indices[jumps] / TOKENS_PER_SECOND

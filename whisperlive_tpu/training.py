@@ -136,3 +136,57 @@ def init_train_state(
 jax.tree_util.register_dataclass(
     TrainState, data_fields=["params", "opt_state", "step"], meta_fields=[]
 )
+
+
+def save_checkpoint(path: str, state: TrainState, cfg: wmod.WhisperConfig) -> None:
+    """Persist params + optimizer state + step with orbax (the reference has
+    no checkpointing at all; SURVEY §5 'checkpoint/resume: none')."""
+    import dataclasses as dc
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.join(path, "params"), state.params, force=True)
+    ckpt.save(os.path.join(path, "opt_state"), state.opt_state, force=True)
+    meta = {k: v for k, v in dc.asdict(cfg).items()
+            if k not in ("dtype", "fused_encoder_attention")}
+    meta["step"] = int(state.step)
+    with open(os.path.join(path, "train_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(
+    path: str, optimizer: optax.GradientTransformation
+) -> tuple[TrainState, wmod.WhisperConfig]:
+    """Restore a training checkpoint; opt_state structure comes from the
+    optimizer re-initialized on the restored params (orbax restores leaves
+    into that skeleton)."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "train_meta.json")) as f:
+        meta = json.load(f)
+    step = meta.pop("step")
+    cfg = wmod.WhisperConfig(**meta)
+    ckpt = ocp.PyTreeCheckpointer()
+    params = ckpt.restore(os.path.join(path, "params"))
+    import numpy as np
+
+    skeleton = jax.eval_shape(optimizer.init, params)
+    opt_state = ckpt.restore(
+        os.path.join(path, "opt_state"),
+        args=ocp.args.PyTreeRestore(
+            restore_args=jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), skeleton
+            ),
+            item=skeleton,
+        ),
+    )
+    return TrainState(params, opt_state, jnp.asarray(step, jnp.int32)), cfg
+

@@ -342,6 +342,7 @@ class BatchScheduler:
                     req.future.set_exception(e)
 
         dt = time.monotonic() - t0
+        wl_metrics.track_batch_occupancy(n)
         wl_metrics.track_transcription_latency(dt)
         wl_metrics.track_audio_seconds(sum(durations))
         logger.debug("batch of %d done in %.0f ms", n, dt * 1e3)

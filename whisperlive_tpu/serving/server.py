@@ -364,6 +364,7 @@ class TranscriptionServer:
             client.session.translation_queue = client.translator.queue
         self.client_manager.add_client(websocket, client)
         wl_metrics.track_connection_accepted()
+        wl_metrics.set_active_streams(len(self.client_manager.clients))
         client.start()
         await client.send_ready()
         return client
@@ -404,6 +405,7 @@ class TranscriptionServer:
             await client.cleanup()
             self.client_manager.remove_client(websocket)
             wl_metrics.track_connection_closed()
+            wl_metrics.set_active_streams(len(self.client_manager.clients))
 
     # ------------------------------------------------------------------
 

@@ -28,6 +28,7 @@ import time
 import numpy as np
 
 MODEL = os.environ.get("WL_BENCH_MODEL", "large-v3")
+CROSS_BITS = int(os.environ.get("WL_CROSS_BITS", "8"))
 BATCH = int(os.environ.get("WL_BENCH_BATCH", "8"))
 DECODE_TOKENS = int(os.environ.get("WL_BENCH_TOKENS", "120"))
 ITERS = int(os.environ.get("WL_BENCH_ITERS", "4"))
@@ -53,7 +54,8 @@ def main() -> None:
     cfg = WHISPER_CONFIGS[MODEL]
     # bf16 init directly on device: a large-v3 f32 copy alone is ~6 GB HBM
     params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
-    engine = WhisperEngine(cfg, params, batch_buckets=(BATCH,))
+    engine = WhisperEngine(cfg, params, batch_buckets=(BATCH,),
+                           cross_kv_bits=CROSS_BITS)
     options = TranscribeOptions(
         language="en",
         temperatures=(0.0,),  # fallback cascade disabled: fixed work per iter
@@ -97,6 +99,7 @@ def main() -> None:
             "decode_tokens_per_window": DECODE_TOKENS,
             "tokens_per_s": round(total_tokens / wall, 1),
             "wall_s": round(wall, 2),
+            "cross_kv_bits": CROSS_BITS,
             "device": str(jax.devices()[0]),
         },
     }

@@ -49,3 +49,29 @@ def test_int8_matmul_kernels(rng):
     ref2 = x @ jnp.asarray((w8t.astype(np.float32) * st[:, None]).T)
     out2 = int8_matmul_t(x, jnp.asarray(w8t), jnp.asarray(st), block_n=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-3, rtol=1e-3)
+
+
+def test_cross_attention_int4_kernel_matches_jnp(rng):
+    """Pallas int4 cross-attention (interpret mode) vs the jnp unpack path."""
+    from whisperlive_tpu.ops.attention import (
+        cross_attention_int4,
+        pack_int4,
+        unpack_int4,
+    )
+
+    b, t, h, hd = 2, 96, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, h, hd)), jnp.float32)
+    kq = rng.integers(-8, 8, (b, h, t, hd)).astype(np.int8)  # head-major
+    vq = rng.integers(-8, 8, (b, h, t, hd)).astype(np.int8)
+    k4 = pack_int4(jnp.asarray(kq))
+    v4 = pack_int4(jnp.asarray(vq))
+
+    out = np.asarray(cross_attention_int4(q, k4, v4, interpret=True))
+
+    k = np.asarray(unpack_int4(k4)).astype(np.float32).transpose(0, 2, 1, 3)
+    v = np.asarray(unpack_int4(v4)).astype(np.float32).transpose(0, 2, 1, 3)
+    scores = np.einsum("bhd,bthd->bht", np.asarray(q), k) * hd**-0.5
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ref = np.einsum("bht,bthd->bhd", probs, v)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)

@@ -199,3 +199,33 @@ def test_int8_decoder_weights_close(rng, converted):
     ref, out = np.asarray(ref), np.asarray(out)
     assert np.abs(ref - out).max() < 0.15
     assert ref.argmax() == out.argmax()
+
+
+def test_int4_cross_kv_tracks_f32(rng, converted):
+    """Packed int4 cross-KV (jnp unpack path) must track the f32 path
+    closely enough to preserve the argmax on a tiny model."""
+    from whisperlive_tpu.models import whisper as wmod
+    from whisperlive_tpu.ops.attention import pack_int4, unpack_int4
+
+    # pack/unpack round trip
+    vals = np.arange(-8, 8, dtype=np.int8).reshape(2, 8)
+    packed = np.asarray(pack_int4(jnp.asarray(vals)))
+    assert packed.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(jnp.asarray(packed))), vals)
+
+    cfg, params = converted
+    mel = _rand_mel(rng, cfg, 1)
+    enc = wmod.encode(params, cfg, jnp.asarray(mel))
+    cross = wmod.compute_cross_kv(params, cfg, enc)
+    cross4 = wmod.quantize_cross_kv_int4(cross)
+    assert cross4["kv4"].shape[-1] == cfg.head_dim // 2
+
+    kv = wmod.init_self_kv(cfg, 1)
+    tok = jnp.asarray([5], jnp.int32)
+    pos = jnp.asarray([1], jnp.int32)
+    plen = jnp.asarray([1], jnp.int32)
+    ref, _ = wmod.decode_step(params, cfg, tok, pos, jnp.int32(4), plen, 4, kv, cross)
+    out, _ = wmod.decode_step(params, cfg, tok, pos, jnp.int32(4), plen, 4, kv, cross4)
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert np.abs(ref - out).max() < 0.3
+    assert ref.argmax() == out.argmax()

@@ -151,6 +151,7 @@ class WhisperEngine:
         prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
         shardings: "Any | None" = None,
         decoder_int8: bool | None = None,
+        cross_kv_bits: int | None = None,
     ):
         platform = jax.devices()[0].platform
         on_tpu = platform in ("tpu", "axon")
@@ -173,10 +174,16 @@ class WhisperEngine:
         # generation-budget buckets (tokens) -> static KV cache lengths
         self.gen_buckets = (128, 256, cfg.n_text_ctx)
         self._shardings = shardings
-        # int8 cross-KV: halves the dominant decode HBM traffic term; the
-        # per-channel dequant folds into the attention matmuls. Auto-on for
-        # TPU serving, off on CPU (tests compare against f32 oracles).
-        self.cross_kv_int8 = on_tpu
+        # Quantized cross-KV: halves (int8) or quarters (int4, opt-in) the
+        # dominant decode HBM traffic term; per-channel dequant folds into
+        # the attention matmuls (int4 additionally needs the Pallas unpack
+        # kernel). Default int8 on TPU, full precision on CPU (tests compare
+        # against f32 oracles).
+        if cross_kv_bits is None:
+            cross_kv_bits = 8 if on_tpu else 16
+        assert cross_kv_bits in (4, 8, 16)
+        self.cross_kv_bits = cross_kv_bits
+        self.cross_kv_int8 = cross_kv_bits == 8
         if shardings is not None:
             params = jax.device_put(params, shardings.param_shardings(params))
         self.params = wmod.cast_params(params, compute_dtype)
@@ -192,22 +199,23 @@ class WhisperEngine:
         cfgc = self.cfg
         spec = self.spec
 
-        quantize = self.cross_kv_int8
+        bits = self.cross_kv_bits
+
+        def _quantize(cross):
+            if bits == 8:
+                return wmod.quantize_cross_kv(cross)
+            if bits == 4:
+                return wmod.quantize_cross_kv_int4(cross)
+            return cross
 
         def _prepare(params, audio):
             melspec = mel_ops.log_mel_spectrogram(audio, n_mels=cfgc.n_mels)
             enc = wmod.encode(params, cfgc, melspec)
-            cross = wmod.compute_cross_kv(params, cfgc, enc)
-            if quantize:
-                cross = wmod.quantize_cross_kv(cross)
-            return enc, cross
+            return enc, _quantize(wmod.compute_cross_kv(params, cfgc, enc))
 
         def _prepare_mel(params, melspec):
             enc = wmod.encode(params, cfgc, melspec)
-            cross = wmod.compute_cross_kv(params, cfgc, enc)
-            if quantize:
-                cross = wmod.quantize_cross_kv(cross)
-            return enc, cross
+            return enc, _quantize(wmod.compute_cross_kv(params, cfgc, enc))
 
         def _decode(
             params,
@@ -392,7 +400,8 @@ class WhisperEngine:
             )
 
         def _detect(params, cross_kv):
-            b = cross_kv["kv"].shape[2]
+            kv_arr = cross_kv.get("kv", cross_kv.get("kv4"))
+            b = kv_arr.shape[2]
             self_kv = wmod.init_self_kv(cfgc, b)
             sot = jnp.full((b, 1), spec.eot + 1, jnp.int32)  # <|sot|>
             ones = jnp.ones((b,), jnp.int32)
@@ -588,7 +597,8 @@ class WhisperEngine:
     ) -> list[DecodeResult]:
         """One decode pass over a prepared batch. cross_kv batch dim must
         equal len(prompts) (already padded to a bucket)."""
-        b = cross_kv["kv"].shape[2]
+        kv_arr = cross_kv.get("kv", cross_kv.get("kv4"))
+        b = kv_arr.shape[2]
         assert len(prompts) <= b
         n_real = len(prompts)
         prompts = list(prompts) + [[self.spec.eot + 1]] * (b - n_real)

@@ -347,15 +347,53 @@ def quantize_cross_kv(cross_kv: Params) -> Params:
     return {"kv": q, "scale": scale.astype(jnp.bfloat16)}
 
 
-def _cross_attend(qc, ckv, dtype, collect_probs=False):
-    """Cross-attention against one layer's (possibly int8) KV slice.
+def quantize_cross_kv_int4(cross_kv: Params) -> Params:
+    """bf16 cross-KV -> packed int4 (two signed nibbles per int8) with
+    per-channel scales. Opt-in (engine cross_kv_bits=4): halves the int8
+    traffic again; decode reads it through a Pallas kernel that unpacks in
+    VMEM (ops/attention.py cross_attention_int4)."""
+    from whisperlive_tpu.ops.attention import pack_int4
 
-    qc: [B, Tq, H, hd]; ckv: {"kv": [2, B, T, H, hd], "scale": optional
+    kv = cross_kv["kv"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kv), axis=3, keepdims=True)  # [L,2,B,1,H,hd]
+    scale = jnp.maximum(amax, 1e-6) / 7.0
+    q = jnp.clip(jnp.round(kv / scale), -8, 7).astype(jnp.int8)
+    # HEAD-MAJOR layout [L,2,B,H,T,hd/2]: the Pallas decode kernel slices
+    # per (batch, head) without any in-kernel reshape.
+    packed = jnp.transpose(pack_int4(q), (0, 1, 2, 4, 3, 5))
+    return {"kv4": packed, "scale": scale.astype(jnp.bfloat16)}
+
+
+def _cross_attend(qc, ckv, dtype, collect_probs=False):
+    """Cross-attention against one layer's (possibly quantized) KV slice.
+
+    qc: [B, Tq, H, hd]; ckv: {"kv": [2, B, T, H, hd] (bf16 or int8) or
+    "kv4": [2, B, T, H, hd/2] packed int4, "scale": optional
     [2, B, 1, H, hd]}. Per-channel scales fold into q (for K) and into the
-    output (for V), so the int8 arrays feed the MXU directly.
+    output (for V), so the quantized arrays feed the MXU directly.
     """
-    k, v = ckv["kv"][0], ckv["kv"][1]
     scale = ckv.get("scale")
+    if "kv4" in ckv:
+        from whisperlive_tpu.ops.attention import cross_attention_int4, unpack_int4
+
+        q_eff = qc * scale[0][:, 0][:, None].astype(qc.dtype)
+        if (
+            qc.shape[1] == 1
+            and not collect_probs
+            and jax.default_backend() in ("tpu", "axon")
+        ):
+            out = cross_attention_int4(q_eff[:, 0], ckv["kv4"][0], ckv["kv4"][1])
+            out = out[:, None].astype(dtype) * scale[1][:, 0][:, None].astype(dtype)
+            return out, None
+        # fallback (CPU tests, prefill/align): unpack in jnp; kv4 is
+        # head-major [2, B, H, T, hd/2] -> [B, T, H, hd]
+        k = jnp.swapaxes(unpack_int4(ckv["kv4"][0]), 1, 2).astype(dtype)
+        v = jnp.swapaxes(unpack_int4(ckv["kv4"][1]), 1, 2).astype(dtype)
+        out, probs = _attention(q_eff, k, v, None)
+        out = out * scale[1][:, 0][:, None].astype(out.dtype)
+        return (out, probs) if collect_probs else (out, None)
+
+    k, v = ckv["kv"][0], ckv["kv"][1]
     if scale is not None:
         qc = qc * scale[0][:, 0][:, None].astype(qc.dtype)  # [B,1,H,hd]
     out, probs = _attention(qc, k.astype(dtype), v.astype(dtype), None)

@@ -27,6 +27,106 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[..., C/2] int8 (two signed nibbles) -> [..., C] int8.
+
+    HALVES layout: channel c < C/2 sits in the low nibble of byte c, channel
+    C/2 + c in its high nibble — so unpacking is a lane-dim concat (Mosaic
+    cannot insert minor dims on 8-bit types) and kernels can equivalently
+    split a matmul into low/high halves without unpacking at all."""
+    low = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    high = jnp.right_shift(packed, 4)
+    return jnp.concatenate([low, high], axis=-1)
+
+
+def pack_int4(values: jax.Array) -> jax.Array:
+    """[..., C] int8 in [-8, 7] -> [..., C/2] packed int8 (halves layout)."""
+    c = values.shape[-1]
+    low = values[..., : c // 2]
+    high = values[..., c // 2:]
+    return jnp.bitwise_or(
+        jnp.bitwise_and(low, jnp.int8(0x0F)), jnp.left_shift(high, 4)
+    ).astype(jnp.int8)
+
+
+def _cross_attn_int4_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Decode-step cross-attention over int4-packed KV, unpacked in VMEM.
+
+    Per grid cell = one (batch, head). Block shapes: q/out [1, H, hd] (the
+    head row is selected dynamically — Mosaic requires sublane dims to be 8-
+    divisible or whole), k/v [1, 1, T, hd/2] int8 packed head-major. No
+    reshapes inside — Mosaic cannot shape-cast across the lane dimension."""
+    n_head = q_ref.shape[1]
+    hd2 = k_ref.shape[-1]
+    dtype = q_ref.dtype
+
+    # halves layout: low nibbles hold channels [0, hd/2), high nibbles
+    # [hd/2, hd) — scores split into two half-width matmuls, no unpack
+    # concat on 8-bit lanes needed. Nibble extraction in int32 arithmetic:
+    # Mosaic does not legalize shifts on int8 vectors.
+    def nibbles(p8):
+        p32 = p8.astype(jnp.int32)
+        hi = jnp.floor_divide(p32, 16)  # == arithmetic >>4 incl. negatives
+        lo_u = p32 - hi * 16  # 0..15
+        lo = lo_u - 16 * (lo_u >= 8)
+        return lo.astype(dtype), hi.astype(dtype)
+
+    # heads unrolled statically: one grid cell per batch item keeps the
+    # HBM->VMEM DMAs large (per-(b,h) cells were 20x slower)
+    for h in range(n_head):
+        q = q_ref[0, h][None]  # [1, hd] (static head index)
+        k_lo, k_hi = nibbles(k_ref[0, h])  # [T, hd/2] each
+        contract = (((1,), (1,)), ((), ()))
+        scores = (
+            jax.lax.dot_general(q[:, :hd2], k_lo, contract,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(q[:, hd2:], k_hi, contract,
+                                  preferred_element_type=jnp.float32)
+        ) * scale  # [1, T]
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+
+        v_lo, v_hi = nibbles(v_ref[0, h])
+        pv = (((1,), (0,)), ((), ()))
+        out_lo = jax.lax.dot_general(probs, v_lo, pv,
+                                     preferred_element_type=jnp.float32)
+        out_hi = jax.lax.dot_general(probs, v_hi, pv,
+                                     preferred_element_type=jnp.float32)
+        o_ref[0, h, :hd2] = out_lo[0]
+        o_ref[0, h, hd2:] = out_hi[0]
+
+
+def cross_attention_int4(
+    q: jax.Array,  # [B, H, hd] compute dtype, K-scales already folded in
+    k4: jax.Array,  # [B, H, T, hd/2] int8 packed (HEAD-MAJOR)
+    v4: jax.Array,  # [B, H, T, hd/2] int8 packed
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token cross-attention reading int4 KV directly from HBM.
+
+    Returns [B, H, hd] float32 (apply per-channel V scales outside).
+    Exists because a jnp unpack of loop-invariant KV gets hoisted out of
+    the decode while-loop by XLA, materializing a full-precision copy."""
+    b, h, t, hd2 = k4.shape
+    hd = hd2 * 2
+    out = pl.pallas_call(
+        functools.partial(_cross_attn_int4_kernel, scale=hd**-0.5),
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k4, v4)
+    return out
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
     q = q_ref[0]  # [BLOCK_Q, hd]
     k = k_ref[0]  # [T_pad, hd]

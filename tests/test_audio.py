@@ -143,3 +143,16 @@ def test_vad_detector_uses_learned_by_default():
     # opt-out
     e = vad_mod.VoiceActivityDetector(use_learned=False)
     assert isinstance(e._model, vad_mod.EnergyVAD)
+
+
+def test_learned_vad_growing_tail_gate_stable():
+    """The serving gate re-scores overlapping growing tails; with a reset
+    per call, speech-like audio must gate True for every tail length."""
+    t = np.arange(16000 * 5) / 16000
+    am = 0.5 * (1 + np.sin(2 * np.pi * 3 * t)) ** 1.5
+    a = 0.3 * am * sum((1.0 / k) * np.sin(2 * np.pi * 140 * k * t) for k in range(1, 10))
+    a = (a / np.abs(a).max() * 0.3).astype(np.float32)
+    vad = vad_mod.VoiceActivityDetector()
+    for end in range(16000, len(a) + 1, 16000):
+        vad.reset()
+        assert vad(a[:end]) is True, f"gated out at tail length {end}"

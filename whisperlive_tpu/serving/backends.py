@@ -109,6 +109,11 @@ class TpuBackend:
     ) -> Optional[BatchResult]:
         if options.use_vad:
             vad = self._vad_for(uid, options)
+            # The gate re-scores the WHOLE un-committed tail every call
+            # (chunks overlap as the tail grows), so stateful models must
+            # start fresh each time — carrying GRU state across overlapping
+            # audio corrupts the probabilities.
+            vad.reset()
             if not vad(chunk):
                 return None  # silence: nothing decoded, cursor stays
 

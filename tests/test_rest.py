@@ -147,3 +147,59 @@ def test_rest_known_speakers():
         assert code == 200
         segs = json.loads(body)["segments"]
         assert segs and any("speaker" in s for s in segs)
+
+
+def test_rest_word_timestamps_field():
+    """verbose_json carries word timings when timestamp_granularities
+    includes 'word' and the backend provides them."""
+    import types
+
+    from whisperlive_tpu.engine.scheduler import BatchResult
+
+    class WordyBackend(FakeBackend):
+        async def transcribe(self, chunk, options, **kw):
+            result = await super().transcribe(chunk, options, **kw)
+            if options.word_timestamps:
+                for s in result.segments:
+                    s.words = [
+                        types.SimpleNamespace(
+                            start=s.start, end=s.end, word=s.text, probability=0.9
+                        )
+                    ]
+            return result
+
+    port = _free_port()
+    h = RestHarness()
+    h.port = port
+    # swap in the word-capable backend
+    import asyncio, threading, socket as sock_mod
+
+    def run():
+        h._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(h._loop)
+        h._loop.run_until_complete(
+            start_rest_server(WordyBackend(), port=port, host="127.0.0.1")
+        )
+        h._loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            with sock_mod.create_connection(("127.0.0.1", port), timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.05)
+
+    wav = _wav_bytes(2.0)
+    code, body = _post(
+        port,
+        {"response_format": "verbose_json", "timestamp_granularities": "word"},
+        {"file": ("a.wav", wav)},
+    )
+    h._loop.call_soon_threadsafe(h._loop.stop)
+    assert code == 200
+    segs = json.loads(body)["segments"]
+    assert segs and "words" in segs[0]
+    assert segs[0]["words"][0]["probability"] == 0.9

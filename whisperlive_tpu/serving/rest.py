@@ -76,18 +76,28 @@ async def _transcribe_full(
         if result is not None:
             detected_language = detected_language or result.language
             for s in result.segments:
-                segments_out.append(
-                    {
-                        "start": t0 + s.start,
-                        "end": t0 + s.end,
-                        "text": s.text,
-                        "tokens": list(getattr(s, "tokens", [])),
-                        "avg_logprob": getattr(s, "avg_logprob", 0.0),
-                        "no_speech_prob": getattr(s, "no_speech_prob", 0.0),
-                        "compression_ratio": getattr(s, "compression_ratio", 0.0),
-                        "temperature": getattr(s, "temperature", 0.0),
-                    }
-                )
+                seg_dict = {
+                    "start": t0 + s.start,
+                    "end": t0 + s.end,
+                    "text": s.text,
+                    "tokens": list(getattr(s, "tokens", [])),
+                    "avg_logprob": getattr(s, "avg_logprob", 0.0),
+                    "no_speech_prob": getattr(s, "no_speech_prob", 0.0),
+                    "compression_ratio": getattr(s, "compression_ratio", 0.0),
+                    "temperature": getattr(s, "temperature", 0.0),
+                }
+                words = getattr(s, "words", None)
+                if words:
+                    seg_dict["words"] = [
+                        {
+                            "start": t0 + w.start,
+                            "end": t0 + w.end,
+                            "word": w.word,
+                            "probability": w.probability,
+                        }
+                        for w in words
+                    ]
+                segments_out.append(seg_dict)
                 previous_tokens.extend(getattr(s, "tokens", []))
         previous_tokens = previous_tokens[-224:]
         offset += int(WINDOW_S * SAMPLE_RATE)
@@ -130,6 +140,7 @@ def _format_response(segments, language, duration, response_format):
                         "compression_ratio": s["compression_ratio"],
                         "no_speech_prob": s["no_speech_prob"],
                         **({"speaker": s["speaker"]} if "speaker" in s else {}),
+                        **({"words": s["words"]} if "words" in s else {}),
                     }
                     for i, s in enumerate(segments)
                 ],

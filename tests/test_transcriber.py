@@ -168,3 +168,41 @@ def test_fused_transcribe_matches_split(engine, rng):
     np.testing.assert_array_equal(fused_res.tokens, split_res.tokens)
     assert fused_res.avg_logprob == pytest.approx(split_res.avg_logprob, abs=1e-4)
     assert fused_res.no_speech_prob == pytest.approx(split_res.no_speech_prob, abs=1e-4)
+
+
+def test_vad_filter_restores_timestamps(engine, rng):
+    """Silence-collapsed decode restores original-time segment boundaries."""
+    t = np.arange(16000) / 16000
+    speech = (0.4 * np.sin(2 * np.pi * 200 * t) * np.sin(2 * np.pi * 4 * t)).astype(
+        np.float32
+    )
+    audio = np.concatenate([
+        np.zeros(16000 * 4, np.float32), speech, np.zeros(16000 * 3, np.float32)
+    ])
+    tr = Transcriber(engine)
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=10,
+    )
+    segments, info = tr.transcribe(
+        audio, opts, vad_filter=True,
+        vad_parameters={"min_silence_duration_ms": 500, "speech_pad_ms": 100},
+    )
+    assert info.duration == pytest.approx(8.0)
+    # any produced segment must sit near the real speech region, not at 0 s
+    for s in segments:
+        assert s.start >= 3.0, f"timestamp not restored: {s.start}"
+
+
+def test_vad_filter_all_silence_returns_empty(engine):
+    tr = Transcriber(engine)
+    segments, info = tr.transcribe(
+        np.zeros(16000 * 5, np.float32),
+        TranscribeOptions(language="en", temperatures=(0.0,),
+                          log_prob_threshold=None, no_speech_threshold=None,
+                          compression_ratio_threshold=None, max_new_tokens=4),
+        vad_filter=True,
+    )
+    assert segments == []
+    assert info.duration == pytest.approx(5.0)

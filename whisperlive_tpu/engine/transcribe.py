@@ -139,9 +139,49 @@ class Transcriber:
         audio: np.ndarray,
         options: TranscribeOptions | None = None,
         seed: int = 0,
+        vad_filter: bool = False,
+        vad_parameters: Optional[dict] = None,
     ) -> tuple[list[Segment], TranscriptionInfo]:
-        """audio: float32 mono 16 kHz. Returns (segments, info)."""
+        """audio: float32 mono 16 kHz. Returns (segments, info).
+
+        vad_filter collapses silence before decoding and restores original
+        timestamps afterwards (WhisperModel.transcribe's vad_filter path,
+        transcriber_faster_whisper.py:830-856, 1792-1817).
+        """
         options = options or TranscribeOptions()
+        if vad_filter:
+            from whisperlive_tpu.audio.vad import (
+                SpeechTimestampsMap,
+                VadOptions,
+                collect_chunks,
+                get_speech_timestamps,
+            )
+
+            full_duration = len(audio) / mel_ops.SAMPLE_RATE
+            opts = VadOptions(**(vad_parameters or {}))
+            chunks = get_speech_timestamps(audio, opts)
+            if not chunks:
+                return [], TranscriptionInfo(
+                    language=options.language or "en",
+                    language_probability=1.0,
+                    duration=full_duration,
+                    transcription_options=options,
+                )
+            ts_map = SpeechTimestampsMap(chunks)
+            segments, info = self.transcribe(
+                collect_chunks(audio, chunks), options, seed=seed
+            )
+            for s in segments:
+                idx = ts_map.get_chunk_index(s.start)
+                s.start = ts_map.get_original_time(s.start, idx)
+                s.end = max(ts_map.get_original_time(s.end, idx), s.start)
+                if s.words:
+                    for w in s.words:
+                        wi = ts_map.get_chunk_index(w.start)
+                        w.start = ts_map.get_original_time(w.start, wi)
+                        w.end = max(ts_map.get_original_time(w.end, wi), w.start)
+            return segments, info._replace(duration=full_duration)
+
         eng = self.engine
         spec = eng.spec
         duration = len(audio) / mel_ops.SAMPLE_RATE

@@ -122,3 +122,40 @@ def test_graft_entry_dryrun():
 
     dryrun_multichip(8)
     dryrun_multichip(4)
+
+
+def test_engine_with_tp_shardings_end_to_end(rng):
+    """WhisperEngine(--tp path): sharded params through prepare/detect/
+    decode produce the same tokens as the unsharded engine."""
+    from whisperlive_tpu.engine.engine import TranscribeOptions, WhisperEngine
+    from whisperlive_tpu.ops.mel import N_SAMPLES
+
+    cfg = WhisperConfig(
+        n_mels=80, n_vocab=51865, n_audio_ctx=50, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=64, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = init_params(cfg, seed=0)
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=8,
+    )
+
+    def run(engine):
+        mel = rng0.standard_normal((1, 2 * cfg.n_audio_ctx, 80)).astype(np.float32)
+        _, cross = engine.prepare_mel(jnp.asarray(mel))
+        p, s = engine.build_prompt(opts)
+        (res,) = engine.decode_batch(cross, [p], [s], opts, seed=3)
+        return res
+
+    rng0 = np.random.default_rng(7)
+    base = run(WhisperEngine(cfg, params, compute_dtype=jnp.float32,
+                             batch_buckets=(1,), prompt_buckets=(8,)))
+    rng0 = np.random.default_rng(7)
+    sh = EngineShardings.create(tp=2)
+    sharded = run(WhisperEngine(cfg, params, compute_dtype=jnp.float32,
+                                batch_buckets=(1,), prompt_buckets=(8,),
+                                shardings=sh))
+    np.testing.assert_array_equal(base.tokens, sharded.tokens)
+    assert base.avg_logprob == pytest.approx(sharded.avg_logprob, abs=1e-4)

@@ -215,6 +215,68 @@ def decode(
     )
 
 
+def _compute_cross_kv(params, cfg, enc):
+    """Per-layer cross K/V from the encoder output: [L, 2, B, Tsrc, H, hd]."""
+
+    def one(_, lp):
+        ca = lp["cross_attn"]
+        k = _split_heads(_linear(enc, ca["k"]), cfg.heads)
+        v = _split_heads(_linear(enc, ca["v"]), cfg.heads)
+        return None, jnp.stack([k, v])
+
+    _, kv = jax.lax.scan(one, None, params["decoder"]["layers"])
+    return kv
+
+
+def _cached_forward(params, cfg, tokens, pos_idx, slot, self_kv, cross_kv, enc_mask):
+    """Decoder forward writing K/V at batch-uniform cache slots (the same
+    lockstep layout as the Whisper decoder: positions are uniform here since
+    every beamless generation starts from the same [eos, lang] length)."""
+    x = _embed(params, cfg, tokens, pos_idx)
+    b, tq, _ = x.shape
+    c = self_kv.shape[3]
+    causal = (
+        jnp.arange(c)[None, :] <= (pos_idx[:, :, None])
+    )[:, None]  # [B, 1, Tq, C]
+    emask = None if enc_mask is None else enc_mask[:, None, None, :]
+    zero = jnp.zeros((), jnp.int32)
+
+    def block(carry, layer):
+        x, kv, l_idx = carry[0], carry[1], carry[2]
+        lp, ckv = layer
+        skv = jax.lax.dynamic_index_in_dim(kv, l_idx, 0, keepdims=False)
+        h = _layer_norm(x, lp["attn_ln"])
+        q = _split_heads(_linear(h, lp["attn"]["q"]), cfg.heads)
+        k_new = _split_heads(_linear(h, lp["attn"]["k"]), cfg.heads)
+        v_new = _split_heads(_linear(h, lp["attn"]["v"]), cfg.heads)
+        k_cache = jax.lax.dynamic_update_slice(skv[0], k_new, (zero, slot, zero, zero))
+        v_cache = jax.lax.dynamic_update_slice(skv[1], v_new, (zero, slot, zero, zero))
+        out, _ = _attention(q, k_cache, v_cache, causal)
+        x = x + _linear(_merge_heads(out), lp["attn"]["o"])
+
+        h = _layer_norm(x, lp["cross_attn_ln"])
+        qc = _split_heads(_linear(h, lp["cross_attn"]["q"]), cfg.heads)
+        out, _ = _attention(qc, ckv[0], ckv[1], emask)
+        x = x + _linear(_merge_heads(out), lp["cross_attn"]["o"])
+
+        h = _layer_norm(x, lp["mlp_ln"])
+        x = x + _linear(jax.nn.relu(_linear(h, lp["mlp"]["fc1"])), lp["mlp"]["fc2"])
+
+        kv = jax.lax.dynamic_update_slice(
+            kv, jnp.stack([k_cache, v_cache])[None], (l_idx, 0, 0, 0, 0, 0)
+        )
+        return (x, kv, l_idx + 1), None
+
+    (x, self_kv, _), _ = jax.lax.scan(
+        block, (x, self_kv, jnp.int32(0)), (params["decoder"]["layers"], cross_kv)
+    )
+    x = _layer_norm(x, params["decoder"]["ln"])
+    logits = jnp.dot(
+        x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    )
+    return logits, self_kv
+
+
 def generate_greedy(
     params: Params,
     cfg: M2M100Config,
@@ -222,34 +284,53 @@ def generate_greedy(
     forced_bos: jax.Array,  # [B] target-language token id
     max_new: int = 200,
 ) -> jax.Array:
-    """Greedy generation -> [B, max_new] (eos-padded).
+    """KV-cached greedy generation -> [B, max_new] (eos-padded).
 
-    Decoder input starts [eos, lang] (HF decoder_start_token_id = eos).
-    Simple full-recompute loop (translation segments are short; KV caching
-    like the whisper decoder is a follow-up optimization).
+    Decoder input starts [eos, lang] (HF decoder_start_token_id = eos);
+    prefill writes those two cache slots, then one cached step per token —
+    O(len) decoder work instead of the O(len^2) full-recompute loop.
     """
     b = src_tokens.shape[0]
     src_mask = src_tokens != cfg.pad_token_id
     enc = encode(params, cfg, src_tokens, pad_mask=src_mask)
-    buf = jnp.full((b, max_new + 2), cfg.pad_token_id, jnp.int32)
-    buf = buf.at[:, 0].set(cfg.eos_token_id)
-    buf = buf.at[:, 1].set(forced_bos)
+    cross_kv = _compute_cross_kv(params, cfg, enc)
+
+    cache_len = max_new + 2
+    self_kv = jnp.zeros(
+        (cfg.decoder_layers, 2, b, cache_len, cfg.heads, cfg.d_model // cfg.heads),
+        enc.dtype,
+    )
+    prefix = jnp.stack(
+        [jnp.full((b,), cfg.eos_token_id, jnp.int32), forced_bos.astype(jnp.int32)],
+        axis=1,
+    )  # [B, 2]
+    pos01 = jnp.broadcast_to(jnp.arange(2)[None], (b, 2))
+    logits, self_kv = _cached_forward(
+        params, cfg, prefix, pos01, jnp.int32(0), self_kv, cross_kv, src_mask
+    )
+    buf = jnp.full((b, max_new), cfg.pad_token_id, jnp.int32)
+    first = jnp.argmax(logits[:, 1], axis=-1).astype(jnp.int32)
+    buf = buf.at[:, 0].set(first)
+    done = first == cfg.eos_token_id
 
     def body(carry):
-        buf, i, done = carry
-        logits = decode(params, cfg, buf[:, : max_new + 2], enc, enc_mask=src_mask)
-        # next token predicted at position i (0-indexed current length i+1)
-        nxt = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
+        buf, i, done, self_kv = carry
+        tok = buf[jnp.arange(b), i - 1]
+        pos = jnp.full((b, 1), i + 1, jnp.int32)
+        logits, self_kv = _cached_forward(
+            params, cfg, tok[:, None], pos, i + 1, self_kv, cross_kv, src_mask
+        )
+        nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
-        buf = buf.at[:, i + 1].set(nxt)
+        buf = buf.at[:, i].set(nxt)
         done = done | (nxt == cfg.eos_token_id)
-        return buf, i + 1, done
+        return buf, i + 1, done, self_kv
 
     def cond(carry):
-        _, i, done = carry
-        return (i < max_new + 1) & ~jnp.all(done)
+        _, i, done, _ = carry
+        return (i < max_new) & ~jnp.all(done)
 
-    buf, _, _ = jax.lax.while_loop(
-        cond, body, (buf, jnp.int32(1), jnp.zeros((b,), bool))
+    buf, _, _, _ = jax.lax.while_loop(
+        cond, body, (buf, jnp.int32(1), done, self_kv)
     )
-    return buf[:, 2:]
+    return buf

@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Override engine compute dtype.")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel degree over the local device mesh.")
+    parser.add_argument("--beam_size", type=int, default=1,
+                        help="Beam width for streaming decodes (1=greedy; the "
+                             "reference's transcriber defaults to 5 — wider "
+                             "beams shrink the effective device batch).")
     parser.add_argument("--profile_dir", type=str,
                         default=os.environ.get("WL_PROFILE_DIR"),
                         help="Write JAX profiler (xprof) traces to this dir.")
@@ -159,7 +163,12 @@ def create_backend(args):
         batch_window_ms=args.batch_window_ms,
     )
     scheduler.start()
-    return TpuBackend(scheduler, model_name=args.model if not ckpt else ckpt), "tpu"
+    if args.beam_size > 1 and args.batch_max_size * args.beam_size > 16:
+        logging.warning(
+            "batch_max_size*beam_size=%d may exceed HBM; consider lowering "
+            "--batch_max_size", args.batch_max_size * args.beam_size)
+    return TpuBackend(scheduler, model_name=args.model if not ckpt else ckpt,
+                      beam_size=args.beam_size), "tpu"
 
 
 def main(argv=None) -> None:

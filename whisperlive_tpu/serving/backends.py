@@ -17,6 +17,7 @@ Two implementations:
 from __future__ import annotations
 
 import asyncio
+import os
 import logging
 from types import SimpleNamespace
 from typing import Optional, Sequence
@@ -30,7 +31,6 @@ from whisperlive_tpu.serving.session import SessionOptions
 logger = logging.getLogger(__name__)
 
 
-import os
 
 # Generation budget per 30 s window (<=224 keeps the decode program on the
 # 256-slot KV-cache bucket). Overridable for load tests with random weights,
@@ -46,9 +46,15 @@ _DISABLE_GATES = os.environ.get("WL_DISABLE_FALLBACK_GATES") == "1"
 
 
 def transcribe_options_from_session(
-    options: SessionOptions, language: Optional[str] = None
+    options: SessionOptions, language: Optional[str] = None,
+    beam_size: int = 1,
 ) -> TranscribeOptions:
-    """Map per-connection handshake options onto engine decode options."""
+    """Map per-connection handshake options onto engine decode options.
+
+    beam_size is a SERVER-side policy (the wire handshake has no such field;
+    the reference hard-codes beam 5 inside its transcriber). Greedy is the
+    latency-friendly default; --beam_size N enables the batched beam program
+    (device batch shrinks to keep B x K bounded)."""
     kw = {}
     if _DISABLE_GATES:
         kw = dict(
@@ -64,6 +70,7 @@ def transcribe_options_from_session(
         hotwords=options.hotwords,
         word_timestamps=options.word_timestamps,
         max_new_tokens=STREAMING_MAX_NEW_TOKENS,
+        beam_size=beam_size,
         **kw,
     )
 
@@ -78,9 +85,11 @@ class TpuBackend:
         use_vad_default: bool = True,
         vad_threshold: float = 0.5,
         model_name: str | None = None,
+        beam_size: int = 1,
     ):
         self.scheduler = scheduler
         self.model_name = model_name
+        self.beam_size = beam_size
         self.use_vad_default = use_vad_default
         self._vads: dict[str, object] = {}
         self._vad_threshold = vad_threshold
@@ -119,7 +128,9 @@ class TpuBackend:
 
         req = BatchRequest(
             audio=chunk,
-            options=transcribe_options_from_session(options, language),
+            options=transcribe_options_from_session(
+                options, language, beam_size=self.beam_size
+            ),
             previous_tokens=tuple(previous_tokens),
             language=language,
             uid=uid,

@@ -153,9 +153,16 @@ def create_backend(args):
                            compute_dtype=compute_dtype, shardings=shardings)
     if not args.no_warmup:
         # every bucket the scheduler can produce — a cold compile at runtime
-        # stalls all live streams for minutes on this class of deployment
+        # stalls all live streams for minutes on this class of deployment —
+        # and with the SAME beam policy the backend will serve with
+        from whisperlive_tpu.serving.backends import transcribe_options_from_session
+        from whisperlive_tpu.serving.session import SessionOptions
+
         engine.warmup(
-            batch_sizes={b for b in engine.batch_buckets if b <= args.batch_max_size}
+            batch_sizes={b for b in engine.batch_buckets if b <= args.batch_max_size},
+            options=transcribe_options_from_session(
+                SessionOptions(), beam_size=args.beam_size
+            ),
         )
     scheduler = BatchScheduler(
         engine,

@@ -565,6 +565,22 @@ class WhisperEngine:
             self.transcribe_batch(
                 audio, [prompt] * b, [sot] * b, [True] * b, options
             )
+        if detect:
+            # split path (word_timestamps sessions + fallback retries):
+            # detect, plain decode and the alignment pass — warmed at the
+            # smallest bucket so a word_timestamps client doesn't stall on
+            # cold compiles (larger buckets compile on first use)
+            b = sorted(set(batch_sizes))[0]
+            audio = np.zeros((b, mel_ops.N_SAMPLES), np.float32)
+            _, cross = self.prepare(audio)
+            if self.tokenizer.spec.multilingual:
+                self.detect_language_from_cross(cross)
+            prompt, sot = self.build_prompt(options, language="en")
+            self.decode_batch(cross, [prompt] * b, [sot] * b, options)
+            try:
+                self.align_words(cross, 0, self.tokenizer.encode(" warm up"), 100)
+            except Exception:
+                logger.exception("align warmup failed")
         logger.info("warmup complete")
 
     def prepare(self, audio: np.ndarray):

@@ -142,3 +142,55 @@ def test_write_srt(tmp_path, client):
     client.write_srt_file(path)
     content = open(path).read()
     assert "hi" in content and "there" in content and "-->" in content
+
+
+def _tee(n=2):
+    from whisperlive_tpu.client.client import Client, TranscriptionTeeClient
+
+    with mock.patch("websocket.WebSocketApp"):
+        clients = [Client("localhost", 9090, log_transcription=False) for _ in range(n)]
+        for c in clients:
+            c.send_packet_to_server = mock.MagicMock()
+            c._closing = True
+        tee = TranscriptionTeeClient(clients)
+        return tee, clients
+
+
+def test_tee_multicast_conditional_on_recording():
+    tee, clients = _tee()
+    clients[0].recording = True
+    clients[1].recording = False
+    tee.multicast_packet(b"pcm")
+    clients[0].send_packet_to_server.assert_called_once_with(b"pcm")
+    clients[1].send_packet_to_server.assert_not_called()
+
+
+def test_tee_multicast_unconditional():
+    tee, clients = _tee()
+    for c in clients:
+        c.recording = False
+    tee.multicast_packet(b"END_OF_AUDIO", unconditional=True)
+    for c in clients:
+        c.send_packet_to_server.assert_called_once()
+
+
+def test_tee_requires_clients():
+    from whisperlive_tpu.client.client import TranscriptionTeeClient
+
+    with pytest.raises(Exception):
+        TranscriptionTeeClient([])
+
+
+def test_tee_srt_paths_per_client(tmp_path):
+    tee, clients = _tee(2)
+    for i, c in enumerate(clients):
+        c.server_backend = "tpu"
+        c.srt_file_path = str(tmp_path / "out.srt")
+        c.transcript = [{"start": "0.000", "end": "1.000",
+                         "text": f"c{i}", "completed": True}]
+        c.last_segment = None
+    tee.write_all_clients_srt()
+    assert (tmp_path / "out_0.srt").exists()
+    assert (tmp_path / "out_1.srt").exists()
+    assert "c0" in (tmp_path / "out_0.srt").read_text()
+    assert "c1" in (tmp_path / "out_1.srt").read_text()

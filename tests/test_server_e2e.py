@@ -213,3 +213,25 @@ def test_model_mismatch_warning():
         time.sleep(0.3)
         c.close_websocket()
         assert any("large-v3" in w for w in warnings)
+
+
+def test_backend_state_released_on_disconnect():
+    """Per-uid backend state (VAD instances) must be freed when the client
+    leaves, or a long-lived server leaks one entry per connection."""
+    released = []
+
+    class TrackingBackend(FakeBackend):
+        def release(self, uid):
+            released.append(uid)
+
+    with ServerHarness() as h:
+        h.server.backend = TrackingBackend()
+        from whisperlive_tpu.client import StreamingTranscriptionClient
+
+        c = StreamingTranscriptionClient("127.0.0.1", h.port, use_vad=False)
+        uid = c.client.uid
+        c.close(wait_for_server=False)
+        deadline = time.time() + 10
+        while uid not in released and time.time() < deadline:
+            time.sleep(0.1)
+        assert uid in released

@@ -160,6 +160,10 @@ class ServeClient:
                 pass
         if self.translator is not None:
             await self.translator.stop()
+        # drop per-stream backend state (e.g. the VAD instance keyed by uid)
+        release = getattr(self.backend, "release", None)
+        if release is not None:
+            release(self.uid)
 
     # ------------------------------------------------------------------
 

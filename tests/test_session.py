@@ -164,3 +164,105 @@ def test_single_segment_is_partial_only():
     assert sess.transcript == []
     assert last["text"] == " partial"
     assert sess.timestamp_offset == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Exact reference-semantics regressions (base.py:383-483); VERDICT r1 Weak #2.
+# ---------------------------------------------------------------------------
+
+
+def test_forced_commit_uses_first_repetition_end_time():
+    """Audio arriving DURING repetitions must not be skipped: the forced
+    commit advances by the hypothesis extent captured at the FIRST
+    repetition (base.py:442-446), not the latest one."""
+    sess = StreamingSession(SessionOptions(same_output_threshold=2))
+    sess.add_frames(audio(10.0))
+    sess.update_segments([seg(0.0, 2.0, " stuck")], duration=2.0)  # count=0
+    sess.update_segments([seg(0.0, 2.0, " stuck")], duration=2.0)  # count=1, capture 2.0
+    # more audio arrives; the (still identical) hypothesis now spans 4 s
+    sess.update_segments([seg(0.0, 4.0, " stuck")], duration=4.0)  # count=2
+    last = sess.update_segments([seg(0.0, 4.0, " stuck")], duration=4.0)  # commit
+    assert last is None
+    assert [s["text"] for s in sess.transcript] == [" stuck"]
+    # cursor advanced only to the first-repetition extent
+    assert sess.timestamp_offset == pytest.approx(2.0)
+    assert sess.transcript[0]["end"] == "2.000"
+
+
+def test_commit_gate_is_last_segment_no_speech_not_text():
+    """segments[:-1] commit is gated on the LAST segment's no_speech_prob
+    (base.py:401), not on whether its text is empty."""
+    sess = StreamingSession(SessionOptions(no_speech_thresh=0.5))
+    sess.add_frames(audio(10.0))
+    # last segment has empty text but low no-speech: commit must happen
+    sess.update_segments([seg(0.0, 2.0, " done"), seg(2.0, 3.0, "")], duration=3.0)
+    assert [s["text"] for s in sess.transcript] == [" done"]
+    # last segment confidently silence: nothing is committed
+    sess2 = StreamingSession(SessionOptions(no_speech_thresh=0.5))
+    sess2.add_frames(audio(10.0))
+    sess2.update_segments(
+        [seg(0.0, 2.0, " speech"), seg(2.0, 3.0, " tail", no_speech=0.9)],
+        duration=3.0,
+    )
+    assert sess2.transcript == []
+
+
+def test_silent_last_segment_never_counts_as_repetition():
+    """current_out is only set when the no-speech gate passes (base.py:
+    424-426), so repeated silent windows cannot trigger a forced commit."""
+    sess = StreamingSession(
+        SessionOptions(same_output_threshold=1, no_speech_thresh=0.5)
+    )
+    sess.add_frames(audio(10.0))
+    for _ in range(5):
+        last = sess.update_segments(
+            [seg(0.0, 1.0, " hmm", no_speech=0.9)], duration=1.0
+        )
+    assert last is None
+    assert sess.transcript == []
+    assert sess.same_output_count == 0
+
+
+def test_forced_commit_dedup_is_case_insensitive():
+    """The re-commit guard lowercases both sides (base.py:453)."""
+    sess = StreamingSession(SessionOptions(same_output_threshold=1))
+    sess.add_frames(audio(10.0))
+    # commit " Hello" via the completed path: seeds self.text
+    sess.update_segments([seg(0.0, 1.0, " Hello"), seg(1.0, 2.0, " HELLO")], duration=2.0)
+    # now " HELLO" repeats until forced commit: dedup must catch it
+    sess.update_segments([seg(0.0, 1.0, " HELLO")], duration=1.0)
+    sess.update_segments([seg(0.0, 1.0, " HELLO")], duration=1.0)
+    texts = [s["text"] for s in sess.transcript]
+    assert texts == [" Hello"], texts
+    # but the cursor still advances past the repeated audio
+    assert sess.timestamp_offset == pytest.approx(2.0)
+
+
+def test_prev_out_unchanged_on_forced_commit():
+    """prev_out keeps its value through a forced commit (base.py:475-476):
+    the same hypothesis reappearing right after counts as a repetition
+    immediately."""
+    sess = StreamingSession(SessionOptions(same_output_threshold=2))
+    sess.add_frames(audio(10.0))
+    for _ in range(4):
+        sess.update_segments([seg(0.0, 1.0, " loop")], duration=1.0)
+    # forced commit happened; prev_out must still be " loop"
+    assert sess.prev_out == " loop"
+    sess.update_segments([seg(0.0, 1.0, " loop")], duration=1.0)
+    assert sess.same_output_count == 1  # counted straight away
+
+
+def test_word_timestamps_are_strings():
+    """Word start/end ride the wire as "%.3f" strings (base.py:366-381)."""
+    from types import SimpleNamespace as W
+
+    sess = StreamingSession(SessionOptions(word_timestamps=True))
+    sess.add_frames(audio(5.0))
+    sess.timestamp_offset = 1.0
+    words = [W(start=0.5, end=0.75, word=" hi", probability=0.987654)]
+    last = sess.update_segments(
+        [seg(0.0, 1.0, " hi", words=words), seg(1.0, 2.0, " there")],
+        duration=2.0,
+    )
+    w = sess.transcript[0]["words"][0]
+    assert w == {"word": " hi", "start": "1.500", "end": "1.750", "probability": 0.9877}

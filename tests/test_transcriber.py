@@ -67,12 +67,31 @@ def ts(s):  # timestamp token for s seconds
     return 1000 + int(s / 0.02)
 
 
-def test_split_segments_consecutive_pairs():
+def test_split_segments_single_timestamp_ending_emits_tail():
+    # Window output ends on a lone timestamp -> the trailing slice is a
+    # finished segment AND the whole window is consumed
+    # (transcriber_faster_whisper.py:993-1019: slices.append(len(tokens)),
+    # seek += segment_size).
     toks = [ts(0.0), 5, 6, ts(2.0), ts(2.0), 7, ts(4.0)]
     segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 10.0, 30.0, 3000)
     assert len(segs) == 2
     assert segs[0][0] == pytest.approx(10.0)
     assert segs[0][1] == pytest.approx(12.0)
+    assert segs[0][2] == [ts(0.0), 5, 6, ts(2.0)]
+    assert segs[1][0] == pytest.approx(12.0)
+    assert segs[1][1] == pytest.approx(14.0)
+    assert segs[1][2] == [ts(2.0), 7, ts(4.0)]
+    assert advance == 3000
+
+
+def test_split_segments_unfinished_tail_dropped_and_rewound():
+    # No closing timestamp after the last pair -> trailing tokens are
+    # unfinished: NOT emitted now (they'd be re-decoded next window), and
+    # seek rewinds to the last closed timestamp
+    # (transcriber_faster_whisper.py:1020-1025).
+    toks = [ts(0.0), 5, 6, ts(2.0), ts(2.0), 7, 8]
+    segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 10.0, 30.0, 3000)
+    assert len(segs) == 1
     assert segs[0][2] == [ts(0.0), 5, 6, ts(2.0)]
     # seek advances to the last consecutive pair boundary: 2.0s * 100 frames
     assert advance == 200

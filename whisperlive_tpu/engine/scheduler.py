@@ -282,7 +282,8 @@ class BatchScheduler:
                 if not skip:
                     segment_size = int(durations[i] * 100)  # mel frames
                     pieces, _ = split_segments_by_timestamps(
-                        eng.spec, res.tokens, 0.0, durations[i], segment_size
+                        eng.spec, res.tokens, 0.0, durations[i], segment_size,
+                        include_unfinished=True,
                     )
                     timings = None
                     if req.options.word_timestamps:

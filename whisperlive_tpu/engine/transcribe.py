@@ -72,17 +72,30 @@ def split_segments_by_timestamps(
     time_offset: float,
     window_duration: float,
     segment_size_frames: int,
+    include_unfinished: bool = False,
 ) -> tuple[list[tuple[float, float, list[int]]], int]:
     """Split one window's sampled tokens at timestamp boundaries.
 
     Port of the seek-advance semantics of _split_segments_by_timestamps
     (transcriber_faster_whisper.py:970-1047). Returns
     ([(start_s, end_s, tokens)], seek_advance_frames).
+
+    include_unfinished: streaming-only mode — also emit the unfinished
+    trailing slice (tokens after the last closed timestamp pair) as a final
+    segment ending at the window edge. The offline seek loop must NOT use
+    this (the tail is re-decoded next window, reference drops it); the
+    streaming scheduler does, because its per-cycle decode is one window and
+    the session layer needs the in-flight tail as the incomplete partial.
     """
     tb = spec.timestamp_begin
     toks = [int(t) for t in tokens]
     single = []
 
+    # True when the window's output ends on a lone timestamp (no speech
+    # after it): transcriber_faster_whisper.py:980-982.
+    ended_with_single = (
+        len(toks) >= 2 and toks[-2] < tb <= toks[-1]
+    )
     consecutive = [
         i + 1
         for i in range(len(toks) - 1)
@@ -90,14 +103,16 @@ def split_segments_by_timestamps(
     ]
     segments: list[tuple[float, float, list[int]]] = []
     if consecutive:
-        ended_with_single = len(toks) >= 1 and toks[-1] >= tb and (
-            len(toks) < 2 or toks[-2] < tb
-        )
-        slices = list(zip([0] + consecutive, consecutive + [len(toks)]))
+        # Boundaries at each consecutive-timestamp pair. On a single-
+        # timestamp ending the trailing slice IS a finished segment (emit it
+        # and advance the full window); otherwise trailing tokens are
+        # unfinished — drop them and rewind seek to the last closed
+        # timestamp so the next window re-decodes them
+        # (transcriber_faster_whisper.py:992-1025).
+        bounds = list(consecutive)
         if ended_with_single:
-            # keep the trailing open segment for the next window
-            slices = slices[:-1] if slices[-1][0] == slices[-1][1] else slices
-        for a, b in slices:
+            bounds.append(len(toks))
+        for a, b in zip([0] + bounds[:-1], bounds):
             piece = toks[a:b]
             if not piece:
                 continue
@@ -110,7 +125,19 @@ def split_segments_by_timestamps(
                     piece,
                 )
             )
-        last_close = toks[consecutive[-1] - 1]
+        if ended_with_single:
+            return segments, segment_size_frames
+        if include_unfinished and bounds[-1] < len(toks):
+            piece = toks[bounds[-1]:]
+            start_ts = piece[0] - tb if piece[0] >= tb else 0
+            segments.append(
+                (
+                    time_offset + start_ts * TIME_PRECISION,
+                    time_offset + window_duration,
+                    piece,
+                )
+            )
+        last_close = toks[bounds[-1] - 1]
         seek_advance = (last_close - tb) * INPUT_STRIDE
         return segments, max(seek_advance, 1)
 

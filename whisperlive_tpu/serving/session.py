@@ -102,6 +102,10 @@ class StreamingSession:
         self.frames_offset = 0.0  # seconds of audio discarded from the left
         self.timestamp_offset = 0.0  # committed-up-to cursor (seconds)
         self.transcript: list[dict] = []
+        # All segment texts ever seen at a completed position (base.py:40
+        # `self.text`): the forced-commit dedup compares against this, NOT
+        # against the committed transcript (base.py:453).
+        self.text: list[str] = []
         self.current_out = ""
         self.prev_out = ""
         self.same_output_count = 0
@@ -178,10 +182,15 @@ class StreamingSession:
     # ------------------------------------------------------------------
 
     def _commit_segment(
-        self, start: float, end: float, text: str, words: Optional[list[dict]] = None
+        self,
+        start: float,
+        end: float,
+        text: str,
+        words: Optional[list[dict]] = None,
+        identify_speaker: bool = True,
     ) -> dict:
         speaker = None
-        if self.speaker_identifier is not None:
+        if identify_speaker and self.speaker_identifier is not None:
             try:
                 # start/end are absolute stream seconds; frames_np begins at
                 # frames_offset after left-trims.
@@ -196,6 +205,8 @@ class StreamingSession:
         self.transcript.append(seg)
         if len(self.transcript) > MAX_TRANSCRIPT_SEGMENTS:
             self.transcript = self.transcript[-MAX_TRANSCRIPT_SEGMENTS:]
+        if len(self.text) > MAX_TRANSCRIPT_SEGMENTS:
+            self.text = self.text[-MAX_TRANSCRIPT_SEGMENTS:]
         if self.translation_queue is not None:
             try:
                 self.translation_queue.put_nowait(seg)
@@ -219,10 +230,18 @@ class StreamingSession:
         offset: Optional[float] = None
         self.current_out = ""
         last_segment = None
+        if not segments:
+            return None
+        last_ns_prob = getattr(segments[-1], "no_speech_prob", 0.0)
 
-        if len(segments) > 1 and segments[-1].text.strip():
+        # Commit all-but-last, gated on the LAST segment's no_speech_prob
+        # (base.py:401) — not on its text.
+        if len(segments) > 1 and last_ns_prob <= self.options.no_speech_thresh:
             for s in segments[:-1]:
                 text = s.text
+                # every completed-position text is recorded, even if the
+                # segment itself is then filtered (base.py:403-404)
+                self.text.append(text)
                 start = self.timestamp_offset + s.start
                 end = self.timestamp_offset + min(duration, s.end)
                 if start >= end:
@@ -234,56 +253,60 @@ class StreamingSession:
                 )
                 offset = min(duration, s.end)
 
-        # rolling hypothesis = last segment
-        if segments and segments[-1].text.strip():
+        # rolling hypothesis = last segment (base.py:424-436): current_out
+        # is set ONLY when the no-speech gate passes, so silent windows
+        # never count toward the repetition heuristic.
+        if last_ns_prob <= self.options.no_speech_thresh:
             s = segments[-1]
-            self.current_out = s.text
-            if getattr(s, "no_speech_prob", 0.0) <= self.options.no_speech_thresh:
-                last_segment = format_segment(
-                    self.timestamp_offset + s.start,
-                    self.timestamp_offset + min(duration, s.end),
-                    s.text,
-                    completed=False,
-                    words=self._words_of(s),
-                )
+            self.current_out += s.text
+            last_segment = format_segment(
+                self.timestamp_offset + s.start,
+                self.timestamp_offset + min(duration, s.end),
+                self.current_out,
+                completed=False,
+                words=self._words_of(s),
+            )
 
         # repetition-based forced commit (base.py:437-480)
         if (
-            self.current_out.strip()
-            and self.current_out.strip() == self.prev_out.strip()
+            self.current_out.strip() == self.prev_out.strip()
+            and self.current_out != ""
         ):
             self.same_output_count += 1
-            # remember how far the repeated hypothesis extends
-            if segments:
-                self.end_time_for_same_output = min(duration, segments[-1].end)
+            # Capture the extent of the repeated hypothesis at the FIRST
+            # repetition only (base.py:442-446): the forced commit must not
+            # advance the cursor past audio that arrived during later
+            # repetitions and is not yet transcribed.
+            if self.end_time_for_same_output is None:
+                self.end_time_for_same_output = segments[-1].end
         else:
             self.same_output_count = 0
             self.end_time_for_same_output = None
 
         if self.same_output_count > self.options.same_output_threshold:
-            if not self.transcript or self.transcript[-1]["text"].strip() != self.current_out.strip():
-                end = self.timestamp_offset + (
-                    self.end_time_for_same_output
-                    if self.end_time_for_same_output is not None
-                    else duration
-                )
+            # dedup vs the last seen text, case-insensitively (base.py:453)
+            if (
+                not self.text
+                or self.text[-1].strip().lower() != self.current_out.strip().lower()
+            ):
+                self.text.append(self.current_out)
                 self._commit_segment(
                     self.timestamp_offset,
-                    end,
+                    self.timestamp_offset
+                    + min(duration, self.end_time_for_same_output),
                     self.current_out,
-                    words=self._words_of(segments[-1]) if segments else None,
+                    identify_speaker=False,
                 )
-            offset = (
-                self.end_time_for_same_output
-                if self.end_time_for_same_output is not None
-                else duration
-            )
             self.current_out = ""
+            offset = min(duration, self.end_time_for_same_output)
             self.same_output_count = 0
-            self.end_time_for_same_output = None
             last_segment = None
+            self.end_time_for_same_output = None
+            # prev_out is intentionally left unchanged on the forced-commit
+            # branch (base.py:475-476).
+        else:
+            self.prev_out = self.current_out
 
-        self.prev_out = self.current_out
         if offset is not None:
             with self.lock:
                 self.timestamp_offset += offset
@@ -293,11 +316,13 @@ class StreamingSession:
         words = getattr(s, "words", None)
         if not words or not self.options.word_timestamps:
             return None
+        # wire format matches _extract_words (base.py:366-381):
+        # "%.3f"-formatted STRING timestamps, like segment start/end
         return [
             {
-                "start": round(self.timestamp_offset + w.start, 3),
-                "end": round(self.timestamp_offset + w.end, 3),
                 "word": w.word,
+                "start": "{:.3f}".format(self.timestamp_offset + w.start),
+                "end": "{:.3f}".format(self.timestamp_offset + w.end),
                 "probability": round(getattr(w, "probability", 1.0), 4),
             }
             for w in words

@@ -85,3 +85,60 @@ def test_previous_tokens_truncated_to_half_ctx(eng):
     assert sot_idx <= 224
     assert prompt[sot_idx - 1] == prev[-1] + 0 if sot_idx > 1 else True
     assert prompt[1:sot_idx] == prev[-(sot_idx - 1):]
+
+
+def test_prompt_fits_largest_bucket_trims_prev_first(eng):
+    """previous_tokens + prefix can reach ~450 tokens; the composed prompt
+    must fit the largest prompt bucket with the sot sequence + prefix tail
+    intact (prev conditioning is trimmed first). ADVICE r1: _pad_prompts
+    used to silently chop the tail off."""
+    tok = eng.tokenizer
+    prev = list(range(300, 300 + 224))
+    prefix = " ".join(["word"] * 300)  # > half-ctx worth of prefix tokens
+    opts = TranscribeOptions(language="en", prefix=prefix)
+    prompt, sot_idx = eng.build_prompt(opts, previous_tokens=prev)
+    pmax = eng.prompt_buckets[-1]
+    assert len(prompt) <= pmax
+    # sot sequence survives at sot_idx
+    assert prompt[sot_idx] == tok.sot
+    assert prompt[sot_idx + 1] == tok.spec.language_token("en")
+    # prefix tail survives verbatim at the end
+    prefix_tokens = tok.encode(" " + prefix.strip())[-(eng.cfg.n_text_ctx // 2 - 1):]
+    assert prompt[-len(prefix_tokens):] == prefix_tokens
+
+
+def test_all_temperatures_fail_keeps_best_attempt(eng):
+    """When every temperature fails the gates, the returned result is the
+    best attempt (highest avg_logprob among below-compression-ratio ones),
+    stamped with the final temperature
+    (transcriber_faster_whisper.py:1464-1477)."""
+    import numpy as np
+
+    from whisperlive_tpu.engine.engine import DecodeResult
+
+    attempts = iter(
+        [
+            # T=0.0: best logprob but compression ratio too high
+            [DecodeResult(np.array([1, 2]), -0.5, 0.0, 9.0, 0.0)],
+            # T=0.5: acceptable CR, decent logprob (the winner)
+            [DecodeResult(np.array([3, 4]), -1.4, 0.0, 1.0, 0.5)],
+            # T=1.0: acceptable CR, worst logprob
+            [DecodeResult(np.array([5, 6]), -3.0, 0.0, 1.0, 1.0)],
+        ]
+    )
+    orig = eng.decode_batch
+    eng.decode_batch = lambda *a, **k: next(attempts)
+    try:
+        opts = TranscribeOptions(
+            language="en",
+            temperatures=(0.0, 0.5, 1.0),
+            log_prob_threshold=-1.0,  # all three fail this
+            compression_ratio_threshold=2.4,
+            no_speech_threshold=None,
+        )
+        (res,) = eng.decode_with_fallback(None, [[1]], [0], opts)
+    finally:
+        eng.decode_batch = orig
+    assert list(res.tokens) == [3, 4]
+    assert res.avg_logprob == -1.4
+    assert res.temperature == 1.0  # final temperature for prompt reset

@@ -203,3 +203,58 @@ def test_rest_word_timestamps_field():
     segs = json.loads(body)["segments"]
     assert segs and "words" in segs[0]
     assert segs[0]["words"][0]["probability"] == 0.9
+
+
+def test_transcribe_full_advances_by_seek_feedback():
+    """REST file transcription follows the decode's own seek feedback
+    (ADVICE r1): a window whose output ends mid-segment rewinds to the last
+    closed timestamp instead of clipping at the fixed 30 s edge, and the
+    per-uid backend state is released once, after the loop."""
+    from types import SimpleNamespace
+
+    from whisperlive_tpu.serving.rest import _transcribe_full
+    from whisperlive_tpu.serving.session import SessionOptions
+    from whisperlive_tpu.engine.scheduler import BatchResult
+
+    calls = []
+    released = []
+
+    class SeekBackend:
+        async def transcribe(self, chunk, options, *, language=None,
+                             previous_tokens=(), uid="",
+                             include_unfinished=True):
+            calls.append((len(chunk) / 16000.0, include_unfinished))
+            if len(calls) == 1:
+                # 30 s window: only 20 s closed cleanly
+                return BatchResult(
+                    segments=[SimpleNamespace(
+                        start=0.0, end=20.0, text=" first", tokens=[1],
+                        avg_logprob=-0.1, no_speech_prob=0.0,
+                        compression_ratio=1.0, temperature=0.0, words=None)],
+                    language="en", language_prob=1.0,
+                    duration=30.0, advance_s=20.0,
+                )
+            dur = len(chunk) / 16000.0
+            return BatchResult(
+                segments=[SimpleNamespace(
+                    start=0.0, end=dur, text=" rest", tokens=[2],
+                    avg_logprob=-0.1, no_speech_prob=0.0,
+                    compression_ratio=1.0, temperature=0.0, words=None)],
+                language="en", language_prob=1.0,
+                duration=dur, advance_s=dur,
+            )
+
+        def release(self, uid):
+            released.append(uid)
+
+    audio = np.zeros(16000 * 40, np.float32)  # 40 s file
+    segments, lang = asyncio.run(
+        _transcribe_full(SeekBackend(), audio, SessionOptions(), None)
+    )
+    # first window consumed 20 s; second window covers the remaining 20 s
+    assert [round(c[0]) for c in calls] == [30, 20]
+    assert all(c[1] is False for c in calls)  # offline mode: drop unfinished
+    assert [s["text"] for s in segments] == [" first", " rest"]
+    assert segments[1]["start"] == pytest.approx(20.0)
+    assert segments[1]["end"] == pytest.approx(40.0)
+    assert len(released) == 1

@@ -492,7 +492,6 @@ class WhisperEngine:
         Returns (prompt_tokens, sot_index).
         """
         tok = self.tokenizer
-        prompt: list[int] = []
         prev: list[int] = []
         if options.hotwords and not options.prefix:
             prev += tok.encode(" " + options.hotwords.strip())
@@ -500,19 +499,46 @@ class WhisperEngine:
             prev += tok.encode(" " + options.initial_prompt.strip())
         if previous_tokens and options.condition_on_previous_text:
             prev += list(previous_tokens)
-        if prev:
-            prompt.append(tok.sot_prev)
-            prompt.extend(prev[-(self.cfg.n_text_ctx // 2 - 1):])
-        sot_index = len(prompt)
+        prev = prev[-(self.cfg.n_text_ctx // 2 - 1):]
 
         lang = language or options.language
         seq_tok = WhisperTokenizer(
             tok.spec, tok.backend, language=lang, task=options.task
         )
-        prompt.extend(seq_tok.sot_sequence(include_timestamps=not options.without_timestamps))
+        tail = list(
+            seq_tok.sot_sequence(include_timestamps=not options.without_timestamps)
+        )
         if options.prefix:
             prefix_tokens = tok.encode(" " + options.prefix.strip())
-            prompt.extend(prefix_tokens[-(self.cfg.n_text_ctx // 2 - 1):])
+            tail.extend(prefix_tokens[-(self.cfg.n_text_ctx // 2 - 1):])
+
+        # Fit within the largest prompt bucket: the tail (sot sequence +
+        # prefix) steers the decode and must survive intact, so trim the
+        # previous-text conditioning first (it is a soft prior). Only then,
+        # as a last resort, drop prefix tokens — loudly.
+        pmax = self.prompt_buckets[-1]
+        head_budget = pmax - len(tail)
+        if prev and head_budget >= 2:
+            prev = prev[-(head_budget - 1):]
+        elif prev:
+            logger.warning(
+                "prompt overflow: dropping all %d previous/hotword tokens "
+                "(tail alone is %d of %d slots)", len(prev), len(tail), pmax
+            )
+            prev = []
+        if len(tail) > pmax:
+            logger.warning(
+                "prompt overflow: truncating prefix — prompt tail %d > "
+                "largest prompt bucket %d", len(tail), pmax
+            )
+            tail = tail[:pmax]
+
+        prompt: list[int] = []
+        if prev:
+            prompt.append(tok.sot_prev)
+            prompt.extend(prev)
+        sot_index = len(prompt)
+        prompt.extend(tail)
         return prompt, sot_index
 
     def _pad_prompts(
@@ -830,6 +856,7 @@ class WhisperEngine:
         sub-batch — at the next temperature."""
         n = len(prompts)
         results: list[DecodeResult | None] = [None] * n
+        history: list[list[DecodeResult]] = [[] for _ in range(n)]
         pending = list(range(n))
         sub_cross = cross_kv
         sub_prompts, sub_sot = list(prompts), list(sot_indices)
@@ -847,6 +874,7 @@ class WhisperEngine:
             for j, item in enumerate(pending):
                 r = decoded[j]
                 results[item] = r
+                history[item].append(r)
                 if fails_quality_gates(options, r):
                     still_failed.append(item)
             pending = still_failed
@@ -861,4 +889,21 @@ class WhisperEngine:
             sub_cross = jax.tree.map(lambda a: jnp.take(a, idx, axis=2), cross_kv)
             sub_prompts = [prompts[item] for item in pending]
             sub_sot = [sot_indices[item] for item in pending]
+
+        # Items that failed at EVERY temperature keep the best attempt, not
+        # the last: highest avg_logprob among below-compression-ratio
+        # results, else among all — with the final temperature stamped on
+        # (for prompt_reset_on_temperature), mirroring
+        # transcriber_faster_whisper.py:1464-1477.
+        for item in pending:
+            attempts = history[item]
+            below_cr = [
+                a for a in attempts
+                if options.compression_ratio_threshold is None
+                or a.compression_ratio <= options.compression_ratio_threshold
+            ]
+            best = max(below_cr or attempts, key=lambda a: a.avg_logprob)
+            results[item] = dataclasses.replace(
+                best, temperature=attempts[-1].temperature
+            )
         return [r for r in results if r is not None]

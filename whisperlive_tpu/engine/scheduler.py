@@ -54,6 +54,10 @@ class BatchRequest:
     previous_tokens: Sequence[int] = ()
     language: Optional[str] = None  # resolved language (None -> detect)
     uid: str = ""
+    # Streaming sessions keep the unfinished trailing slice as the rolling
+    # partial; offline/REST seek loops must drop it and re-decode from the
+    # last closed timestamp (reference _split_segments_by_timestamps).
+    include_unfinished: bool = True
     future: Future = dataclasses.field(default_factory=Future)
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
 
@@ -73,6 +77,11 @@ class BatchResult:
     language: str
     language_prob: float
     duration: float  # seconds of audio actually covered by this result
+    # Seek feedback: seconds of input consumed by this decode (the offline
+    # seek-loop advance, generate_segments semantics). Equals `duration`
+    # when the window ended cleanly; less when trailing tokens were
+    # unfinished and must be re-decoded from advance_s onward.
+    advance_s: float = 0.0
 
 
 class BatchScheduler:
@@ -271,6 +280,7 @@ class BatchScheduler:
         for i, (req, res) in enumerate(zip(batch, results)):
             try:
                 segments: list[Segment] = []
+                advance_s = durations[i]
                 skip = (
                     req.options.no_speech_threshold is not None
                     and res.no_speech_prob > req.options.no_speech_threshold
@@ -281,10 +291,11 @@ class BatchScheduler:
                 )
                 if not skip:
                     segment_size = int(durations[i] * 100)  # mel frames
-                    pieces, _ = split_segments_by_timestamps(
+                    pieces, advance = split_segments_by_timestamps(
                         eng.spec, res.tokens, 0.0, durations[i], segment_size,
-                        include_unfinished=True,
+                        include_unfinished=req.include_unfinished,
                     )
+                    advance_s = min(advance / 100.0, durations[i])
                     timings = None
                     if req.options.word_timestamps:
                         try:
@@ -336,6 +347,7 @@ class BatchScheduler:
                         language=languages[i] or "en",
                         language_prob=language_probs[i],
                         duration=durations[i],
+                        advance_s=advance_s,
                     )
                 )
             except Exception as e:

@@ -115,6 +115,7 @@ class TpuBackend:
         language: Optional[str] = None,
         previous_tokens: Sequence[int] = (),
         uid: str = "",
+        include_unfinished: bool = True,
     ) -> Optional[BatchResult]:
         if options.use_vad:
             vad = self._vad_for(uid, options)
@@ -134,6 +135,7 @@ class TpuBackend:
             previous_tokens=tuple(previous_tokens),
             language=language,
             uid=uid,
+            include_unfinished=include_unfinished,
         )
         self.scheduler.submit(req)
         return await asyncio.wait_for(asyncio.wrap_future(req.future), timeout=60)
@@ -157,6 +159,7 @@ class FakeBackend:
         language: Optional[str] = None,
         previous_tokens: Sequence[int] = (),
         uid: str = "",
+        include_unfinished: bool = True,
     ) -> BatchResult:
         if self.latency_s:
             await asyncio.sleep(self.latency_s)
@@ -190,4 +193,5 @@ class FakeBackend:
             language=language or options.language or "en",
             language_prob=0.99,
             duration=duration,
+            advance_s=duration,
         )

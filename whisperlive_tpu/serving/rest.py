@@ -55,52 +55,62 @@ async def _transcribe_full(
     options: SessionOptions,
     language: Optional[str],
 ):
-    """Sequential 30 s-window transcription of a whole file through the
+    """Timestamp-driven seek-loop transcription of a whole file through the
     shared backend (windows from different REST requests and live streams
-    batch together on the device)."""
+    batch together on the device). The seek cursor advances by the decode's
+    own feedback (BatchResult.advance_s — the reference's generate_segments
+    semantics, transcriber_faster_whisper.py:1104-1127), so speech that
+    straddles a window boundary is re-decoded from the last closed
+    timestamp instead of being clipped at a fixed 30 s edge."""
     segments_out = []
     previous_tokens: list[int] = []
     detected_language = language
     offset = 0
     uid = f"rest-{uuid.uuid4()}"
-    while offset < len(audio):
-        window = audio[offset : offset + int(WINDOW_S * SAMPLE_RATE)]
-        result = await backend.transcribe(
-            window,
-            options,
-            language=detected_language,
-            previous_tokens=previous_tokens,
-            uid=uid,
-        )
-        t0 = offset / SAMPLE_RATE
-        if result is not None:
-            detected_language = detected_language or result.language
-            for s in result.segments:
-                seg_dict = {
-                    "start": t0 + s.start,
-                    "end": t0 + s.end,
-                    "text": s.text,
-                    "tokens": list(getattr(s, "tokens", [])),
-                    "avg_logprob": getattr(s, "avg_logprob", 0.0),
-                    "no_speech_prob": getattr(s, "no_speech_prob", 0.0),
-                    "compression_ratio": getattr(s, "compression_ratio", 0.0),
-                    "temperature": getattr(s, "temperature", 0.0),
-                }
-                words = getattr(s, "words", None)
-                if words:
-                    seg_dict["words"] = [
-                        {
-                            "start": t0 + w.start,
-                            "end": t0 + w.end,
-                            "word": w.word,
-                            "probability": w.probability,
-                        }
-                        for w in words
-                    ]
-                segments_out.append(seg_dict)
-                previous_tokens.extend(getattr(s, "tokens", []))
-        previous_tokens = previous_tokens[-224:]
-        offset += int(WINDOW_S * SAMPLE_RATE)
+    try:
+        while offset < len(audio):
+            window = audio[offset : offset + int(WINDOW_S * SAMPLE_RATE)]
+            result = await backend.transcribe(
+                window,
+                options,
+                language=detected_language,
+                previous_tokens=previous_tokens,
+                uid=uid,
+                include_unfinished=False,
+            )
+            t0 = offset / SAMPLE_RATE
+            advance_s = WINDOW_S
+            if result is not None:
+                detected_language = detected_language or result.language
+                # floor of 1 s bounds worst-case work on pathological output
+                advance_s = max(result.advance_s, 1.0)
+                for s in result.segments:
+                    seg_dict = {
+                        "start": t0 + s.start,
+                        "end": t0 + s.end,
+                        "text": s.text,
+                        "tokens": list(getattr(s, "tokens", [])),
+                        "avg_logprob": getattr(s, "avg_logprob", 0.0),
+                        "no_speech_prob": getattr(s, "no_speech_prob", 0.0),
+                        "compression_ratio": getattr(s, "compression_ratio", 0.0),
+                        "temperature": getattr(s, "temperature", 0.0),
+                    }
+                    words = getattr(s, "words", None)
+                    if words:
+                        seg_dict["words"] = [
+                            {
+                                "start": t0 + w.start,
+                                "end": t0 + w.end,
+                                "word": w.word,
+                                "probability": w.probability,
+                            }
+                            for w in words
+                        ]
+                    segments_out.append(seg_dict)
+                    previous_tokens.extend(getattr(s, "tokens", []))
+            previous_tokens = previous_tokens[-224:]
+            offset += int(advance_s * SAMPLE_RATE)
+    finally:
         if hasattr(backend, "release"):
             backend.release(uid)
     return segments_out, (detected_language or "en")
@@ -277,24 +287,31 @@ async def start_rest_server(
             uid = f"rest-{uuid.uuid4()}"
             offset = 0
             detected = language
-            while offset < len(audio):
-                window = audio[offset : offset + int(WINDOW_S * SAMPLE_RATE)]
-                result = await backend.transcribe(
-                    window, options, language=detected,
-                    previous_tokens=previous_tokens, uid=uid,
-                )
-                if result is not None:
-                    detected = detected or result.language
-                    for s in result.segments:
-                        event = {
-                            "text": s.text,
-                            "start": offset / SAMPLE_RATE + s.start,
-                            "end": offset / SAMPLE_RATE + s.end,
-                        }
-                        await resp.write(f"data: {json.dumps(event)}\n\n".encode())
-                        previous_tokens.extend(getattr(s, "tokens", []))
-                previous_tokens = previous_tokens[-224:]
-                offset += int(WINDOW_S * SAMPLE_RATE)
+            try:
+                while offset < len(audio):
+                    window = audio[offset : offset + int(WINDOW_S * SAMPLE_RATE)]
+                    result = await backend.transcribe(
+                        window, options, language=detected,
+                        previous_tokens=previous_tokens, uid=uid,
+                        include_unfinished=False,
+                    )
+                    advance_s = WINDOW_S
+                    if result is not None:
+                        detected = detected or result.language
+                        advance_s = max(result.advance_s, 1.0)
+                        for s in result.segments:
+                            event = {
+                                "text": s.text,
+                                "start": offset / SAMPLE_RATE + s.start,
+                                "end": offset / SAMPLE_RATE + s.end,
+                            }
+                            await resp.write(f"data: {json.dumps(event)}\n\n".encode())
+                            previous_tokens.extend(getattr(s, "tokens", []))
+                    previous_tokens = previous_tokens[-224:]
+                    offset += int(advance_s * SAMPLE_RATE)
+            finally:
+                if hasattr(backend, "release"):
+                    backend.release(uid)
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             wl_metrics.track_rest_request("/v1/audio/transcriptions", 200)

@@ -86,3 +86,52 @@ def test_pad_or_trim():
     y = np.ones(mel_ops.N_SAMPLES + 5, np.float32)
     assert mel_ops.pad_or_trim(y).shape == (mel_ops.N_SAMPLES,)
     assert mel_ops.pad_or_trim(x, 50).shape == (50,)
+
+
+def test_log_mel_full_matches_windowed_op():
+    """Full-clip features (offline seek loop) equal the 30 s windowed op on
+    an exactly-30 s clip (same framing, same normalization max)."""
+    import numpy as np
+    from whisperlive_tpu.ops import mel as mel_ops
+
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(mel_ops.N_SAMPLES) * 0.1).astype(np.float32)
+    full = mel_ops.log_mel_full(audio)  # [3001, 80] (audio + one pad frame)
+    win = np.asarray(mel_ops.log_mel_spectrogram(audio[None]))[0]  # [3000, 80]
+    assert full.shape[0] == mel_ops.N_FRAMES + 1
+    # final audio frame differs legitimately: the offline extractor appends
+    # zeros (faster-whisper padding=160) where the windowed op reflects
+    np.testing.assert_allclose(
+        full[: mel_ops.N_FRAMES - 1], win[:-1], atol=2e-5, rtol=1e-5
+    )
+
+
+def test_log_mel_full_chunk_boundary_continuity():
+    """Frames around the 3000-frame device-chunk boundary must equal an
+    independent numpy STFT oracle — no seams from chunked computation."""
+    import numpy as np
+    from whisperlive_tpu.ops import mel as mel_ops
+
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(16000 * 61) * 0.1).astype(np.float32)
+    full = mel_ops.log_mel_full(audio)
+
+    # independent oracle: np.fft.rfft STFT, same padding/window conventions
+    sig = np.pad(audio, (0, mel_ops.HOP_LENGTH))
+    sig = np.pad(sig, (200, 200), mode="reflect")
+    window = np.hanning(mel_ops.N_FFT + 1)[:-1]
+    fb = mel_ops.mel_filter_bank()
+    check = list(range(2995, 3005)) + [0, 1, 6099]
+    rows = []
+    for t in check:
+        fr = sig[t * 160 : t * 160 + 400] * window
+        spec = np.abs(np.fft.rfft(fr)) ** 2
+        rows.append(np.log10(np.maximum(spec @ fb, 1e-10)))
+    rows = np.stack(rows)
+    gmax_ref = None  # oracle can't know the global max cheaply; compare pre-clamp
+    # invert the clamp/scale on our output, then compare raw log10 values
+    ours = full[check] * 4.0 - 4.0
+    # rows below (global_max - 8) were clamped in ours; mask those out
+    global_max = full.max() * 4.0 - 4.0
+    mask = rows > (global_max - 8.0 + 1e-3)
+    np.testing.assert_allclose(ours[mask], rows[mask], atol=1e-4, rtol=1e-4)

@@ -73,7 +73,7 @@ def test_split_segments_single_timestamp_ending_emits_tail():
     # (transcriber_faster_whisper.py:993-1019: slices.append(len(tokens)),
     # seek += segment_size).
     toks = [ts(0.0), 5, 6, ts(2.0), ts(2.0), 7, ts(4.0)]
-    segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 10.0, 30.0, 3000)
+    segs, advance, single = split_segments_by_timestamps(_Spec, np.array(toks), 10.0, 30.0, 3000)
     assert len(segs) == 2
     assert segs[0][0] == pytest.approx(10.0)
     assert segs[0][1] == pytest.approx(12.0)
@@ -90,7 +90,7 @@ def test_split_segments_unfinished_tail_dropped_and_rewound():
     # seek rewinds to the last closed timestamp
     # (transcriber_faster_whisper.py:1020-1025).
     toks = [ts(0.0), 5, 6, ts(2.0), ts(2.0), 7, 8]
-    segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 10.0, 30.0, 3000)
+    segs, advance, single = split_segments_by_timestamps(_Spec, np.array(toks), 10.0, 30.0, 3000)
     assert len(segs) == 1
     assert segs[0][2] == [ts(0.0), 5, 6, ts(2.0)]
     # seek advances to the last consecutive pair boundary: 2.0s * 100 frames
@@ -99,7 +99,7 @@ def test_split_segments_unfinished_tail_dropped_and_rewound():
 
 def test_split_segments_no_pair_single_segment():
     toks = [ts(0.0), 5, 6, 7]
-    segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 0.0, 12.5, 1250)
+    segs, advance, single = split_segments_by_timestamps(_Spec, np.array(toks), 0.0, 12.5, 1250)
     assert len(segs) == 1
     assert segs[0][0] == 0.0 and segs[0][1] == pytest.approx(12.5)
     assert advance == 1250  # whole window consumed
@@ -107,7 +107,7 @@ def test_split_segments_no_pair_single_segment():
 
 def test_split_segments_trailing_single_timestamp_bounds_duration():
     toks = [ts(0.0), 5, ts(3.0)]
-    segs, advance = split_segments_by_timestamps(_Spec, np.array(toks), 0.0, 30.0, 3000)
+    segs, advance, single = split_segments_by_timestamps(_Spec, np.array(toks), 0.0, 30.0, 3000)
     assert segs[0][1] == pytest.approx(3.0)
     assert advance == 3000
 

@@ -77,7 +77,13 @@ class TranscribeOptions:
     length_penalty: float = 1.0
     no_repeat_ngram_size: int = 0
     # with word_timestamps: drop anomalous (hallucination-suspect) segments
+    # (streaming) / skip silence around them in the seek loop (offline,
+    # transcriber_faster_whisper.py:1240-1287)
     hallucination_silence_threshold: float | None = None
+    # reset the rolling prompt when fallback temperature exceeds this
+    prompt_reset_on_temperature: float = 0.5
+    # "s0,e0,s1,e1" or [s0, e0, ...] seconds: restrict decoding to clips
+    clip_timestamps: str | tuple[float, ...] = "0"
 
 
 @dataclasses.dataclass
@@ -797,12 +803,16 @@ class WhisperEngine:
         item_index: int,
         text_tokens: Sequence[int],
         num_frames: int,
+        merge: bool = True,
     ):
         """Word timings for one decoded window item (cross-attention DTW).
 
         Runs one teacher-forced B=1 pass over [sot-seq + text + eot] against
         the item's slice of the already-computed cross-KV, then host-side
-        DTW (engine/align.py). Returns a list of WordTiming.
+        DTW (engine/align.py). Returns a list of WordTiming. merge=False
+        returns raw timings so the caller can apply the reference's duration
+        hacks between alignment and punctuation merging
+        (add_word_timestamps, transcriber_faster_whisper.py:1541-1566).
         """
         from whisperlive_tpu.engine import align as align_mod
 
@@ -840,6 +850,8 @@ class WhisperEngine:
             sot_len,
             num_frames,
         )
+        if not merge:
+            return timings
         return align_mod.merge_punctuations(timings)
 
     def decode_with_fallback(

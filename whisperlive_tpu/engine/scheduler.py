@@ -291,7 +291,7 @@ class BatchScheduler:
                 )
                 if not skip:
                     segment_size = int(durations[i] * 100)  # mel frames
-                    pieces, advance = split_segments_by_timestamps(
+                    pieces, advance, _ = split_segments_by_timestamps(
                         eng.spec, res.tokens, 0.0, durations[i], segment_size,
                         include_unfinished=req.include_unfinished,
                     )

@@ -73,12 +73,13 @@ def split_segments_by_timestamps(
     window_duration: float,
     segment_size_frames: int,
     include_unfinished: bool = False,
-) -> tuple[list[tuple[float, float, list[int]]], int]:
+) -> tuple[list[tuple[float, float, list[int]]], int, bool]:
     """Split one window's sampled tokens at timestamp boundaries.
 
     Port of the seek-advance semantics of _split_segments_by_timestamps
     (transcriber_faster_whisper.py:970-1047). Returns
-    ([(start_s, end_s, tokens)], seek_advance_frames).
+    ([(start_s, end_s, tokens)], seek_advance_frames,
+    single_timestamp_ending).
 
     include_unfinished: streaming-only mode — also emit the unfinished
     trailing slice (tokens after the last closed timestamp pair) as a final
@@ -126,7 +127,7 @@ def split_segments_by_timestamps(
                 )
             )
         if ended_with_single:
-            return segments, segment_size_frames
+            return segments, segment_size_frames, True
         if include_unfinished and bounds[-1] < len(toks):
             piece = toks[bounds[-1]:]
             start_ts = piece[0] - tb if piece[0] >= tb else 0
@@ -139,7 +140,7 @@ def split_segments_by_timestamps(
             )
         last_close = toks[bounds[-1] - 1]
         seek_advance = (last_close - tb) * INPUT_STRIDE
-        return segments, max(seek_advance, 1)
+        return segments, max(seek_advance, 1), False
 
     # No consecutive pair: one segment spanning the window; if the output
     # ends with a lone timestamp, it bounds the duration.
@@ -148,7 +149,353 @@ def split_segments_by_timestamps(
     if ts_tokens and ts_tokens[-1] != tb:
         duration = (ts_tokens[-1] - tb) * TIME_PRECISION
     single = [(time_offset, time_offset + duration, toks)]
-    return single, segment_size_frames
+    return single, segment_size_frames, ended_with_single
+
+
+_ANOMALY_PUNCT = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
+_SENTENCE_END_MARKS = ".。!！?？"
+
+
+def _word_anomaly_score(word: dict) -> float:
+    # transcriber_faster_whisper.py:1189-1199
+    probability = word.get("probability", 0.0)
+    dur = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if dur < 0.133:
+        score += (0.133 - dur) * 15
+    if dur > 2.0:
+        score += dur - 2.0
+    return score
+
+
+def _is_segment_anomaly(segment: Optional[dict]) -> bool:
+    # transcriber_faster_whisper.py:1201-1207
+    if segment is None or not segment["words"]:
+        return False
+    words = [w for w in segment["words"] if w["word"] not in _ANOMALY_PUNCT]
+    words = words[:8]
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def _next_words_segment(segments: list[dict]) -> Optional[dict]:
+    return next((s for s in segments if s["words"]), None)
+
+
+def _get_end(segments: list[dict]) -> Optional[float]:
+    return next(
+        (w["end"] for s in reversed(segments) for w in reversed(s["words"])),
+        segments[-1]["end"] if segments else None,
+    )
+
+
+def add_word_timestamps(
+    eng,
+    cross_kv,
+    item_index: int,
+    pieces: list[dict],
+    segment_size: int,
+    time_offset: float,
+    last_speech_timestamp: float,
+) -> None:
+    """Attach word-level timings to this window's segment dicts, mutating
+    their start/end like the reference (add_word_timestamps,
+    transcriber_faster_whisper.py:1515-1646): one DTW alignment over the
+    window's concatenated text tokens, duration hacks at sentence and
+    segment boundaries, punctuation merging, then distribution across
+    segments by token count."""
+    from whisperlive_tpu.engine import align as align_mod
+
+    eot = eng.spec.eot
+    tokens_per_piece = [[t for t in p["tokens"] if t < eot] for p in pieces]
+    flat = [t for toks in tokens_per_piece for t in toks]
+    if not flat:
+        for p in pieces:
+            p["words"] = []
+        return
+    alignment = eng.align_words(
+        cross_kv, item_index, flat, segment_size, merge=False
+    )
+
+    word_durations = np.array([w.end - w.start for w in alignment])
+    word_durations = word_durations[word_durations.nonzero()]
+    median_duration = (
+        float(np.median(word_durations)) if len(word_durations) > 0 else 0.0
+    )
+    median_duration = min(0.7, median_duration)
+    max_duration = median_duration * 2
+
+    # truncate long words at sentence boundaries (reference "hack")
+    if len(word_durations) > 0:
+        for i in range(1, len(alignment)):
+            if alignment[i].end - alignment[i].start > max_duration:
+                if alignment[i].word in _SENTENCE_END_MARKS:
+                    alignment[i].end = alignment[i].start + max_duration
+                elif alignment[i - 1].word in _SENTENCE_END_MARKS:
+                    alignment[i].start = alignment[i].end - max_duration
+
+    alignment = align_mod.merge_punctuations(alignment)
+
+    word_index = 0
+    for piece, piece_tokens in zip(pieces, tokens_per_piece):
+        saved_tokens = 0
+        words: list[dict] = []
+        while word_index < len(alignment) and saved_tokens < len(piece_tokens):
+            timing = alignment[word_index]
+            if timing.word:
+                words.append(
+                    dict(
+                        word=timing.word,
+                        start=round(time_offset + timing.start, 2),
+                        end=round(time_offset + timing.end, 2),
+                        probability=timing.probability,
+                    )
+                )
+            saved_tokens += len(timing.tokens)
+            word_index += 1
+
+        if words:
+            # first word after a pause must not be absurdly long
+            if words[0]["end"] - last_speech_timestamp > median_duration * 4 and (
+                words[0]["end"] - words[0]["start"] > max_duration
+                or (
+                    len(words) > 1
+                    and words[1]["end"] - words[0]["start"] > max_duration * 2
+                )
+            ):
+                if (
+                    len(words) > 1
+                    and words[1]["end"] - words[1]["start"] > max_duration
+                ):
+                    boundary = max(
+                        words[1]["end"] / 2, words[1]["end"] - max_duration
+                    )
+                    words[0]["end"] = words[1]["start"] = boundary
+                words[0]["start"] = max(0, words[0]["end"] - max_duration)
+
+            # prefer segment-level boundaries when the edge words are long
+            if (
+                piece["start"] < words[0]["end"]
+                and piece["start"] - 0.5 > words[0]["start"]
+            ):
+                words[0]["start"] = max(
+                    0, min(words[0]["end"] - median_duration, piece["start"])
+                )
+            else:
+                piece["start"] = words[0]["start"]
+            if (
+                piece["end"] > words[-1]["start"]
+                and piece["end"] + 0.5 < words[-1]["end"]
+            ):
+                words[-1]["end"] = max(
+                    words[-1]["start"] + median_duration, piece["end"]
+                )
+            else:
+                piece["end"] = words[-1]["end"]
+            last_speech_timestamp = piece["end"]
+        piece["words"] = words
+
+
+def generate_segments(
+    eng: WhisperEngine,
+    features: np.ndarray,  # [T, n_mels] full-clip log-mel (log_mel_full)
+    options: TranscribeOptions,
+    seed: int = 0,
+) -> tuple[list[Segment], Optional[str], float]:
+    """The offline seek loop — behavioral port of generate_segments
+    (transcriber_faster_whisper.py:1049-1337) over the full-clip feature
+    array: clip ranges, windowed decode with temperature fallback, the
+    no-speech skip, timestamp segmentation, word-timestamp seek adjustment
+    and the hallucination_silence_threshold silence-gap re-seek.
+
+    Returns (segments, language, language_probability).
+    """
+    spec = eng.spec
+    content_frames = features.shape[0] - 1
+    content_duration = float(content_frames / FRAMES_PER_SECOND)
+
+    clip_ts = options.clip_timestamps
+    if isinstance(clip_ts, str):
+        clip_ts = [float(t) for t in clip_ts.split(",")] if clip_ts else []
+    seek_points = [round(ts * FRAMES_PER_SECOND) for ts in clip_ts]
+    if len(seek_points) == 0:
+        seek_points.append(0)
+    if len(seek_points) % 2 == 1:
+        seek_points.append(content_frames)
+    seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
+
+    language = options.language
+    language_prob = 1.0
+    clip_idx = 0
+    seek = seek_clips[0][0]
+    all_segments: list[Segment] = []
+    all_tokens: list[int] = []
+    prompt_reset_since = 0
+    seg_id = 0
+    last_speech_timestamp = 0.0
+
+    # initial_prompt seeds the rolling context (generate_segments:1089-1095);
+    # build_prompt then sees non-empty previous_tokens and won't re-add it.
+    if options.initial_prompt is not None:
+        all_tokens.extend(eng.tokenizer.encode(" " + options.initial_prompt.strip()))
+
+    while clip_idx < len(seek_clips):
+        seek_clip_start, seek_clip_end = seek_clips[clip_idx]
+        seek_clip_end = min(seek_clip_end, content_frames)
+        seek = max(seek, seek_clip_start)
+        if seek >= seek_clip_end:
+            clip_idx += 1
+            if clip_idx < len(seek_clips):
+                seek = seek_clips[clip_idx][0]
+            continue
+        time_offset = seek / FRAMES_PER_SECOND
+        window_end_time = float((seek + mel_ops.N_FRAMES) / FRAMES_PER_SECOND)
+        segment_size = min(
+            mel_ops.N_FRAMES, content_frames - seek, seek_clip_end - seek
+        )
+        segment_duration = segment_size / FRAMES_PER_SECOND
+        window = mel_ops.pad_or_trim_frames(features[seek : seek + segment_size])
+
+        _, cross_kv = eng.prepare_mel(window[None])
+        if language is None:
+            if eng.tokenizer.spec.multilingual:
+                (language, language_prob), = eng.detect_language_from_cross(cross_kv)
+                logger.info(
+                    "detected language %s (p=%.2f)", language, language_prob
+                )
+            else:
+                language = "en"
+
+        win_options = options if seek == 0 else dataclasses.replace(
+            options, prefix=None
+        )
+        prompt, sot_idx = eng.build_prompt(
+            win_options,
+            previous_tokens=all_tokens[prompt_reset_since:],
+            language=language,
+        )
+        (result,) = eng.decode_with_fallback(
+            cross_kv, [prompt], [sot_idx], options, seed=seed
+        )
+
+        # No-speech skip (transcriber_faster_whisper.py:1162-1182): skip on
+        # high no-speech prob unless the logprob clears the threshold.
+        if options.no_speech_threshold is not None:
+            should_skip = result.no_speech_prob > options.no_speech_threshold
+            if (
+                options.log_prob_threshold is not None
+                and result.avg_logprob > options.log_prob_threshold
+            ):
+                should_skip = False
+            if should_skip:
+                seek += segment_size
+                continue
+
+        previous_seek = seek
+        raw_pieces, advance, single_timestamp_ending = (
+            split_segments_by_timestamps(
+                spec, result.tokens, time_offset, segment_duration, segment_size
+            )
+        )
+        seek += advance
+        pieces = [
+            {"start": s, "end": e, "tokens": t, "words": None}
+            for s, e, t in raw_pieces
+        ]
+
+        if options.word_timestamps:
+            add_word_timestamps(
+                eng, cross_kv, 0, pieces, segment_size, time_offset,
+                last_speech_timestamp,
+            )
+            if not single_timestamp_ending:
+                last_word_end = _get_end(pieces)
+                if last_word_end is not None and last_word_end > time_offset:
+                    seek = round(last_word_end * FRAMES_PER_SECOND)
+
+            # skip silence before possible hallucinations
+            # (transcriber_faster_whisper.py:1240-1287)
+            if options.hallucination_silence_threshold is not None:
+                threshold = options.hallucination_silence_threshold
+                first_segment = _next_words_segment(pieces)
+                if first_segment is not None and _is_segment_anomaly(first_segment):
+                    gap = first_segment["start"] - time_offset
+                    if gap > threshold:
+                        seek = previous_seek + round(gap * FRAMES_PER_SECOND)
+                        continue
+
+                hal_last_end = last_speech_timestamp
+                for si in range(len(pieces)):
+                    segment = pieces[si]
+                    if not segment["words"]:
+                        continue
+                    if _is_segment_anomaly(segment):
+                        next_segment = _next_words_segment(pieces[si + 1 :])
+                        if next_segment is not None:
+                            hal_next_start = next_segment["words"][0]["start"]
+                        else:
+                            hal_next_start = time_offset + segment_duration
+                        silence_before = (
+                            segment["start"] - hal_last_end > threshold
+                            or segment["start"] < threshold
+                            or segment["start"] - time_offset < 2.0
+                        )
+                        silence_after = (
+                            hal_next_start - segment["end"] > threshold
+                            or _is_segment_anomaly(next_segment)
+                            or window_end_time - segment["end"] < 2.0
+                        )
+                        if silence_before and silence_after:
+                            seek = round(
+                                max(time_offset + 1, segment["start"])
+                                * FRAMES_PER_SECOND
+                            )
+                            if content_duration - segment["end"] < threshold:
+                                seek = content_frames
+                            pieces[si:] = []
+                            break
+                    hal_last_end = segment["end"]
+
+            last_word_end = _get_end(pieces)
+            if last_word_end is not None:
+                last_speech_timestamp = last_word_end
+
+        for piece in pieces:
+            toks = piece["tokens"]
+            text = eng.tokenizer.decode(toks)
+            if piece["start"] == piece["end"] or not text.strip():
+                continue
+            all_tokens.extend(toks)
+            seg_id += 1
+            all_segments.append(
+                Segment(
+                    id=seg_id,
+                    seek=previous_seek,
+                    start=piece["start"],
+                    end=piece["end"],
+                    text=text,
+                    tokens=toks,
+                    temperature=result.temperature,
+                    avg_logprob=result.avg_logprob,
+                    compression_ratio=result.compression_ratio,
+                    no_speech_prob=result.no_speech_prob,
+                    words=(
+                        [Word(**w) for w in piece["words"]]
+                        if options.word_timestamps and piece["words"] is not None
+                        else None
+                    ),
+                )
+            )
+
+        if (
+            not options.condition_on_previous_text
+            or result.temperature > options.prompt_reset_on_temperature
+        ):
+            prompt_reset_since = len(all_tokens)
+
+    return all_segments, language, language_prob
 
 
 class Transcriber:
@@ -210,92 +557,18 @@ class Transcriber:
             return segments, info._replace(duration=full_duration)
 
         eng = self.engine
-        spec = eng.spec
         duration = len(audio) / mel_ops.SAMPLE_RATE
-
-        content_frames = int(len(audio) / mel_ops.HOP_LENGTH)
-        seek = 0
-        all_segments: list[Segment] = []
-        all_tokens: list[int] = []
-        language = options.language
-        language_prob = 1.0
-        prompt_reset_since = 0
-        seg_id = 0
-        last_ns_prob = 0.0
-
-        while seek < content_frames:
-            time_offset = seek * mel_ops.HOP_LENGTH / mel_ops.SAMPLE_RATE
-            window = audio[seek * mel_ops.HOP_LENGTH :][: mel_ops.N_SAMPLES]
-            segment_size = min(
-                mel_ops.N_FRAMES, content_frames - seek
-            )
-            window_duration = segment_size * mel_ops.HOP_LENGTH / mel_ops.SAMPLE_RATE
-            padded = mel_ops.pad_or_trim(window)[None, :]
-
-            _, cross_kv = eng.prepare(padded)
-            if language is None:
-                (language, language_prob), = eng.detect_language_from_cross(cross_kv)
-                logger.info("detected language %s (p=%.2f)", language, language_prob)
-
-            prompt, sot_idx = eng.build_prompt(
-                options,
-                previous_tokens=all_tokens[prompt_reset_since:],
-                language=language,
-            )
-            (result,) = eng.decode_with_fallback(
-                cross_kv, [prompt], [sot_idx], options, seed=seed
-            )
-            last_ns_prob = result.no_speech_prob
-
-            # No-speech skip (transcriber_faster_whisper.py:1156-1175):
-            # requires BOTH high no-speech prob and failed logprob.
-            if (
-                options.no_speech_threshold is not None
-                and result.no_speech_prob > options.no_speech_threshold
-                and (
-                    options.log_prob_threshold is None
-                    or result.avg_logprob < options.log_prob_threshold
-                )
-            ):
-                seek += segment_size
-                continue
-
-            pieces, advance = split_segments_by_timestamps(
-                spec, result.tokens, time_offset, window_duration, segment_size
-            )
-            seek += advance
-
-            for start, end, toks in pieces:
-                text = eng.tokenizer.decode(toks)
-                if not text.strip():
-                    continue
-                all_segments.append(
-                    Segment(
-                        id=seg_id,
-                        seek=seek,
-                        start=start,
-                        end=min(end, duration) if end > duration and start < duration else end,
-                        text=text,
-                        tokens=toks,
-                        temperature=result.temperature,
-                        avg_logprob=result.avg_logprob,
-                        compression_ratio=result.compression_ratio,
-                        no_speech_prob=result.no_speech_prob,
-                    )
-                )
-                seg_id += 1
-                all_tokens.extend(t for t in toks if t < spec.eot)
-
-            if not options.condition_on_previous_text or result.temperature > 0.5:
-                prompt_reset_since = len(all_tokens)
-
+        features = mel_ops.log_mel_full(audio, n_mels=eng.cfg.n_mels)
+        segments, language, language_prob = generate_segments(
+            eng, features, options, seed=seed
+        )
         info = TranscriptionInfo(
             language=language or "en",
             language_probability=language_prob,
             duration=duration,
             transcription_options=options,
         )
-        return all_segments, info
+        return segments, info
 
 
 class BatchedTranscriber:
@@ -383,7 +656,7 @@ class BatchedTranscriber:
                 if skip:
                     seeks[i] += segment_size
                     continue
-                pieces, advance = split_segments_by_timestamps(
+                pieces, advance, _ = split_segments_by_timestamps(
                     eng.spec, res.tokens, time_offset, window_duration, segment_size
                 )
                 seeks[i] += advance

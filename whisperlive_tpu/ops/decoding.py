@@ -132,7 +132,15 @@ def apply_logit_rules(
     suppress_first = first & (~is_ts | (vocab > init_lim))
     # (EOT stays suppressed at step 0 via SuppressBlank above.)
 
-    ts_rules = suppress_ts | suppress_text | suppress_low_ts | suppress_first
+    # <|notimestamps|> is never a valid sample while timestamp rules are
+    # active (openai ApplyTimestampRules / HF WhisperTimeStampLogitsProcessor
+    # both unconditionally mask it).
+    suppress_nots = vocab == (spec.timestamp_begin - 1)
+
+    ts_rules = (
+        suppress_ts | suppress_text | suppress_low_ts | suppress_first
+        | suppress_nots
+    )
     ts_rules = ts_rules & timestamps_enabled[:, None]
     # When timestamps are disabled, suppress ALL timestamp tokens and
     # <|notimestamps|> itself.

@@ -198,3 +198,73 @@ def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES) -> np.ndarray:
         return audio[..., :length]
     pad = length - audio.shape[-1]
     return np.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
+
+
+def pad_or_trim_frames(mel: np.ndarray, length: int = N_FRAMES) -> np.ndarray:
+    """Zero-pad/trim a [T, n_mels] feature slice to a fixed frame count —
+    the mel-domain pad_or_trim the reference applies to each seek window
+    (transcriber_faster_whisper.py:1127)."""
+    if mel.shape[0] >= length:
+        return mel[:length]
+    return np.pad(mel, [(0, length - mel.shape[0]), (0, 0)])
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def _raw_log_mel_chunk(sig: jax.Array, n_mels: int) -> jax.Array:
+    """[1, (C-1)*hop + n_fft] pre-padded samples -> [C, n_mels] raw log10
+    mel (no dynamic-range clamp — that is global, applied by the caller)."""
+    cos_b, sin_b, mel_fb = _windowed_basis(N_FFT, n_mels)
+    patches = jax.lax.conv_general_dilated_patches(
+        sig[:, None, :], filter_shape=(N_FFT,), window_strides=(HOP_LENGTH,),
+        padding="VALID",
+    )  # [1, n_fft, C]
+    frames = jnp.swapaxes(patches, 1, 2)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btn,nf->btf", frames, jnp.asarray(cos_b), precision=hi,
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("btn,nf->btf", frames, jnp.asarray(sin_b), precision=hi,
+                    preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel = jnp.einsum("btf,fm->btm", power, jnp.asarray(mel_fb), precision=hi,
+                     preferred_element_type=jnp.float32)
+    return jnp.log10(jnp.maximum(mel, 1e-10))[0]
+
+
+def log_mel_full(
+    audio: np.ndarray, n_mels: int = 80, padding: int = HOP_LENGTH
+) -> np.ndarray:
+    """Whole-clip log-mel features for the offline seek loop.
+
+    faster_whisper FeatureExtractor semantics (the contract the reference
+    binds, SURVEY §2.9a): `padding` zero samples appended, centered STFT
+    with reflect edges, final frame dropped, and — critically — the max-8
+    dynamic-range clamp taken over the WHOLE clip, not per window. The seek
+    loop then slices [seek : seek+3000] frames from this array.
+
+    Device compute stays fixed-shape: raw log-mel runs in 3000-frame chunks
+    through one compiled program; only the global clamp/scale runs on host.
+
+    Returns [T, n_mels] float32 with T = (len(audio)+padding) // HOP_LENGTH.
+    """
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    n_frames = (len(audio) + padding) // HOP_LENGTH
+    if n_frames <= 0:
+        return np.zeros((0, n_mels), np.float32)
+    half = N_FFT // 2
+    sig = np.pad(audio, (0, padding))
+    if len(sig) > half:
+        sig = np.pad(sig, (half, half), mode="reflect")
+    else:
+        sig = np.pad(sig, (half, half))
+
+    chunk_frames = N_FRAMES
+    chunk_samples = (chunk_frames - 1) * HOP_LENGTH + N_FFT
+    pieces = []
+    for f0 in range(0, n_frames, chunk_frames):
+        buf = np.zeros(chunk_samples, np.float32)
+        src = sig[f0 * HOP_LENGTH : f0 * HOP_LENGTH + chunk_samples]
+        buf[: len(src)] = src
+        pieces.append(np.asarray(_raw_log_mel_chunk(jnp.asarray(buf[None]), n_mels)))
+    log_spec = np.concatenate(pieces, axis=0)[:n_frames]
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)

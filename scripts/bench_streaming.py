@@ -28,9 +28,25 @@ def main() -> None:
     parser.add_argument("--batch_max_size", type=int, default=8)
     parser.add_argument("--batch_window_ms", type=int, default=10)
     parser.add_argument("--chunk_ms", type=int, default=250)
+    parser.add_argument("--continuous", action="store_true", default=True,
+                        help="decode-step-level continuous batching (default)")
+    parser.add_argument("--no_continuous", dest="continuous", action="store_false")
+    parser.add_argument("--continuous_slots", type=int, default=16)
+    parser.add_argument("--steps_per_chunk", type=int, default=8)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu) — the env var "
+                             "is too late under the axon sitecustomize")
+    parser.add_argument("--tokens_per_s", type=float, default=10.0,
+                        help="emulated decode length per window (random "
+                             "weights never hit EOT; real speech decodes "
+                             "~8-12 tokens/s of audio then stops). 0 = "
+                             "decode the full token budget every window.")
     args = parser.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from whisperlive_tpu.engine.engine import WhisperEngine
@@ -44,10 +60,22 @@ def main() -> None:
     on_tpu = jax.default_backend() in ("tpu", "axon")
     params = init_params(cfg, 0, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     engine = WhisperEngine(cfg, params)
-    # warm every batch bucket the scheduler can produce — a cold compile at
-    # runtime stalls all streams for minutes
-    buckets = [b for b in engine.batch_buckets if b <= args.batch_max_size]
-    engine.warmup(batch_sizes=set(buckets))
+    continuous = None
+    if args.continuous:
+        from whisperlive_tpu.engine.continuous import ContinuousScheduler
+
+        continuous = ContinuousScheduler(
+            engine,
+            n_slots=args.continuous_slots,
+            steps_per_chunk=args.steps_per_chunk,
+        )
+        continuous.warmup()
+        continuous.start()
+    else:
+        # warm every batch bucket the scheduler can produce — a cold compile
+        # at runtime stalls all streams for minutes
+        buckets = [b for b in engine.batch_buckets if b <= args.batch_max_size]
+        engine.warmup(batch_sizes=set(buckets))
     scheduler = BatchScheduler(
         engine,
         max_batch_size=args.batch_max_size,
@@ -63,14 +91,37 @@ def main() -> None:
         remaining session work is sub-ms numpy + JSON)."""
 
         async def transcribe(self, chunk, options, **kw):
+            import dataclasses
+
+            from whisperlive_tpu.engine.scheduler import BatchRequest
+            from whisperlive_tpu.serving.backends import (
+                transcribe_options_from_session,
+            )
+
             t0 = time.monotonic()
-            result = await super().transcribe(chunk, options, **kw)
+            topts = transcribe_options_from_session(options, kw.get("language"))
+            if args.tokens_per_s > 0:
+                # random weights never emit EOT: emulate trained-weights
+                # behavior (decode length tracks the audio) so slot/batch
+                # turnover matches production
+                budget = max(4, int(len(chunk) / 16000 * args.tokens_per_s))
+                topts = dataclasses.replace(
+                    topts, max_new_tokens=min(budget, topts.max_new_tokens or budget)
+                )
+            req = BatchRequest(
+                audio=chunk, options=topts, language=kw.get("language"),
+                uid=kw.get("uid", ""),
+            )
+            self._pick_scheduler(topts).submit(req)
+            result = await asyncio.wait_for(
+                asyncio.wrap_future(req.future), timeout=120
+            )
             latencies.append(time.monotonic() - t0)
             idx = int(kw.get("uid", "s0")[1:])
             updates_per_stream[idx] += 1
             return result
 
-    backend = MeasuringBackend(scheduler)
+    backend = MeasuringBackend(scheduler, continuous_scheduler=continuous)
 
     rng = np.random.default_rng(0)
     chunk_samples = int(16000 * args.chunk_ms / 1000)
@@ -121,6 +172,8 @@ def main() -> None:
 
     asyncio.run(run())
     scheduler.stop()
+    if continuous is not None:
+        continuous.stop()
 
     latencies_np = np.asarray(latencies)
     updates = np.asarray(updates_per_stream, np.float64)
@@ -137,6 +190,10 @@ def main() -> None:
             "decodes_per_stream_per_s": round(cadence, 2),
             "sustained_realtime": bool(cadence > 0.2),  # update at least every 5 s
             "duration_s": args.seconds,
+            "mode": "continuous" if args.continuous else "window",
+            "tokens_per_s": args.tokens_per_s,
+            "continuous_slots": args.continuous_slots if args.continuous else None,
+            "steps_per_chunk": args.steps_per_chunk if args.continuous else None,
         },
     }
     import json

@@ -60,14 +60,50 @@ def synth_speechlike(rng) -> tuple[np.ndarray, np.ndarray]:
     # per-window label: enough modulated energy in the window
     w_env = (am * gate).reshape(CLIP_WINDOWS, WINDOW).mean(axis=1)
     labels = (w_env > 0.1).astype(np.float32)
+    if rng.random() < 0.3:  # room reverb on some voices
+        sig = _reverb(rng, sig)
     if rng.random() < 0.7:  # additive noise at varied SNR
         sig = sig + rng.standard_normal(CLIP) * rng.uniform(0.002, 0.05) * sig.std() * 10
     return sig.astype(np.float32), labels
 
 
+def _reverb(rng, sig: np.ndarray) -> np.ndarray:
+    """Convolve with a synthetic exponential-decay noise tail (a room)."""
+    rt = rng.uniform(0.08, 0.4)  # seconds of tail
+    n = int(rt * SR)
+    rir = rng.standard_normal(n) * np.exp(-np.arange(n) / (rt * SR / 6.9))
+    rir[0] = 1.0
+    out = np.convolve(sig, rir)[: len(sig)]
+    return out / (np.abs(out).max() + 1e-9) * (np.abs(sig).max() + 1e-9)
+
+
+def synth_music(rng) -> np.ndarray:
+    """Music-like negative: sustained chords/arpeggios with vibrato and
+    beat-rate (not syllabic-rate) tremolo — the hard case an energy gate
+    always passes (VERDICT r1 missing #2)."""
+    t = np.arange(CLIP) / SR
+    sig = np.zeros(CLIP)
+    root = rng.uniform(110, 440)
+    ratios = rng.choice([1.0, 1.25, 1.5, 2.0, 2.5, 3.0], size=rng.integers(2, 5))
+    for r in ratios:
+        f = root * r
+        vib = 1.0 + 0.005 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
+        note = np.sin(2 * np.pi * f * vib * t)
+        # a couple of overtones per note
+        for k in (2, 3):
+            note += rng.uniform(0.1, 0.4) / k * np.sin(2 * np.pi * f * k * vib * t)
+        if rng.random() < 0.5:  # arpeggio gating at beat rate
+            beat = rng.uniform(0.8, 2.5)
+            note = note * (0.6 + 0.4 * np.sign(np.sin(2 * np.pi * beat * t + rng.uniform(0, 6))))
+        sig += note
+    # slow tremolo, never syllabic-rate
+    sig *= 0.8 + 0.2 * np.sin(2 * np.pi * rng.uniform(0.3, 1.5) * t)
+    return sig
+
+
 def synth_nonspeech(rng) -> tuple[np.ndarray, np.ndarray]:
     t = np.arange(CLIP) / SR
-    kind = rng.integers(0, 6)
+    kind = rng.integers(0, 8)
     if kind == 0:  # white noise
         sig = rng.standard_normal(CLIP)
     elif kind == 1:  # pink-ish noise
@@ -85,8 +121,12 @@ def synth_nonspeech(rng) -> tuple[np.ndarray, np.ndarray]:
         sig = np.zeros(CLIP)
         sig[:: rng.integers(400, 4000)] = 1.0
         sig = np.convolve(sig, np.hanning(64), mode="same")
-    else:  # near-silence
+    elif kind == 5:  # near-silence
         sig = rng.standard_normal(CLIP) * 1e-4
+    elif kind == 6:  # music
+        sig = synth_music(rng)
+    else:  # reverberant noise wash
+        sig = _reverb(rng, rng.standard_normal(CLIP))
     amp = rng.uniform(0.05, 0.5) if kind != 5 else 1.0
     sig = sig / (np.abs(sig).max() + 1e-9) * amp
     return sig.astype(np.float32), np.zeros(CLIP_WINDOWS, np.float32)
@@ -140,14 +180,49 @@ def main() -> None:
         if i % 100 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.4f}")
 
-    # held-out eval
-    feats, labels = make_batch(np.random.default_rng(args.seed + 999), 128)
-    probs, _ = gru_forward_jax(params, jnp.asarray(feats))
-    acc = float(((np.asarray(probs) > 0.5) == (labels > 0.5)).mean())
+    # held-out eval: accuracy + ROC AUC, learned vs the energy heuristic
+    np_params = {k: np.asarray(v) for k, v in params.items()}
+    acc, auc_l, auc_e = evaluate(np_params, seed=args.seed + 999, n_clips=128)
     print(f"held-out window accuracy: {acc:.3f}")
+    print(f"held-out ROC AUC: learned {auc_l:.3f} vs energy {auc_e:.3f}")
 
-    np.savez(args.out, **{k: np.asarray(v) for k, v in params.items()})
+    np.savez(args.out, **np_params)
     print(f"saved {args.out}")
+
+
+def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Rank-based AUC (Mann-Whitney), no sklearn needed."""
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores))
+    ranks[order] = np.arange(1, len(scores) + 1)
+    pos = labels > 0.5
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def evaluate(np_params: dict, seed: int, n_clips: int = 128):
+    """Held-out accuracy + per-window ROC AUC for the learned model and the
+    energy heuristic on the same clips (VERDICT r1 item 5)."""
+    from whisperlive_tpu.audio.vad import EnergyVAD
+    from whisperlive_tpu.audio.vad_model import LearnedVAD
+
+    rng = np.random.default_rng(seed)
+    learned = LearnedVAD(np_params)
+    all_labels, all_l, all_e = [], [], []
+    for i in range(n_clips):
+        sig, lab = synth_speechlike(rng) if i % 2 == 0 else synth_nonspeech(rng)
+        learned.reset()
+        all_l.append(learned.update(sig))
+        e = EnergyVAD()
+        all_e.append(e.update(sig))
+        all_labels.append(lab)
+    labels = np.concatenate(all_labels)
+    lscore = np.concatenate(all_l)
+    escore = np.concatenate(all_e)
+    acc = float(((lscore > 0.5) == (labels > 0.5)).mean())
+    return acc, roc_auc(labels, lscore), roc_auc(labels, escore)
 
 
 if __name__ == "__main__":

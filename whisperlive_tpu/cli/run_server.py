@@ -78,6 +78,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Write JAX profiler (xprof) traces to this dir.")
     parser.add_argument("--no_warmup", action="store_true",
                         help="Skip compiling the serving programs at startup.")
+    parser.add_argument("--continuous_batching", action="store_true", default=True,
+                        help="Decode-step-level continuous batching: windows "
+                             "join a running decode at chunk boundaries "
+                             "(default on; greedy path only).")
+    parser.add_argument("--no_continuous_batching", dest="continuous_batching",
+                        action="store_false")
+    parser.add_argument("--continuous_slots", type=int, default=16,
+                        help="Device slots for the continuous decode loop.")
+    parser.add_argument("--steps_per_chunk", type=int, default=8,
+                        help="Decode steps per continuous-loop dispatch "
+                             "(join/harvest granularity).")
     parser.add_argument("--compilation_cache", type=str,
                         default="~/.cache/whisper-live-tpu/xla-cache",
                         help="Persistent XLA compilation cache dir ('' to disable).")
@@ -170,12 +181,25 @@ def create_backend(args):
         batch_window_ms=args.batch_window_ms,
     )
     scheduler.start()
+    continuous = None
+    if args.continuous_batching and args.beam_size == 1:
+        from whisperlive_tpu.engine.continuous import ContinuousScheduler
+
+        continuous = ContinuousScheduler(
+            engine,
+            n_slots=args.continuous_slots,
+            steps_per_chunk=args.steps_per_chunk,
+        )
+        if not args.no_warmup:
+            continuous.warmup()
+        continuous.start()
     if args.beam_size > 1 and args.batch_max_size * args.beam_size > 16:
         logging.warning(
             "batch_max_size*beam_size=%d may exceed HBM; consider lowering "
             "--batch_max_size", args.batch_max_size * args.beam_size)
     return TpuBackend(scheduler, model_name=args.model if not ckpt else ckpt,
-                      beam_size=args.beam_size), "tpu"
+                      beam_size=args.beam_size,
+                      continuous_scheduler=continuous), "tpu"
 
 
 def main(argv=None) -> None:

@@ -1,0 +1,754 @@
+"""Decode-step-level continuous batching: windows join a RUNNING decode.
+
+The window-level scheduler (scheduler.py) makes every stream wait for the
+whole previous batch's decode to finish — at 32 streams that is the
+dominant term in partial-update latency. Here the decode loop never stops:
+B fixed slots step together in lockstep on the device, and new windows are
+inserted into free slots at chunk boundaries (every `steps_per_chunk`
+steps) while other slots are mid-generation.
+
+This is the TPU-native answer to the reference's request-level
+`BatchInferenceWorker` (whisper_live/batch_inference.py:155-187): instead
+of queue-then-batch, the batch is a persistent device residency. The
+TPU-critical invariants survive:
+
+  * every KV write stays a batch-UNIFORM dynamic slice — slots at
+    different generation depths share one global step counter; a slot's
+    tokens live at ring offsets ((join_step + i) % ring) of a fixed ring
+    region, so the write column is the same for all slots each step;
+  * all shapes are static — one compiled step program, one insert program
+    per insert-bucket size, zero recompiles as occupancy churns;
+  * state (self-KV ring, int8 cross-KV, sampled ring) lives on device
+    between dispatches; the host fetches ONE small packed status array per
+    chunk (the axon relay makes per-array fetches expensive).
+
+Fallback-temperature retries become ordinary re-inserts, so a retry no
+longer stalls the other streams (the reference re-decodes the failing
+sub-batch synchronously, batch_inference.py:312-384).
+
+Not routed here (handled by the window scheduler): beam search, word
+timestamps (need the window's cross-KV after decode), no_repeat_ngram.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from whisperlive_tpu.engine.engine import (
+    DecodeResult,
+    TranscribeOptions,
+    WhisperEngine,
+    fails_quality_gates,
+    _bucket,
+)
+from whisperlive_tpu.engine.scheduler import (
+    BatchRequest,
+    BatchResult,
+    assemble_result,
+)
+from whisperlive_tpu.models import whisper as wmod
+from whisperlive_tpu.ops import decoding as dec
+from whisperlive_tpu.ops import mel as mel_ops
+from whisperlive_tpu.utils import metrics as wl_metrics
+
+logger = logging.getLogger(__name__)
+
+INSERT_BUCKETS = (1, 2, 4)
+
+
+@dataclasses.dataclass
+class _SlotInfo:
+    """Host-side mirror of one device slot."""
+
+    req: BatchRequest
+    options: TranscribeOptions
+    join_step: int
+    temp_index: int
+    language: Optional[str]
+    language_prob: float
+    duration: float
+    submitted_at: float
+
+
+def _ring_valid(gstep, join_step, ring: int):
+    """[B, ring] bool: ring position r holds a token of step
+    s_r = gstep-1 - ((gstep-1-r) mod ring); valid iff s_r >= join_step."""
+    r = jnp.arange(ring)[None, :]
+    s_r = (gstep - 1) - jnp.mod((gstep - 1) - r, ring)
+    return (s_r >= join_step[:, None]) & (gstep > join_step)[:, None]
+
+
+def _ring_col(sampled, col):
+    return jax.lax.dynamic_slice_in_dim(sampled, col, 1, axis=1)[:, 0]
+
+
+def apply_logit_rules_ring(
+    spec: dec.DecodingSpec,
+    logits: jax.Array,  # [B, V]
+    sampled: jax.Array,  # [B, G] ring
+    gstep: jax.Array,  # [] global step
+    gen_len: jax.Array,  # [B]
+    last_ts: jax.Array,  # [B]
+    suppress_mask: jax.Array,  # [V]
+    ts_enabled: jax.Array,  # [B]
+) -> jax.Array:
+    """The whisper logit rules of dec.apply_logit_rules, addressed through
+    the continuous ring buffer (per-slot generation depths, one global
+    step). Same openai semantics, same masks."""
+    b, v = logits.shape
+    g = sampled.shape[1]
+    vocab = jnp.arange(v)[None, :]
+
+    logits = jnp.where(suppress_mask[None, :], dec.NEG_INF, logits)
+
+    first = gen_len == 0
+    blank_mask = (vocab == spec.blank) | (vocab == spec.eot)
+    logits = jnp.where(first[:, None] & blank_mask, dec.NEG_INF, logits)
+
+    last_tok = _ring_col(sampled, jnp.mod(gstep - 1, g))
+    penult_tok = _ring_col(sampled, jnp.mod(gstep - 2, g))
+    last_was_ts = (gen_len >= 1) & (last_tok >= spec.timestamp_begin)
+    penult_was_ts = (gen_len < 2) | (penult_tok >= spec.timestamp_begin)
+
+    is_ts = vocab >= spec.timestamp_begin
+    is_text = vocab < spec.eot
+    suppress_ts = (last_was_ts & penult_was_ts)[:, None] & is_ts
+    suppress_text = (last_was_ts & ~penult_was_ts)[:, None] & is_text
+
+    lower = jnp.where(last_was_ts & ~penult_was_ts, last_ts, last_ts + 1)
+    has_ts = last_ts >= spec.timestamp_begin
+    suppress_low_ts = has_ts[:, None] & is_ts & (vocab < lower[:, None])
+
+    init_lim = spec.timestamp_begin + spec.max_initial_timestamp_index
+    suppress_first = first[:, None] & (~is_ts | (vocab > init_lim))
+    suppress_nots = vocab == (spec.timestamp_begin - 1)
+
+    ts_rules = (
+        suppress_ts | suppress_text | suppress_low_ts | suppress_first
+        | suppress_nots
+    ) & ts_enabled[:, None]
+    no_ts = ~ts_enabled[:, None] & (is_ts | (vocab == spec.timestamp_begin - 1))
+    logits = jnp.where(ts_rules | no_ts, dec.NEG_INF, logits)
+
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_logprob = jax.nn.logsumexp(jnp.where(is_ts, logprobs, dec.NEG_INF), axis=-1)
+    max_text = jnp.max(jnp.where(is_ts, dec.NEG_INF, logprobs), axis=-1)
+    force_ts = (ts_logprob > max_text) & ts_enabled
+    return jnp.where(force_ts[:, None] & ~is_ts, dec.NEG_INF, logits)
+
+
+def apply_repetition_penalty_ring(
+    logits: jax.Array,
+    sampled: jax.Array,  # [B, G]
+    valid: jax.Array,  # [B, G] ring validity
+    penalty: jax.Array,  # [B]
+) -> jax.Array:
+    b, v = logits.shape
+    seen = jnp.zeros((b, v), bool).at[
+        jnp.arange(b)[:, None], sampled
+    ].max(valid)
+    penalty = penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen & (penalty != 1.0), penalized, logits)
+
+
+class ContinuousEngine:
+    """Compiled insert/step programs + device-resident slot state."""
+
+    def __init__(
+        self,
+        engine: WhisperEngine,
+        n_slots: int = 16,
+        prompt_pad: int = 64,
+        ring: int = 256,
+        steps_per_chunk: int = 8,
+        options: TranscribeOptions | None = None,
+    ):
+        self.eng = engine
+        self.n_slots = n_slots
+        self.prompt_pad = prompt_pad
+        self.ring = ring
+        self.steps_per_chunk = steps_per_chunk
+        cfg = engine.cfg
+        spec = engine.spec
+        self.cache_len = prompt_pad + ring
+        base_options = options or TranscribeOptions()
+        self.suppress_mask = engine.suppress_mask_for(base_options)
+        multilingual = engine.tokenizer.spec.multilingual
+        bits = engine.cross_kv_bits
+
+        def _quantize(cross):
+            if bits == 8:
+                return wmod.quantize_cross_kv(cross)
+            if bits == 4:
+                return wmod.quantize_cross_kv_int4(cross)
+            return cross
+
+        # ---------------- state init ----------------
+        def _init_state(key):
+            b = n_slots
+            # cross-KV template: run one tiny encode to get leaf shapes?
+            # cheaper: build directly from cfg dims.
+            hd = cfg.n_text_state // cfg.n_text_head
+            kv_shape = (
+                cfg.n_text_layer, 2, b, cfg.n_audio_ctx, cfg.n_text_head, hd
+            )
+            if bits == 8:
+                cross = {
+                    "kv": jnp.zeros(kv_shape, jnp.int8),
+                    "scale": jnp.zeros(
+                        (cfg.n_text_layer, 2, b, 1, cfg.n_text_head, hd),
+                        jnp.bfloat16,
+                    ),
+                }
+            elif bits == 4:
+                cross = {
+                    "kv4": jnp.zeros(
+                        (cfg.n_text_layer, 2, b, cfg.n_text_head,
+                         cfg.n_audio_ctx, hd // 2), jnp.int8
+                    ),
+                    "scale": jnp.zeros(
+                        (cfg.n_text_layer, 2, b, 1, cfg.n_text_head, hd),
+                        jnp.bfloat16,
+                    ),
+                }
+            else:
+                cross = {
+                    "kv": jnp.zeros(kv_shape, cfg.dtype),
+                    "scale": None,
+                }
+            return {
+                "self_kv": wmod.init_self_kv(cfg, b, self.cache_len),
+                "cross_kv": cross,
+                "sampled": jnp.zeros((b, ring), jnp.int32),
+                "logits": jnp.full((b, cfg.n_vocab), dec.NEG_INF, jnp.float32),
+                "prompt_len": jnp.zeros((b,), jnp.int32),
+                "join_step": jnp.zeros((b,), jnp.int32),
+                "gen_len": jnp.zeros((b,), jnp.int32),
+                "last_ts": jnp.full((b,), spec.timestamp_begin - 1, jnp.int32),
+                "active": jnp.zeros((b,), bool),
+                "finished": jnp.zeros((b,), bool),
+                "sum_logprob": jnp.zeros((b,), jnp.float32),
+                "ns_prob": jnp.zeros((b,), jnp.float32),
+                "temperature": jnp.zeros((b,), jnp.float32),
+                "ts_enabled": jnp.ones((b,), bool),
+                "rep_penalty": jnp.ones((b,), jnp.float32),
+                "max_new": jnp.full((b,), ring - 1, jnp.int32),
+                "gstep": jnp.zeros((), jnp.int32),
+                "key": key,
+                "status": jnp.zeros((b, 5), jnp.float32),
+            }
+
+        # ---------------- insert ----------------
+        def _insert(
+            params,
+            state,
+            audio,  # [j, N_SAMPLES]
+            prompts,  # [j, P]
+            prompt_len,  # [j]
+            sot_idx,  # [j]
+            lang_known,  # [j] bool
+            slot_ids,  # [j] int32
+            temps,  # [j]
+            ts_en,  # [j] bool
+            rep,  # [j]
+            max_new,  # [j]
+        ):
+            j = audio.shape[0]
+            mel = mel_ops.log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+            enc = wmod.encode(params, cfg, mel)
+            cross = _quantize(wmod.compute_cross_kv(params, cfg, enc))
+
+            if multilingual:
+                self_kv_d = wmod.init_self_kv(cfg, j, 8)
+                sot = jnp.full((j, 1), spec.eot + 1, jnp.int32)
+                ones = jnp.ones((j,), jnp.int32)
+                det_logits, _ = wmod.decode_prefill(
+                    params, cfg, sot, ones, self_kv_d, cross
+                )
+                lang_ids = jnp.asarray(engine.tokenizer.spec.all_language_tokens)
+                lmask = jnp.zeros((cfg.n_vocab,), bool).at[lang_ids].set(True)
+                det_logits = jnp.where(lmask[None, :], det_logits, dec.NEG_INF)
+                lang_probs = jax.nn.softmax(det_logits, axis=-1)[:, lang_ids]
+                detected = lang_ids[jnp.argmax(lang_probs, axis=-1)].astype(jnp.int32)
+                lang_pos = jnp.clip(sot_idx + 1, 0, prompts.shape[1] - 1)
+                given = prompts[jnp.arange(j), lang_pos]
+                tok = jnp.where(lang_known, given, detected)
+                prompts = prompts.at[jnp.arange(j), lang_pos].set(tok)
+            else:
+                lang_probs = jnp.zeros((j, 1), jnp.float32)
+
+            self_kv_j = wmod.init_self_kv(cfg, j, prompt_pad)
+            last_logits, sot_logits, self_kv_j = wmod.decode_prefill(
+                params, cfg, prompts, prompt_len, self_kv_j, cross,
+                sot_idx=sot_idx,
+            )
+            ns = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
+
+            zero = jnp.zeros((), jnp.int32)
+            for i in range(j):
+                b = slot_ids[i]
+                state["self_kv"] = jax.lax.dynamic_update_slice(
+                    state["self_kv"],
+                    jax.lax.dynamic_slice_in_dim(self_kv_j, i, 1, axis=2),
+                    (zero, zero, b, zero, zero, zero),
+                )
+                for leaf in ("kv", "kv4"):
+                    if leaf in state["cross_kv"]:
+                        upd = jax.lax.dynamic_slice_in_dim(cross[leaf], i, 1, axis=2)
+                        state["cross_kv"][leaf] = jax.lax.dynamic_update_slice_in_dim(
+                            state["cross_kv"][leaf], upd, b, axis=2
+                        )
+                if state["cross_kv"].get("scale") is not None:
+                    upd = jax.lax.dynamic_slice_in_dim(cross["scale"], i, 1, axis=2)
+                    state["cross_kv"]["scale"] = jax.lax.dynamic_update_slice_in_dim(
+                        state["cross_kv"]["scale"], upd, b, axis=2
+                    )
+                state["logits"] = jax.lax.dynamic_update_slice_in_dim(
+                    state["logits"], last_logits[i][None], b, axis=0
+                )
+
+                def set1(name, val, dtype=None):
+                    v = jnp.asarray(val)
+                    if dtype is not None:
+                        v = v.astype(dtype)
+                    state[name] = jax.lax.dynamic_update_slice_in_dim(
+                        state[name], v[None], b, axis=0
+                    )
+
+                set1("prompt_len", prompt_len[i])
+                set1("join_step", state["gstep"])
+                set1("gen_len", jnp.zeros((), jnp.int32))
+                set1("last_ts", jnp.int32(spec.timestamp_begin - 1))
+                set1("active", jnp.asarray(True))
+                set1("finished", jnp.asarray(False))
+                set1("sum_logprob", jnp.zeros((), jnp.float32))
+                set1("ns_prob", ns[i])
+                set1("temperature", temps[i])
+                set1("ts_enabled", ts_en[i])
+                set1("rep_penalty", rep[i])
+                set1("max_new", max_new[i])
+            state["status"] = _pack_status(state)
+            return state, lang_probs
+
+        def _pack_status(state):
+            return jnp.stack(
+                [
+                    state["active"].astype(jnp.float32),
+                    state["finished"].astype(jnp.float32),
+                    state["gen_len"].astype(jnp.float32),
+                    state["sum_logprob"],
+                    state["ns_prob"],
+                ],
+                axis=1,
+            )
+
+        # ---------------- step chunk ----------------
+        def _step_chunk(params, state, k: int):
+            suppress = self.suppress_mask
+
+            def one(_, st):
+                gstep = st["gstep"]
+                write = st["active"] & ~st["finished"]
+                valid = _ring_valid(gstep, st["join_step"], ring)
+                filtered = apply_logit_rules_ring(
+                    spec, st["logits"], st["sampled"], gstep, st["gen_len"],
+                    st["last_ts"], suppress, st["ts_enabled"],
+                )
+                filtered = apply_repetition_penalty_ring(
+                    filtered, st["sampled"], valid, st["rep_penalty"]
+                )
+                key, sub = jax.random.split(st["key"])
+                next_tok, lp = dec.sample_next(filtered, st["temperature"], sub)
+                tok = jnp.where(write, next_tok, spec.eot).astype(jnp.int32)
+
+                col = jnp.mod(gstep, ring)
+                st["sampled"] = jax.lax.dynamic_update_slice_in_dim(
+                    st["sampled"], tok[:, None], col, axis=1
+                )
+                is_ts = (tok >= spec.timestamp_begin) & write
+                st["last_ts"] = jnp.where(is_ts, tok, st["last_ts"])
+                st["sum_logprob"] = st["sum_logprob"] + jnp.where(write, lp, 0.0)
+                gen_after = st["gen_len"] + write.astype(jnp.int32)
+                st["gen_len"] = gen_after
+                newly_done = write & (
+                    (tok == spec.eot)
+                    | (gen_after >= st["max_new"])
+                    | (st["prompt_len"] + gen_after >= spec.max_length)
+                    | (gen_after >= ring - 1)
+                )
+                st["finished"] = st["finished"] | newly_done
+
+                slot_w = prompt_pad + col
+                pos = st["prompt_len"] + st["gen_len"] - 1
+                jmask = jnp.arange(self.cache_len)[None, :]
+                prompt_mask = jmask < st["prompt_len"][:, None]
+                ring_mask = jnp.concatenate(
+                    [jnp.zeros((n_slots, prompt_pad), bool), valid], axis=1
+                )
+                mask = prompt_mask | ring_mask
+                logits, st["self_kv"] = wmod.decode_step_masked(
+                    params, cfg, tok, pos, slot_w, mask,
+                    st["self_kv"], st["cross_kv"],
+                )
+                st["logits"] = logits
+                st["gstep"] = gstep + 1
+                st["key"] = key
+                return st
+
+            state = jax.lax.fori_loop(0, k, one, state)
+            state["status"] = _pack_status(state)
+            return state
+
+        def _release(state, slot_ids):
+            for i in range(slot_ids.shape[0]):
+                b = slot_ids[i]
+                for name, val in (
+                    ("active", jnp.asarray(False)),
+                    ("finished", jnp.asarray(False)),
+                ):
+                    state[name] = jax.lax.dynamic_update_slice_in_dim(
+                        state[name], val[None], b, axis=0
+                    )
+            state["status"] = _pack_status(state)
+            return state
+
+        self._init_fn = jax.jit(_init_state)
+        self._insert_fn = jax.jit(_insert, donate_argnums=(1,))
+        self._step_fn = jax.jit(_step_chunk, static_argnums=(2,), donate_argnums=(1,))
+        self._release_fn = jax.jit(_release, donate_argnums=(0,))
+        self.state = None
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, seed: int = 0) -> None:
+        self.state = self._init_fn(jax.random.PRNGKey(seed))
+
+    def insert(
+        self,
+        windows: np.ndarray,  # [j, N_SAMPLES] audio
+        prompts: list[list[int]],
+        sot_idx: list[int],
+        lang_known: list[bool],
+        slot_ids: list[int],
+        temps: list[float],
+        ts_en: list[bool],
+        rep: list[float],
+        max_new: list[int],
+    ) -> np.ndarray:
+        """Insert j requests into the given free slots. Returns lang probs.
+
+        Bucket padding duplicates the LAST request's inputs AND slot id —
+        the duplicate rows write identical data into that slot, so the
+        write order inside the program does not matter."""
+        eng = self.eng
+        j = len(slot_ids)
+        bucket = _bucket(j, INSERT_BUCKETS)
+        audio = np.zeros((bucket, mel_ops.N_SAMPLES), np.float32)
+        for i in range(bucket):
+            src = windows[min(i, j - 1)][: mel_ops.N_SAMPLES]
+            audio[i, : len(src)] = src
+
+        def pad(xs):
+            return list(xs) + [xs[-1]] * (bucket - j)
+
+        parr, plen = eng._pad_prompts(pad(prompts))
+        # insert prompts must fit the continuous prompt region (the caller
+        # trims previous-text conditioning to guarantee this)
+        if parr.shape[1] > self.prompt_pad:
+            raise ValueError(
+                f"prompt ({parr.shape[1]}) exceeds continuous prompt region "
+                f"({self.prompt_pad})"
+            )
+        if parr.shape[1] < self.prompt_pad:
+            parr = np.pad(parr, [(0, 0), (0, self.prompt_pad - parr.shape[1])])
+
+        with eng._lock:
+            self.state, lang_probs = self._insert_fn(
+                eng.params,
+                self.state,
+                jnp.asarray(audio),
+                jnp.asarray(parr),
+                jnp.asarray(plen),
+                jnp.asarray(pad(sot_idx), jnp.int32),
+                jnp.asarray(pad(lang_known)),
+                jnp.asarray(pad(list(slot_ids)), jnp.int32),
+                jnp.asarray(pad(temps), jnp.float32),
+                jnp.asarray(pad(ts_en)),
+                jnp.asarray(pad(rep), jnp.float32),
+                jnp.asarray(pad(max_new), jnp.int32),
+            )
+        return np.asarray(lang_probs[:j], np.float32)
+
+    def step(self) -> np.ndarray:
+        """Run one chunk of decode steps; returns the packed status [B, 5]:
+        columns (active, finished, gen_len, sum_logprob, ns_prob)."""
+        eng = self.eng
+        with eng._lock:
+            self.state = self._step_fn(eng.params, self.state, self.steps_per_chunk)
+        return np.asarray(self.state["status"], np.float32)
+
+    def release(self, slot_ids: list[int]) -> None:
+        with self.eng._lock:
+            self.state = self._release_fn(
+                self.state, jnp.asarray(slot_ids, np.int32)
+            )
+
+    def harvest(self, slot: int, join_step: int, gen_len: int) -> np.ndarray:
+        """Fetch one finished slot's sampled tokens (ring-unrolled)."""
+        row = np.asarray(self.state["sampled"][slot], np.int32)
+        cols = (join_step + np.arange(gen_len)) % self.ring
+        return row[cols]
+
+
+class ContinuousScheduler:
+    """Slot scheduler: drains a request queue into free device slots and
+    keeps the chunked decode loop running. submit() is API-compatible with
+    BatchScheduler so the serving backend can switch freely."""
+
+    def __init__(
+        self,
+        engine: WhisperEngine,
+        n_slots: int = 16,
+        steps_per_chunk: int = 8,
+        prompt_pad: int = 64,
+        ring: int = 256,
+        options: TranscribeOptions | None = None,
+    ):
+        self.engine = engine
+        self.cb = ContinuousEngine(
+            engine, n_slots=n_slots, prompt_pad=prompt_pad, ring=ring,
+            steps_per_chunk=steps_per_chunk, options=options,
+        )
+        self._queue: "queue.Queue[Optional[BatchRequest]]" = queue.Queue()
+        self._pending: list[tuple[BatchRequest, int]] = []  # (req, temp_idx)
+        self._slots: dict[int, _SlotInfo] = {}
+        self._gstep = 0
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.max_batch_size = n_slots  # interface parity with BatchScheduler
+
+    # ------------------------------------------------------------------
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        if self.cb.state is None:
+            self.cb.init_state()
+        self._thread = threading.Thread(
+            target=self._worker_loop, name="tpu-continuous-scheduler", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._queue.put(None)
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def submit(self, request: BatchRequest):
+        self._queue.put(request)
+        return request.future
+
+    def warmup(self) -> None:
+        """Compile the insert buckets and the step program."""
+        eng = self.engine
+        if self.cb.state is None:
+            self.cb.init_state()
+        opts = TranscribeOptions()
+        prompt, sot = eng.build_prompt(opts, language="en")
+        for j in INSERT_BUCKETS:
+            if j > self.cb.n_slots:
+                continue
+            self.cb.insert(
+                np.zeros((j, mel_ops.N_SAMPLES), np.float32),
+                [prompt] * j, [sot] * j, [True] * j,
+                list(range(j)), [0.0] * j, [True] * j, [1.0] * j, [8] * j,
+            )
+            self._gstep = self._gstep  # unchanged by inserts
+        self.cb.step()
+        # fresh state for serving (warmup slots held dummy data)
+        self.cb.init_state()
+        self._gstep = 0
+        logger.info("continuous scheduler warmup complete")
+
+    # ------------------------------------------------------------------
+
+    def _drain_queue(self, block: bool) -> bool:
+        """Move queued requests into the pending list."""
+        got = False
+        try:
+            timeout = 0.05 if block else 0.0
+            while True:
+                req = self._queue.get(block=block and not got, timeout=timeout)
+                if req is None:
+                    return got
+                self._pending.append((req, 0))
+                got = True
+                block = False
+        except queue.Empty:
+            return got
+
+    def _do_inserts(self) -> None:
+        free = [
+            b for b in range(self.cb.n_slots) if b not in self._slots
+        ]
+        if not free or not self._pending:
+            return
+        take = self._pending[: min(len(free), max(INSERT_BUCKETS))]
+        self._pending = self._pending[len(take):]
+        eng = self.engine
+        windows, prompts, sots, lk, slot_ids = [], [], [], [], []
+        temps, ts_en, rep, max_new, infos = [], [], [], [], []
+        for (req, temp_idx), slot in zip(take, free):
+            opt = req.options
+            a = req.audio[: mel_ops.N_SAMPLES]
+            buf = np.zeros(mel_ops.N_SAMPLES, np.float32)
+            buf[: len(a)] = a
+            lang = req.language or opt.language
+            p, s = eng.build_prompt(
+                opt, previous_tokens=req.previous_tokens, language=lang or "en"
+            )
+            if len(p) > self.cb.prompt_pad:
+                # the continuous prompt region is small by design (previous-
+                # text conditioning is a soft prior): trim it first, drop it
+                # entirely if the sot sequence + prefix still don't fit
+                keep = max(self.cb.prompt_pad - (len(p) - len(req.previous_tokens)) - 1, 0)
+                p, s = eng.build_prompt(
+                    opt,
+                    previous_tokens=tuple(req.previous_tokens)[-keep:] if keep else (),
+                    language=lang or "en",
+                )
+                p = p[: self.cb.prompt_pad]
+            windows.append(buf)
+            prompts.append(p)
+            sots.append(s)
+            lk.append(lang is not None)
+            slot_ids.append(slot)
+            temps.append(opt.temperatures[min(temp_idx, len(opt.temperatures) - 1)])
+            ts_en.append(not opt.without_timestamps)
+            rep.append(opt.repetition_penalty)
+            budget = self.cb.ring - 1
+            if opt.max_new_tokens is not None:
+                budget = min(budget, opt.max_new_tokens)
+            max_new.append(budget)
+            infos.append(
+                _SlotInfo(
+                    req=req, options=opt, join_step=self._gstep,
+                    temp_index=temp_idx, language=lang, language_prob=1.0,
+                    duration=len(a) / mel_ops.SAMPLE_RATE,
+                    submitted_at=req.submitted_at,
+                )
+            )
+        lang_probs = self.cb.insert(
+            np.stack(windows), prompts, sots, lk, slot_ids,
+            temps, ts_en, rep, max_new,
+        )
+        codes = eng.tokenizer.spec.language_codes
+        for i, (info, slot) in enumerate(zip(infos, slot_ids)):
+            if info.language is None and eng.tokenizer.spec.multilingual:
+                li = int(np.argmax(lang_probs[i]))
+                info.language = codes[li]
+                info.language_prob = float(lang_probs[i][li])
+            elif info.language is None:
+                info.language = "en"
+            self._slots[slot] = info
+
+    def _harvest(self, status: np.ndarray) -> None:
+        eng = self.engine
+        done_slots = [
+            b for b, info in list(self._slots.items())
+            if status[b, 0] > 0.5 and status[b, 1] > 0.5
+        ]
+        if not done_slots:
+            return
+        for b in done_slots:
+            info = self._slots.pop(b)
+            gen_len = int(status[b, 2])
+            sum_lp = float(status[b, 3])
+            ns_prob = float(status[b, 4])
+            toks = self.cb.harvest(b, info.join_step, gen_len)
+            toks = toks[toks != eng.spec.eot]
+            text = eng.tokenizer.decode([int(t) for t in toks])
+            from whisperlive_tpu.engine.engine import compression_ratio
+
+            res = DecodeResult(
+                tokens=toks,
+                avg_logprob=sum_lp / max(gen_len, 1),
+                no_speech_prob=ns_prob,
+                compression_ratio=compression_ratio(text),
+                temperature=info.options.temperatures[
+                    min(info.temp_index, len(info.options.temperatures) - 1)
+                ],
+            )
+            opt = info.options
+            if (
+                fails_quality_gates(opt, res)
+                and info.temp_index + 1 < len(opt.temperatures)
+            ):
+                # retry at the next temperature: just another insert
+                self._pending.append((info.req, info.temp_index + 1))
+                continue
+            try:
+                result = assemble_result(
+                    eng, info.req, res, info.duration,
+                    language=info.language or "en",
+                    language_prob=info.language_prob,
+                )
+                info.req.future.set_result(result)
+                wl_metrics.track_transcription(
+                    time.monotonic() - info.submitted_at, info.duration
+                )
+            except Exception as e:
+                if not info.req.future.done():
+                    info.req.future.set_exception(e)
+        self.cb.release(done_slots)
+
+    def _worker_loop(self) -> None:
+        logger.info(
+            "continuous scheduler started (slots=%d chunk=%d)",
+            self.cb.n_slots, self.cb.steps_per_chunk,
+        )
+        while not self._stop.is_set():
+            try:
+                idle = not self._slots and not self._pending
+                self._drain_queue(block=idle)
+                if self._stop.is_set():
+                    break
+                self._do_inserts()
+                if not self._slots:
+                    continue
+                status = self.cb.step()
+                self._gstep += self.cb.steps_per_chunk
+                self._harvest(status)
+            except Exception as e:
+                logger.exception("continuous scheduler iteration failed")
+                wl_metrics.track_error("continuous_scheduler")
+                # fail any requests currently resident, release all slots
+                for b, info in list(self._slots.items()):
+                    if not info.req.future.done():
+                        info.req.future.set_exception(e)
+                for req, _ in self._pending:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+                self._pending.clear()
+                if self._slots:
+                    try:
+                        self.cb.release(list(self._slots))
+                    except Exception:
+                        logger.exception("slot release failed; resetting state")
+                        self.cb.init_state()
+                        self._gstep = 0
+                self._slots.clear()
+        logger.info("continuous scheduler stopped")

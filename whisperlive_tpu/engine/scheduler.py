@@ -84,6 +84,89 @@ class BatchResult:
     advance_s: float = 0.0
 
 
+def assemble_result(
+    eng: WhisperEngine,
+    req: BatchRequest,
+    res,  # DecodeResult
+    duration: float,
+    language: str,
+    language_prob: float,
+    cross_kv=None,
+    item_index: int = 0,
+) -> BatchResult:
+    """One decode result -> wire-ready BatchResult (no-speech skip, timestamp
+    split, optional word alignment). Shared by the window-level and the
+    continuous schedulers."""
+    segments: list[Segment] = []
+    advance_s = duration
+    skip = (
+        req.options.no_speech_threshold is not None
+        and res.no_speech_prob > req.options.no_speech_threshold
+        and (
+            req.options.log_prob_threshold is None
+            or res.avg_logprob < req.options.log_prob_threshold
+        )
+    )
+    if not skip:
+        segment_size = int(duration * 100)  # mel frames
+        pieces, advance, _ = split_segments_by_timestamps(
+            eng.spec, res.tokens, 0.0, duration, segment_size,
+            include_unfinished=req.include_unfinished,
+        )
+        advance_s = min(advance / 100.0, duration)
+        timings = None
+        if req.options.word_timestamps and cross_kv is not None:
+            try:
+                timings = eng.align_words(
+                    cross_kv, item_index, res.tokens, segment_size
+                )
+            except Exception:
+                logger.exception("word alignment failed")
+        for j, (start, end, toks) in enumerate(pieces):
+            text = eng.tokenizer.decode(toks)
+            if not text.strip():
+                continue
+            words = None
+            if timings is not None:
+                from whisperlive_tpu.engine.align import (
+                    is_segment_anomaly,
+                    words_for_segment,
+                )
+
+                words = words_for_segment(timings, start, end)
+                if (
+                    req.options.hallucination_silence_threshold is not None
+                    and is_segment_anomaly(words)
+                ):
+                    logger.info(
+                        "[%s] dropping hallucination-suspect segment %r",
+                        req.uid, text[:40],
+                    )
+                    continue
+            segments.append(
+                Segment(
+                    id=j,
+                    seek=0,
+                    start=start,
+                    end=end,
+                    text=text,
+                    tokens=toks,
+                    temperature=res.temperature,
+                    avg_logprob=res.avg_logprob,
+                    compression_ratio=res.compression_ratio,
+                    no_speech_prob=res.no_speech_prob,
+                    words=words,
+                )
+            )
+    return BatchResult(
+        segments=segments,
+        language=language,
+        language_prob=language_prob,
+        duration=duration,
+        advance_s=advance_s,
+    )
+
+
 class BatchScheduler:
     """Single worker thread owning the engine (batch_inference.py:126-187)."""
 
@@ -279,75 +362,13 @@ class BatchScheduler:
 
         for i, (req, res) in enumerate(zip(batch, results)):
             try:
-                segments: list[Segment] = []
-                advance_s = durations[i]
-                skip = (
-                    req.options.no_speech_threshold is not None
-                    and res.no_speech_prob > req.options.no_speech_threshold
-                    and (
-                        req.options.log_prob_threshold is None
-                        or res.avg_logprob < req.options.log_prob_threshold
-                    )
-                )
-                if not skip:
-                    segment_size = int(durations[i] * 100)  # mel frames
-                    pieces, advance, _ = split_segments_by_timestamps(
-                        eng.spec, res.tokens, 0.0, durations[i], segment_size,
-                        include_unfinished=req.include_unfinished,
-                    )
-                    advance_s = min(advance / 100.0, durations[i])
-                    timings = None
-                    if req.options.word_timestamps:
-                        try:
-                            timings = eng.align_words(
-                                cross_kv, i, res.tokens, segment_size
-                            )
-                        except Exception:
-                            logger.exception("word alignment failed")
-                    for j, (start, end, toks) in enumerate(pieces):
-                        text = eng.tokenizer.decode(toks)
-                        if not text.strip():
-                            continue
-                        words = None
-                        if timings is not None:
-                            from whisperlive_tpu.engine.align import (
-                                is_segment_anomaly,
-                                words_for_segment,
-                            )
-
-                            words = words_for_segment(timings, start, end)
-                            if (
-                                req.options.hallucination_silence_threshold
-                                is not None
-                                and is_segment_anomaly(words)
-                            ):
-                                logger.info(
-                                    "[%s] dropping hallucination-suspect "
-                                    "segment %r", req.uid, text[:40],
-                                )
-                                continue
-                        segments.append(
-                            Segment(
-                                id=j,
-                                seek=0,
-                                start=start,
-                                end=end,
-                                text=text,
-                                tokens=toks,
-                                temperature=res.temperature,
-                                avg_logprob=res.avg_logprob,
-                                compression_ratio=res.compression_ratio,
-                                no_speech_prob=res.no_speech_prob,
-                                words=words,
-                            )
-                        )
                 req.future.set_result(
-                    BatchResult(
-                        segments=segments,
+                    assemble_result(
+                        eng, req, res, durations[i],
                         language=languages[i] or "en",
                         language_prob=language_probs[i],
-                        duration=durations[i],
-                        advance_s=advance_s,
+                        cross_kv=cross_kv,
+                        item_index=i,
                     )
                 )
             except Exception as e:

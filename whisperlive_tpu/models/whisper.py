@@ -572,6 +572,35 @@ def decode_step(
     prompt — plus [P, slot] — the generated tokens (uniform across items
     because every item samples in lockstep). Returns (logits [B, V], kv).
     """
+    c = self_kv.shape[3]
+    j = jnp.arange(c)[None, :]  # [1, C]
+    # slots strictly before the current one; the current token attends
+    # itself via the separate `new` score column below.
+    mask = (j < prompt_len[:, None]) | ((j >= prompt_pad) & (j < slot))
+    return decode_step_masked(
+        params, cfg, token, pos, slot, mask, self_kv, cross_kv
+    )
+
+
+def decode_step_masked(
+    params: Params,
+    cfg: WhisperConfig,
+    token: jax.Array,  # [B] current token ids
+    pos: jax.Array,  # [B] logical position of `token`
+    slot,  # scalar int32: batch-uniform cache slot to write this step's K/V
+    mask: jax.Array,  # [B, C] bool — cache slots each item may attend
+    self_kv: jax.Array,
+    cross_kv: jax.Array,
+):
+    """decode_step with a caller-supplied attention mask over cache slots.
+
+    The continuous-batching scheduler uses this with a ring-buffer validity
+    mask (each slot's generated tokens live at (global_step % ring) offsets
+    since its join step); the lockstep path builds the contiguous
+    prompt+generation mask in decode_step above. The write slot stays
+    batch-uniform either way — the TPU-critical invariant (no per-item
+    scatters).
+    """
     p = params["decoder"]
     x = (
         _embed_lookup(p, token[:, None], cfg.dtype)
@@ -579,10 +608,6 @@ def decode_step(
     )  # [B, 1, d]
 
     c = self_kv.shape[3]
-    j = jnp.arange(c)[None, :]  # [1, C]
-    # slots strictly before the current one; the current token attends
-    # itself via the separate `new` score column below.
-    mask = (j < prompt_len[:, None]) | ((j >= prompt_pad) & (j < slot))
     mask = mask[:, None, None, :]  # [B, 1, 1, C]
     n_head = cfg.n_text_head
 

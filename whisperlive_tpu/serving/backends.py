@@ -86,13 +86,31 @@ class TpuBackend:
         vad_threshold: float = 0.5,
         model_name: str | None = None,
         beam_size: int = 1,
+        continuous_scheduler=None,
     ):
         self.scheduler = scheduler
+        # Decode-step-level continuous batching (engine/continuous.py):
+        # greedy/temperature requests join a running decode instead of
+        # waiting for the previous window batch. Requests the continuous
+        # path can't serve (beam, word timestamps, no_repeat_ngram) fall
+        # back to the window scheduler.
+        self.continuous_scheduler = continuous_scheduler
         self.model_name = model_name
         self.beam_size = beam_size
         self.use_vad_default = use_vad_default
         self._vads: dict[str, object] = {}
         self._vad_threshold = vad_threshold
+
+    def _pick_scheduler(self, options: TranscribeOptions):
+        if self.continuous_scheduler is None:
+            return self.scheduler
+        if (
+            options.beam_size > 1
+            or options.word_timestamps
+            or options.no_repeat_ngram_size > 0
+        ):
+            return self.scheduler
+        return self.continuous_scheduler
 
     def _vad_for(self, uid: str, options: SessionOptions):
         from whisperlive_tpu.audio.vad import VoiceActivityDetector
@@ -127,17 +145,18 @@ class TpuBackend:
             if not vad(chunk):
                 return None  # silence: nothing decoded, cursor stays
 
+        topts = transcribe_options_from_session(
+            options, language, beam_size=self.beam_size
+        )
         req = BatchRequest(
             audio=chunk,
-            options=transcribe_options_from_session(
-                options, language, beam_size=self.beam_size
-            ),
+            options=topts,
             previous_tokens=tuple(previous_tokens),
             language=language,
             uid=uid,
             include_unfinished=include_unfinished,
         )
-        self.scheduler.submit(req)
+        self._pick_scheduler(topts).submit(req)
         return await asyncio.wait_for(asyncio.wrap_future(req.future), timeout=60)
 
 

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Train the in-repo speaker embedder (audio/speaker_model.py) on synthetic
+voices.
+
+A synthetic SPEAKER is a fixed latent profile: fundamental frequency,
+formant center frequencies/bandwidths, spectral tilt, jitter and vibrato
+amounts. UTTERANCES from one speaker vary the syllabic modulation pattern,
+phrase gating, small f0 drift and additive noise — so the only stable
+signal across a speaker's utterances is vocal timbre, which is exactly
+what the embedding must capture (and what the reference gets from
+pyannote, whisper_live/diarization.py:79-124).
+
+Training: softmax classification over N synthetic speakers on the
+L2-normalized embedding (scaled logits), then the classifier head is
+dropped. Eval: same/different-speaker cosine ROC AUC on HELD-OUT speaker
+profiles, learned vs the weight-free spectral stand-in.
+
+    python scripts/train_speaker.py --steps 1200 \
+        --out whisperlive_tpu/audio/speaker_weights.npz
+"""
+
+import argparse
+
+import numpy as np
+
+from whisperlive_tpu.audio.speaker_model import (
+    EMB_DIM,
+    N_BANDS,
+    embed_jax,
+    extract_features,
+    init_speaker_params,
+)
+
+SR = 16000
+CLIP_S = 1.6
+CLIP = int(CLIP_S * SR)
+FRAMES = 120  # fixed feature length for batched training
+
+
+def make_profile(rng) -> dict:
+    return {
+        "f0": rng.uniform(85, 300),
+        "formants": [
+            (rng.uniform(300, 900), rng.uniform(60, 160)),
+            (rng.uniform(900, 2200), rng.uniform(80, 220)),
+            (rng.uniform(2200, 3400), rng.uniform(120, 320)),
+        ],
+        "tilt": rng.uniform(0.6, 1.6),
+        "jitter": rng.uniform(0.005, 0.03),
+        "vibrato": rng.uniform(0.0, 0.01),
+        "breath": rng.uniform(0.005, 0.06),
+    }
+
+
+def synth_utterance(rng, prof: dict) -> np.ndarray:
+    t = np.arange(CLIP) / SR
+    f0 = prof["f0"] * rng.uniform(0.96, 1.04)  # small intra-speaker drift
+    jit = 1.0 + prof["jitter"] * np.cumsum(rng.standard_normal(CLIP)) / np.sqrt(CLIP)
+    vib = 1.0 + prof["vibrato"] * np.sin(2 * np.pi * rng.uniform(4, 6) * t)
+    sig = np.zeros(CLIP)
+    for k in range(1, 14):
+        sig += (1.0 / k ** prof["tilt"]) * np.sin(2 * np.pi * f0 * k * t * jit * vib)
+    # speaker-fixed formant envelope (small per-utterance wobble)
+    spec = np.fft.rfft(sig)
+    freqs = np.fft.rfftfreq(CLIP, 1 / SR)
+    envelope = np.full_like(freqs, 0.03)
+    for fc, bw in prof["formants"]:
+        fc_u = fc * rng.uniform(0.97, 1.03)
+        envelope += np.exp(-0.5 * ((freqs - fc_u) / bw) ** 2)
+    sig = np.fft.irfft(spec * envelope, n=CLIP)
+    # utterance-specific syllabic AM + pauses
+    am = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(2.5, 7) * t + rng.uniform(0, 6.3)))
+    am = am ** rng.uniform(1.0, 2.0)
+    sig = sig * (0.25 + 0.75 * am)
+    sig = sig + prof["breath"] * rng.standard_normal(CLIP) * np.abs(sig).std() * 3
+    sig = sig / (np.abs(sig).max() + 1e-9) * rng.uniform(0.08, 0.4)
+    return sig.astype(np.float32)
+
+
+def feats_fixed(audio: np.ndarray) -> np.ndarray:
+    f = extract_features(audio)
+    if f.shape[0] >= FRAMES:
+        return f[:FRAMES]
+    return np.pad(f, [(0, FRAMES - f.shape[0]), (0, 0)])
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=1200)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--n_speakers", type=int, default=256)
+    parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--scale", type=float, default=12.0,
+                        help="cosine-logit scale for the softmax head")
+    parser.add_argument("--out", type=str,
+                        default="whisperlive_tpu/audio/speaker_weights.npz")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    rng = np.random.default_rng(args.seed)
+    profiles = [make_profile(rng) for _ in range(args.n_speakers)]
+    params = {
+        k: jnp.asarray(v)
+        for k, v in init_speaker_params(args.seed, args.n_speakers).items()
+    }
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+    scale = args.scale
+
+    def loss_fn(p, feats, labels):
+        emb = embed_jax(p, feats)  # [B, E] normalized
+        wc = p["wc"] / (jnp.linalg.norm(p["wc"], axis=0, keepdims=True) + 1e-8)
+        logits = scale * (emb @ wc)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+    @jax.jit
+    def step(p, o, feats, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(p, feats, labels)
+        updates, o = opt.update(grads, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    for i in range(args.steps):
+        labels = rng.integers(0, args.n_speakers, args.batch)
+        feats = np.stack(
+            [feats_fixed(synth_utterance(rng, profiles[l])) for l in labels]
+        )
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(feats), jnp.asarray(labels)
+        )
+        if i % 100 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {float(loss):.4f}")
+
+    np_params = {k: np.asarray(v) for k, v in params.items()}
+    auc_l, auc_s = evaluate(np_params, seed=args.seed + 7777)
+    print(f"held-out verification AUC: learned {auc_l:.3f} vs spectral {auc_s:.3f}")
+    np.savez(args.out, **np_params)
+    print(f"saved {args.out}")
+
+
+def evaluate(np_params: dict, seed: int, n_speakers: int = 24, n_utt: int = 4):
+    """Same/diff-speaker cosine verification AUC on held-out profiles."""
+    from whisperlive_tpu.audio.speaker_model import LearnedSpeakerEmbedder
+    from whisperlive_tpu.diarization import SpectralEmbedder
+
+    rng = np.random.default_rng(seed)
+    profs = [make_profile(rng) for _ in range(n_speakers)]
+    learned = LearnedSpeakerEmbedder(np_params)
+    spectral = SpectralEmbedder()
+    embs_l, embs_s, who = [], [], []
+    for si, p in enumerate(profs):
+        for _ in range(n_utt):
+            a = synth_utterance(rng, p)
+            embs_l.append(learned(a))
+            embs_s.append(spectral(a))
+            who.append(si)
+    who = np.asarray(who)
+
+    def auc(embs):
+        embs = np.stack(embs)
+        sims, labels = [], []
+        n = len(embs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                sims.append(float(embs[i] @ embs[j]))
+                labels.append(1.0 if who[i] == who[j] else 0.0)
+        sims = np.asarray(sims)
+        labels = np.asarray(labels)
+        order = np.argsort(sims, kind="mergesort")
+        ranks = np.empty(len(sims))
+        ranks[order] = np.arange(1, len(sims) + 1)
+        pos = labels > 0.5
+        n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+        return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+    return auc(embs_l), auc(embs_s)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,7 @@ def synth_speechlike(rng) -> tuple[np.ndarray, np.ndarray]:
     f0 = rng.uniform(80, 320)
     jitter = 1.0 + 0.03 * np.cumsum(rng.standard_normal(CLIP)) / np.sqrt(CLIP)
     sig = np.zeros(CLIP)
-    n_harm = rng.integers(6, 16)
+    n_harm = rng.integers(2, 16)
     decay = rng.uniform(0.5, 1.5)
     use_jitter = rng.random() < 0.7
     for k in range(1, n_harm):
@@ -54,7 +54,12 @@ def synth_speechlike(rng) -> tuple[np.ndarray, np.ndarray]:
     am_rate = rng.uniform(2, 8)
     am = 0.5 * (1 + np.sin(2 * np.pi * am_rate * t + rng.uniform(0, 6.28)))
     am = am ** rng.uniform(1.0, 2.5)
-    gate = (am > 0.15).astype(np.float64)
+    # hard inter-syllable pauses most of the time; some voices keep a
+    # continuous waver (real speech isn't always gated by silence)
+    if rng.random() < 0.7:
+        gate = (am > 0.15).astype(np.float64)
+    else:
+        gate = np.ones_like(am)
     sig = sig * am * gate
     sig = sig / (np.abs(sig).max() + 1e-9) * rng.uniform(0.05, 0.5)
     # per-window label: enough modulated energy in the window
@@ -93,7 +98,7 @@ def synth_music(rng) -> np.ndarray:
         for k in (2, 3):
             note += rng.uniform(0.1, 0.4) / k * np.sin(2 * np.pi * f * k * vib * t)
         if rng.random() < 0.5:  # arpeggio gating at beat rate
-            beat = rng.uniform(0.8, 2.5)
+            beat = rng.uniform(0.5, 1.5)
             note = note * (0.6 + 0.4 * np.sign(np.sin(2 * np.pi * beat * t + rng.uniform(0, 6))))
         sig += note
     # slow tremolo, never syllabic-rate

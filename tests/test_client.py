@@ -194,3 +194,38 @@ def test_tee_srt_paths_per_client(tmp_path):
     assert (tmp_path / "out_1.srt").exists()
     assert "c0" in (tmp_path / "out_0.srt").read_text()
     assert "c1" in (tmp_path / "out_1.srt").read_text()
+
+
+def test_print_transcript_timestamps_mode(capsys):
+    """--timestamps rendering: '[start -> end] text' with wrapped
+    continuation lines indented under the text column (utils.py:15-35)."""
+    from whisperlive_tpu.utils.text import print_transcript
+
+    segs = [
+        {"start": "0.000", "end": "2.500", "text": "hello there"},
+        {"start": "2.500", "end": "5.000", "text": "x " * 60},
+    ]
+    print_transcript(segs, timestamps=True, max_lines=10)
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    assert lines[0].startswith("[0.000 -> 2.500] hello there")
+    assert any(line.startswith("[2.500 -> 5.000] ") for line in lines)
+    # wrapped continuations are indented
+    cont = [l for l in lines if l.startswith(" " * 10)]
+    assert cont, "long text should wrap with indent"
+
+
+def test_client_timestamps_display(capsys):
+    """Client with enable_timestamps renders segment boundaries."""
+    with mock.patch("websocket.WebSocketApp"):
+        from whisperlive_tpu.client.client import Client
+
+        c = Client("localhost", 9090, lang="en", enable_timestamps=True,
+                   n_display_segments=5)
+        c.process_segments([
+            {"start": "0.000", "end": "1.000", "text": "one", "completed": True},
+            {"start": "1.000", "end": "2.000", "text": "two", "completed": False},
+        ])
+        out = capsys.readouterr().out
+        assert "[0.000 -> 1.000] one" in out
+        assert "[1.000 -> 2.000] two" in out

@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Enable server-side text translation.")
     parser.add_argument("--target_language", type=str, default=None)
     parser.add_argument("--word_timestamps", action="store_true")
+    parser.add_argument("--timestamps", "--enable_timestamps",
+                        dest="enable_timestamps", action="store_true",
+                        help="Render '[start -> end] text' subtitle lines "
+                             "(reference run_client.py --enable_timestamps).")
     parser.add_argument("--n_display_segments", type=int, default=10)
     parser.add_argument("--no_vad", action="store_true")
     parser.add_argument("--output_srt", type=str, default="output.srt")
@@ -49,6 +53,8 @@ def main(argv=None) -> None:
         enable_translation=args.enable_translation,
         target_language=args.target_language,
         word_timestamps=args.word_timestamps,
+        enable_timestamps=args.enable_timestamps,
+        n_display_segments=args.n_display_segments,
         send_last_n_segments=args.n_display_segments,
         srt_file_path=args.output_srt,
         api_key=args.api_key,

@@ -67,6 +67,8 @@ class Client:
         enable_diarization: bool = False,
         max_speakers: int = 4,
         word_timestamps: bool = False,
+        enable_timestamps: bool = False,
+        n_display_segments: int = 3,
         initial_prompt: Optional[str] = None,
         transcription_callback: Optional[Callable] = None,
         translation_callback: Optional[Callable] = None,
@@ -95,6 +97,8 @@ class Client:
         self.enable_diarization = enable_diarization
         self.max_speakers = max_speakers
         self.word_timestamps = word_timestamps
+        self.enable_timestamps = enable_timestamps
+        self.n_display_segments = n_display_segments
         self.initial_prompt = initial_prompt
         self.transcription_callback = transcription_callback
         self.translation_callback = translation_callback
@@ -174,8 +178,29 @@ class Client:
             return
 
         if self.log_transcription:
-            text = text[-3:]
-            print_transcript(text)
+            if self.enable_timestamps:
+                # `[start -> end] text` per segment (reference
+                # client.py:212-225 + utils.py:15-35)
+                shown = [
+                    {"start": s["start"], "end": s["end"], "text": s["text"]}
+                    for s in self.transcript[-self.n_display_segments:]
+                ]
+                if self.last_segment is not None and not any(
+                    d.get("text") == self.last_segment["text"] for d in shown
+                ):
+                    shown.append(
+                        {
+                            "start": self.last_segment["start"],
+                            "end": self.last_segment["end"],
+                            "text": self.last_segment["text"],
+                        }
+                    )
+                print_transcript(
+                    shown, timestamps=True, max_lines=self.n_display_segments
+                )
+            else:
+                text = text[-self.n_display_segments:]
+                print_transcript(text)
 
     def on_message(self, ws, message) -> None:
         message = json.loads(message)

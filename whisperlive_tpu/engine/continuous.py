@@ -63,7 +63,7 @@ from whisperlive_tpu.utils import metrics as wl_metrics
 
 logger = logging.getLogger(__name__)
 
-INSERT_BUCKETS = (1, 2, 4)
+INSERT_BUCKETS = (1, 2, 4, 8)
 
 
 @dataclasses.dataclass
@@ -504,11 +504,21 @@ class ContinuousEngine:
                 self.state, jnp.asarray(slot_ids, np.int32)
             )
 
+    def harvest_all(self) -> np.ndarray:
+        """Fetch the whole sampled ring in ONE device->host roundtrip
+        (per-slot fetches each pay full relay latency). [B, ring] int32."""
+        return np.asarray(self.state["sampled"], np.int32)
+
+    @staticmethod
+    def unroll(row: np.ndarray, join_step: int, gen_len: int, ring: int) -> np.ndarray:
+        """Ring-unroll one slot's tokens from a harvested row."""
+        cols = (join_step + np.arange(gen_len)) % ring
+        return row[cols]
+
     def harvest(self, slot: int, join_step: int, gen_len: int) -> np.ndarray:
         """Fetch one finished slot's sampled tokens (ring-unrolled)."""
         row = np.asarray(self.state["sampled"][slot], np.int32)
-        cols = (join_step + np.arange(gen_len)) % self.ring
-        return row[cols]
+        return self.unroll(row, join_step, gen_len, self.ring)
 
 
 class ContinuousScheduler:
@@ -673,12 +683,13 @@ class ContinuousScheduler:
         ]
         if not done_slots:
             return
+        sampled = self.cb.harvest_all()  # one fetch for all finished slots
         for b in done_slots:
             info = self._slots.pop(b)
             gen_len = int(status[b, 2])
             sum_lp = float(status[b, 3])
             ns_prob = float(status[b, 4])
-            toks = self.cb.harvest(b, info.join_step, gen_len)
+            toks = self.cb.unroll(sampled[b], info.join_step, gen_len, self.cb.ring)
             toks = toks[toks != eng.spec.eot]
             text = eng.tokenizer.decode([int(t) for t in toks])
             from whisperlive_tpu.engine.engine import compression_ratio
@@ -726,12 +737,23 @@ class ContinuousScheduler:
                 self._drain_queue(block=idle)
                 if self._stop.is_set():
                     break
+                t0 = time.monotonic()
                 self._do_inserts()
+                t1 = time.monotonic()
                 if not self._slots:
                     continue
                 status = self.cb.step()
                 self._gstep += self.cb.steps_per_chunk
+                t2 = time.monotonic()
                 self._harvest(status)
+                t3 = time.monotonic()
+                if logger.isEnabledFor(logging.DEBUG):
+                    logger.debug(
+                        "cb tick: insert %.0fms step %.0fms harvest %.0fms "
+                        "(slots=%d pending=%d)",
+                        (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3,
+                        len(self._slots), len(self._pending),
+                    )
             except Exception as e:
                 logger.exception("continuous scheduler iteration failed")
                 wl_metrics.track_error("continuous_scheduler")

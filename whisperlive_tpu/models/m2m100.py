@@ -281,7 +281,7 @@ def generate_greedy(
     params: Params,
     cfg: M2M100Config,
     src_tokens: jax.Array,  # [B, T_src]
-    forced_bos: jax.Array,  # [B] target-language token id
+    forced_bos: jax.Array | None,  # [B] target-language token id, or None
     max_new: int = 200,
 ) -> jax.Array:
     """KV-cached greedy generation -> [B, max_new] (eos-padded).
@@ -289,6 +289,11 @@ def generate_greedy(
     Decoder input starts [eos, lang] (HF decoder_start_token_id = eos);
     prefill writes those two cache slots, then one cached step per token —
     O(len) decoder work instead of the O(len^2) full-recompute loop.
+
+    forced_bos=None starts the decoder with [eos] only — the SMALL100
+    convention, where the target language rides the SOURCE sequence and no
+    decoder token is forced (reference tokenization_small100.py:339-346 +
+    translation_backend.py:90-93).
     """
     b = src_tokens.shape[0]
     src_mask = src_tokens != cfg.pad_token_id
@@ -300,25 +305,29 @@ def generate_greedy(
         (cfg.decoder_layers, 2, b, cache_len, cfg.heads, cfg.d_model // cfg.heads),
         enc.dtype,
     )
-    prefix = jnp.stack(
-        [jnp.full((b,), cfg.eos_token_id, jnp.int32), forced_bos.astype(jnp.int32)],
-        axis=1,
-    )  # [B, 2]
-    pos01 = jnp.broadcast_to(jnp.arange(2)[None], (b, 2))
+    if forced_bos is None:
+        prefix = jnp.full((b, 1), cfg.eos_token_id, jnp.int32)
+    else:
+        prefix = jnp.stack(
+            [jnp.full((b,), cfg.eos_token_id, jnp.int32), forced_bos.astype(jnp.int32)],
+            axis=1,
+        )  # [B, 2]
+    plen = prefix.shape[1]
+    pos01 = jnp.broadcast_to(jnp.arange(plen)[None], (b, plen))
     logits, self_kv = _cached_forward(
         params, cfg, prefix, pos01, jnp.int32(0), self_kv, cross_kv, src_mask
     )
     buf = jnp.full((b, max_new), cfg.pad_token_id, jnp.int32)
-    first = jnp.argmax(logits[:, 1], axis=-1).astype(jnp.int32)
+    first = jnp.argmax(logits[:, plen - 1], axis=-1).astype(jnp.int32)
     buf = buf.at[:, 0].set(first)
     done = first == cfg.eos_token_id
 
     def body(carry):
         buf, i, done, self_kv = carry
         tok = buf[jnp.arange(b), i - 1]
-        pos = jnp.full((b, 1), i + 1, jnp.int32)
+        pos = jnp.full((b, 1), i + plen - 1, jnp.int32)
         logits, self_kv = _cached_forward(
-            params, cfg, tok[:, None], pos, i + 1, self_kv, cross_kv, src_mask
+            params, cfg, tok[:, None], pos, i + plen - 1, self_kv, cross_kv, src_mask
         )
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)

@@ -50,11 +50,16 @@ class HFTranslator:
 
     def __init__(self, model_dir: str):
         import torch  # noqa: F401
-        from transformers import AutoTokenizer, M2M100ForConditionalGeneration
+        from transformers import M2M100ForConditionalGeneration
+
+        from whisperlive_tpu.small100_tokenizer import load_checkpoint_tokenizer
 
         self.model = M2M100ForConditionalGeneration.from_pretrained(model_dir)
         self.model.eval()
-        self.tokenizer = AutoTokenizer.from_pretrained(model_dir)
+        # SMALL100 checkpoints need the vendored-equivalent tokenizer (the
+        # target-language token rides the SOURCE sequence); AutoTokenizer
+        # cannot load them (reference vendors tokenization_small100.py)
+        self.tokenizer = load_checkpoint_tokenizer(model_dir)
 
     @classmethod
     def shared(cls, model_dir: str) -> "HFTranslator":
@@ -66,13 +71,18 @@ class HFTranslator:
     def translate(self, text: str, target_language: str) -> str:
         import torch
 
+        from whisperlive_tpu.small100_tokenizer import SMALL100Tokenizer
+
         tok = self.tokenizer
         if hasattr(tok, "tgt_lang"):
             tok.tgt_lang = target_language
         inputs = tok(text, return_tensors="pt")
         with torch.no_grad():
             kwargs = {}
-            if hasattr(tok, "get_lang_id"):
+            # SMALL100 carries the target language in the SOURCE sequence —
+            # no forced decoder bos (translation_backend.py:90-93); plain
+            # M2M100 forces the target lang token instead
+            if hasattr(tok, "get_lang_id") and not isinstance(tok, SMALL100Tokenizer):
                 kwargs["forced_bos_token_id"] = tok.get_lang_id(target_language)
             out = self.model.generate(**inputs, max_new_tokens=256, **kwargs)
         return tok.batch_decode(out, skip_special_tokens=True)[0]
@@ -98,7 +108,6 @@ class JAXTranslator:
         import jax
         import jax.numpy as jnp
         import safetensors.numpy
-        from transformers import AutoTokenizer
 
         from whisperlive_tpu.models import m2m100 as m2m
 
@@ -111,13 +120,28 @@ class JAXTranslator:
         if on_tpu:
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
         self.params = params
-        self.tokenizer = AutoTokenizer.from_pretrained(model_dir)
-        self.max_new = max_new
-        self._generate = jax.jit(
-            lambda p, src, bos: m2m.generate_greedy(
-                p, self.cfg, src, bos, max_new=max_new
-            )
+        from whisperlive_tpu.small100_tokenizer import (
+            SMALL100Tokenizer,
+            load_checkpoint_tokenizer,
         )
+
+        self.tokenizer = load_checkpoint_tokenizer(model_dir)
+        self.is_small100 = isinstance(self.tokenizer, SMALL100Tokenizer)
+        self.max_new = max_new
+        if self.is_small100:
+            # SMALL100: no forced decoder bos — the target language token
+            # is part of the SOURCE sequence
+            self._generate = jax.jit(
+                lambda p, src: m2m.generate_greedy(
+                    p, self.cfg, src, None, max_new=max_new
+                )
+            )
+        else:
+            self._generate = jax.jit(
+                lambda p, src, bos: m2m.generate_greedy(
+                    p, self.cfg, src, bos, max_new=max_new
+                )
+            )
         self._lang_lock = threading.Lock()
 
     @classmethod
@@ -138,18 +162,28 @@ class JAXTranslator:
 
         import jax.numpy as jnp
 
-        ids = self.tokenizer(text).input_ids
+        tok = self.tokenizer
+        if self.is_small100:
+            with self._lang_lock:
+                tok.tgt_lang = target_language
+                ids = tok.encode(text)
+        else:
+            enc = tok(text)
+            ids = enc["input_ids"] if isinstance(enc, dict) else enc.input_ids
         bucket = next(
             (b for b in self.SRC_BUCKETS if len(ids) <= b), self.SRC_BUCKETS[-1]
         )
         src = np.full((1, bucket), self.cfg.pad_token_id, np.int32)
         src[0, : min(len(ids), bucket)] = ids[:bucket]
-        out = np.asarray(
-            self._generate(
-                self.params, jnp.asarray(src),
-                jnp.asarray([self._lang_id(target_language)], jnp.int32),
-            )
-        )[0]
+        if self.is_small100:
+            out = np.asarray(self._generate(self.params, jnp.asarray(src)))[0]
+        else:
+            out = np.asarray(
+                self._generate(
+                    self.params, jnp.asarray(src),
+                    jnp.asarray([self._lang_id(target_language)], jnp.int32),
+                )
+            )[0]
         eos = np.where(out == self.cfg.eos_token_id)[0]
         if len(eos):
             out = out[: eos[0]]

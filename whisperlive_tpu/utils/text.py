@@ -11,17 +11,36 @@ def clear_screen() -> None:
     os.system("cls" if os.name == "nt" else "clear")
 
 
-def print_transcript(text: List[str], max_lines: int = 0) -> None:
-    """Wrapped terminal rendering of the rolling transcript
-    (utils.py:10-35)."""
+def print_transcript(
+    text, translated: bool = False, timestamps: bool = False, max_lines: int = 0
+) -> None:
+    """Wrapped terminal rendering of the rolling transcript (utils.py:10-35).
+
+    timestamps=True renders `[start -> end] text` lines from segment dicts,
+    with continuation lines indented under the text column; otherwise
+    `text` is a list of plain strings (joined with spaces when translated).
+    """
     try:
         cols = os.get_terminal_size().columns
     except OSError:
         cols = 80
-    wrapper = textwrap.TextWrapper(width=max(cols - 6, 20))
-    lines = []
-    for t in text:
-        lines.extend(wrapper.wrap(t))
+    wrap_width = max(cols - 6, 20)
+    lines: List[str] = []
+    if timestamps:
+        for t in text:
+            prefix = f'[{t["start"]} -> {t["end"]}] '
+            wrapper = textwrap.TextWrapper(
+                width=wrap_width, subsequent_indent=" " * len(prefix)
+            )
+            lines.extend(wrapper.wrap(f'{prefix}{t["text"]}'))
+    else:
+        joined = " ".join(text) if translated else list(text)
+        wrapper = textwrap.TextWrapper(width=wrap_width)
+        if translated:
+            lines = wrapper.wrap(joined)
+        else:
+            for t in joined:
+                lines.extend(wrapper.wrap(t))
     if max_lines:
         lines = lines[-max_lines:]
     print("\n".join(lines))

@@ -72,12 +72,33 @@ def test_vad_silence_vs_speechlike():
     assert vad(speech) is True
 
 
+def _synthetic_voice(seed=0, dur=1.0, f0=140.0, amp=0.3):
+    """Speech-like fixture: jittered harmonic stack + formants + syllabic AM.
+
+    Matches the character of real voicing (scripts/train_vad.py positives) so
+    the learned default VAD — which, like silero, rejects pure AM tones —
+    detects it on the offline path.
+    """
+    rng = np.random.default_rng(seed)
+    n = int(16000 * dur)
+    t = np.arange(n) / 16000
+    jitter = 1.0 + 0.03 * np.cumsum(rng.standard_normal(n)) / np.sqrt(n)
+    sig = np.zeros(n)
+    for k in range(1, 10):
+        sig += (1.0 / k) * np.sin(2 * np.pi * f0 * k * t * jitter)
+    spec = np.fft.rfft(sig)
+    freqs = np.fft.rfftfreq(n, 1 / 16000)
+    env = np.full_like(freqs, 0.05)
+    for fc, bw in ((500, 120), (1500, 200), (2500, 250)):
+        env += np.exp(-0.5 * ((freqs - fc) / bw) ** 2)
+    sig = np.fft.irfft(spec * env, n=n)
+    sig = sig * 0.5 * (1 + np.sin(2 * np.pi * 4 * t))
+    return (sig / (np.abs(sig).max() + 1e-9) * amp).astype(np.float32)
+
+
 def test_get_speech_timestamps_and_collect():
     rng = np.random.default_rng(0)
-    t = np.arange(16000) / 16000
-    speech = (0.5 * np.sin(2 * np.pi * 200 * t) * np.sin(2 * np.pi * 4 * t)).astype(
-        np.float32
-    )
+    speech = _synthetic_voice()
     audio = np.concatenate(
         [rng.standard_normal(32000) * 1e-5, speech, rng.standard_normal(48000) * 1e-5]
     ).astype(np.float32)

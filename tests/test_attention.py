@@ -75,3 +75,25 @@ def test_cross_attention_int4_kernel_matches_jnp(rng):
     probs /= probs.sum(-1, keepdims=True)
     ref = np.einsum("bht,bthd->bhd", probs, v)
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_cross_attention_int8_kernel_matches_jnp(rng):
+    """Pallas int8 cross-attention (interpret mode) vs the jnp dequant path."""
+    from whisperlive_tpu.ops.attention import cross_attention_int8
+
+    b, t, h, hd = 2, 96, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, h, hd)), jnp.float32)
+    kq = rng.integers(-127, 128, (b, h, t, hd)).astype(np.int8)  # head-major
+    vq = rng.integers(-127, 128, (b, h, t, hd)).astype(np.int8)
+
+    out = np.asarray(
+        cross_attention_int8(q, jnp.asarray(kq), jnp.asarray(vq), interpret=True)
+    )
+
+    k = kq.astype(np.float32).transpose(0, 2, 1, 3)
+    v = vq.astype(np.float32).transpose(0, 2, 1, 3)
+    scores = np.einsum("bhd,bthd->bht", np.asarray(q), k) * hd**-0.5
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ref = np.einsum("bht,bthd->bhd", probs, v)
+    np.testing.assert_allclose(out, ref, atol=1e-2, rtol=1e-3)

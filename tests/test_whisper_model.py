@@ -164,7 +164,7 @@ def test_int8_cross_kv_close_to_bf16(rng, converted):
     enc = wmod.encode(params, cfg, jnp.asarray(mel))
     cross = wmod.compute_cross_kv(params, cfg, enc)
     crossq = wmod.quantize_cross_kv(cross)
-    assert crossq["kv"].dtype == jnp.int8
+    assert crossq["kv8"].dtype == jnp.int8
 
     kv = wmod.init_self_kv(cfg, 1)
     tok = jnp.asarray([5], jnp.int32)

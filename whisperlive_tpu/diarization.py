@@ -7,10 +7,14 @@ update 0.9/0.1, max_speakers cap, named enrollment for the REST
 known-speakers feature, 0.3 s minimum audio.
 
 The embedding model is pluggable. The reference downloads a pyannote
-checkpoint at runtime; the default here is a self-contained spectral
-embedder (log-mel statistics + spectral envelope shape), which separates
-voices by coarse timbre without any weights. A learned JAX embedder can be
-dropped in via the `embedder` argument without touching call sites.
+checkpoint at runtime; the default here is the learned in-repo embedder
+(audio/speaker_model.py, trained by scripts/train_speaker.py on synthetic
+voice profiles) when its weight file ships, falling back to a weight-free
+spectral embedder (log-mel statistics + spectral envelope shape). The
+learned model separates same-register voices (same f0, different formant
+envelopes) that the spectral signature confuses; set WL_SPEAKER=spectral
+to force the fallback. Any other embedder can be dropped in via the
+`embedder` argument without touching call sites.
 """
 
 from __future__ import annotations
@@ -73,6 +77,24 @@ class SpectralEmbedder:
         return vec / norm if norm > 0 else vec
 
 
+def _default_embedder():
+    """Learned embedder when its weight file ships, else spectral."""
+    import os
+
+    if os.environ.get("WL_SPEAKER", "") != "spectral":
+        try:
+            from whisperlive_tpu.audio.speaker_model import (
+                LearnedSpeakerEmbedder,
+                weights_available,
+            )
+
+            if weights_available():
+                return LearnedSpeakerEmbedder()
+        except Exception:  # corrupt/missing weights: fall through
+            pass
+    return SpectralEmbedder()
+
+
 class SpeakerDiarizer:
     """Incremental clustering over a pluggable embedder (diarization.py)."""
 
@@ -84,7 +106,7 @@ class SpeakerDiarizer:
     ):
         self.max_speakers = max_speakers
         self.similarity_threshold = similarity_threshold
-        self._embedder = embedder or SpectralEmbedder()
+        self._embedder = embedder or _default_embedder()
         self._lock = threading.Lock()
         self.speakers: list[np.ndarray] = []
         self.speaker_names: list[str] = []

@@ -205,7 +205,11 @@ class ContinuousEngine:
             )
             if bits == 8:
                 cross = {
-                    "kv": jnp.zeros(kv_shape, jnp.int8),
+                    # head-major int8 (models/whisper.py quantize_cross_kv)
+                    "kv8": jnp.zeros(
+                        (cfg.n_text_layer, 2, b, cfg.n_text_head,
+                         cfg.n_audio_ctx, hd), jnp.int8
+                    ),
                     "scale": jnp.zeros(
                         (cfg.n_text_layer, 2, b, 1, cfg.n_text_head, hd),
                         jnp.bfloat16,
@@ -303,7 +307,7 @@ class ContinuousEngine:
                     jax.lax.dynamic_slice_in_dim(self_kv_j, i, 1, axis=2),
                     (zero, zero, b, zero, zero, zero),
                 )
-                for leaf in ("kv", "kv4"):
+                for leaf in ("kv", "kv8", "kv4"):
                     if leaf in state["cross_kv"]:
                         upd = jax.lax.dynamic_slice_in_dim(cross[leaf], i, 1, axis=2)
                         state["cross_kv"][leaf] = jax.lax.dynamic_update_slice_in_dim(

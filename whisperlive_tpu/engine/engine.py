@@ -406,7 +406,7 @@ class WhisperEngine:
             )
 
         def _detect(params, cross_kv):
-            kv_arr = cross_kv.get("kv", cross_kv.get("kv4"))
+            kv_arr = cross_kv.get("kv", cross_kv.get("kv8", cross_kv.get("kv4")))
             b = kv_arr.shape[2]
             self_kv = wmod.init_self_kv(cfgc, b)
             sot = jnp.full((b, 1), spec.eot + 1, jnp.int32)  # <|sot|>

@@ -339,12 +339,19 @@ def compute_cross_kv(params: Params, cfg: WhisperConfig, enc: jax.Array) -> Para
 
 def quantize_cross_kv(cross_kv: Params) -> Params:
     """bf16 cross-KV -> int8 with per-(layer, k/v, batch, head, channel)
-    scales over the position axis."""
+    scales over the position axis.
+
+    HEAD-MAJOR layout [L,2,B,H,T,hd]: the Pallas decode kernel
+    (ops/attention.py cross_attention_int8) slices per (batch, head)
+    without any in-kernel reshape. The kernel exists because a jnp
+    `astype` dequant of loop-invariant KV gets hoisted out of the decode
+    while_loop, materializing a bf16 copy that erases the int8 savings."""
     kv = cross_kv["kv"].astype(jnp.float32)
     amax = jnp.max(jnp.abs(kv), axis=3, keepdims=True)  # [L,2,B,1,H,hd]
     scale = jnp.maximum(amax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(kv / scale), -127, 127).astype(jnp.int8)
-    return {"kv": q, "scale": scale.astype(jnp.bfloat16)}
+    return {"kv8": jnp.transpose(q, (0, 1, 2, 4, 3, 5)),
+            "scale": scale.astype(jnp.bfloat16)}
 
 
 def quantize_cross_kv_int4(cross_kv: Params) -> Params:
@@ -367,12 +374,32 @@ def quantize_cross_kv_int4(cross_kv: Params) -> Params:
 def _cross_attend(qc, ckv, dtype, collect_probs=False):
     """Cross-attention against one layer's (possibly quantized) KV slice.
 
-    qc: [B, Tq, H, hd]; ckv: {"kv": [2, B, T, H, hd] (bf16 or int8) or
-    "kv4": [2, B, T, H, hd/2] packed int4, "scale": optional
-    [2, B, 1, H, hd]}. Per-channel scales fold into q (for K) and into the
-    output (for V), so the quantized arrays feed the MXU directly.
+    qc: [B, Tq, H, hd]; ckv: {"kv": [2, B, T, H, hd] bf16, or
+    "kv8": [2, B, H, T, hd] int8 head-major, or "kv4": [2, B, H, T, hd/2]
+    packed int4 head-major; "scale": optional [2, B, 1, H, hd]}.
+    Per-channel scales fold into q (for K) and into the output (for V), so
+    the quantized arrays feed the MXU directly.
     """
     scale = ckv.get("scale")
+    if "kv8" in ckv:
+        from whisperlive_tpu.ops.attention import cross_attention_int8
+
+        q_eff = qc * scale[0][:, 0][:, None].astype(qc.dtype)
+        if (
+            qc.shape[1] == 1
+            and not collect_probs
+            and jax.default_backend() in ("tpu", "axon")
+        ):
+            out = cross_attention_int8(q_eff[:, 0], ckv["kv8"][0], ckv["kv8"][1])
+            out = out[:, None].astype(dtype) * scale[1][:, 0][:, None].astype(dtype)
+            return out, None
+        # fallback (CPU tests, prefill/align): head-major [2, B, H, T, hd]
+        # -> [B, T, H, hd]
+        k = jnp.swapaxes(ckv["kv8"][0], 1, 2).astype(dtype)
+        v = jnp.swapaxes(ckv["kv8"][1], 1, 2).astype(dtype)
+        out, probs = _attention(q_eff, k, v, None)
+        out = out * scale[1][:, 0][:, None].astype(out.dtype)
+        return (out, probs) if collect_probs else (out, None)
     if "kv4" in ckv:
         from whisperlive_tpu.ops.attention import cross_attention_int4, unpack_int4
 

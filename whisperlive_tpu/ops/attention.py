@@ -127,6 +127,68 @@ def cross_attention_int4(
     return out
 
 
+def _cross_attn_int8_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Decode-step cross-attention over int8 KV, dequantized in VMEM.
+
+    Per grid cell = one (batch, head-set). Block shapes: q/out [1, H, hd],
+    k/v [1, H, T, hd] int8 head-major. The point of doing this in Pallas
+    rather than `astype` + einsum: KV is loop-invariant across the decode
+    while_loop, so XLA hoists a jnp dequant out of the loop and
+    materializes a full bf16 copy in HBM — the int8 storage then saves no
+    per-step traffic. Here the int8 bytes stream HBM->VMEM and widen
+    on-core, so each step reads exactly half the bf16 bytes."""
+    n_head = q_ref.shape[1]
+    dtype = q_ref.dtype
+
+    # heads unrolled statically: one grid cell per batch item keeps the
+    # HBM->VMEM DMAs large (per-(b,h) cells measured ~20x slower on the
+    # int4 variant below)
+    for h in range(n_head):
+        q = q_ref[0, h][None]  # [1, hd] (static head index)
+        k = k_ref[0, h].astype(dtype)  # [T, hd]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [1, T]
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        v = v_ref[0, h].astype(dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            probs, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+
+
+def cross_attention_int8(
+    q: jax.Array,  # [B, H, hd] compute dtype, K-scales already folded in
+    k8: jax.Array,  # [B, H, T, hd] int8 (HEAD-MAJOR)
+    v8: jax.Array,  # [B, H, T, hd] int8
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token cross-attention reading int8 KV directly from HBM.
+
+    Returns [B, H, hd] float32 (apply per-channel V scales outside)."""
+    b, h, t, hd = k8.shape
+    out = pl.pallas_call(
+        functools.partial(_cross_attn_int8_kernel, scale=hd**-0.5),
+        out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k8, v8)
+    return out
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
     q = q_ref[0]  # [BLOCK_Q, hd]
     k = k_ref[0]  # [T_pad, hd]

@@ -315,11 +315,37 @@ PyObject* Int16ToFloat32(PyObject*, PyObject* args) {
   return bytes;
 }
 
+// float32 PCM -> int16 little-endian bytes (device-upload compression: the
+// axon relay moves ~40 MB/s, so halving the bytes of a 30 s window batch
+// saves ~170 ms per engine dispatch; int16 is source precision anyway).
+PyObject* Float32ToInt16(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+  Py_ssize_t n = buf.len / 4;
+  PyObject* bytes = PyBytes_FromStringAndSize(nullptr, n * sizeof(int16_t));
+  if (!bytes) {
+    PyBuffer_Release(&buf);
+    return nullptr;
+  }
+  const float* in = static_cast<const float*>(buf.buf);
+  int16_t* out = reinterpret_cast<int16_t*>(PyBytes_AS_STRING(bytes));
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    float v = in[i] * 32767.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    out[i] = static_cast<int16_t>(v);
+  }
+  PyBuffer_Release(&buf);
+  return bytes;
+}
+
 PyMethodDef kMethods[] = {
     {"decode_flac", DecodeFlac, METH_VARARGS,
      "decode_flac(data: bytes) -> (float32_pcm_bytes, sample_rate)"},
     {"int16_to_float32", Int16ToFloat32, METH_VARARGS,
      "int16 PCM bytes -> float32 PCM bytes"},
+    {"float32_to_int16", Float32ToInt16, METH_VARARGS,
+     "float32 PCM bytes -> int16 PCM bytes (clipped)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

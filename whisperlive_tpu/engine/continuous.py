@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import queue
 import threading
 import time
@@ -269,6 +270,10 @@ class ContinuousEngine:
             max_new,  # [j]
         ):
             j = audio.shape[0]
+            if audio.dtype == jnp.int16:
+                # PCM16 upload path (see WhisperEngine.prepare): halves the
+                # relay bytes; dequant fuses into mel framing.
+                audio = audio.astype(jnp.float32) * (1.0 / 32767.0)
             mel = mel_ops.log_mel_spectrogram(audio, n_mels=cfg.n_mels)
             enc = wmod.encode(params, cfg, mel)
             cross = _quantize(wmod.compute_cross_kv(params, cfg, enc))
@@ -462,6 +467,10 @@ class ContinuousEngine:
         for i in range(bucket):
             src = windows[min(i, j - 1)][: mel_ops.N_SAMPLES]
             audio[i, : len(src)] = src
+        if eng._on_tpu and os.environ.get("WL_UPLOAD_PCM16", "1") != "0":
+            from whisperlive_tpu.engine.engine import _pcm16
+
+            audio = _pcm16(audio)
 
         def pad(xs):
             return list(xs) + [xs[-1]] * (bucket - j)

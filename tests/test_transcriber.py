@@ -225,3 +225,40 @@ def test_vad_filter_all_silence_returns_empty(engine):
     )
     assert segments == []
     assert info.duration == pytest.approx(5.0)
+
+
+def test_quality_gate_silence_override_parity():
+    """generate_with_fallback gate truth table (reference
+    transcriber_faster_whisper.py:1426-1462): the silence override
+    (no_speech > thresh AND avg_logprob < thresh) clears `needs_fallback`
+    REGARDLESS of which gate fired — including a compression-only failure
+    on a silent window."""
+    from whisperlive_tpu.engine.engine import DecodeResult, fails_quality_gates
+
+    opts = TranscribeOptions()  # defaults 2.4 / -1.0 / 0.6
+
+    def r(cr, lp, ns):
+        return DecodeResult(
+            tokens=[1], avg_logprob=lp, compression_ratio=cr,
+            no_speech_prob=ns, temperature=0.0,
+        )
+
+    # clean result -> keep
+    assert not fails_quality_gates(opts, r(1.0, -0.2, 0.1))
+    # compression fails, speech -> retry
+    assert fails_quality_gates(opts, r(3.0, -0.2, 0.1))
+    # logprob fails, speech -> retry
+    assert fails_quality_gates(opts, r(1.0, -2.0, 0.1))
+    # logprob fails + silent -> silence override keeps
+    assert not fails_quality_gates(opts, r(1.0, -2.0, 0.9))
+    # BOTH fail + silent -> silence override keeps (reference 1455-1461)
+    assert not fails_quality_gates(opts, r(3.0, -2.0, 0.9))
+    # compression fails on a CONFIDENT silent window (logprob above thresh):
+    # override condition requires avg_logprob < thresh -> still retries,
+    # exactly like the reference
+    assert fails_quality_gates(opts, r(3.0, -0.2, 0.9))
+    # gates disabled -> never retries
+    opts2 = TranscribeOptions(
+        compression_ratio_threshold=None, log_prob_threshold=None,
+    )
+    assert not fails_quality_gates(opts2, r(9.0, -9.0, 0.9))

@@ -36,6 +36,13 @@ def main() -> None:
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) — the env var "
                              "is too late under the axon sitecustomize")
+    parser.add_argument("--tail_cap_s", type=float, default=0.0,
+                        help="cap the un-committed tail fed to the backend, "
+                             "emulating steady-state sessions: with random "
+                             "weights nothing ever commits so tails grow "
+                             "without bound, an artifact trained weights "
+                             "don't have (commits advance the cursor and "
+                             "keep tails at a few seconds). 0 = no cap.")
     parser.add_argument("--tokens_per_s", type=float, default=10.0,
                         help="emulated decode length per window (random "
                              "weights never hit EOT; real speech decodes "
@@ -99,6 +106,8 @@ def main() -> None:
             )
 
             t0 = time.monotonic()
+            if args.tail_cap_s > 0:
+                chunk = chunk[-int(args.tail_cap_s * 16000):]
             topts = transcribe_options_from_session(options, kw.get("language"))
             if args.tokens_per_s > 0:
                 # random weights never emit EOT: emulate trained-weights
@@ -112,7 +121,7 @@ def main() -> None:
                 audio=chunk, options=topts, language=kw.get("language"),
                 uid=kw.get("uid", ""),
             )
-            self._pick_scheduler(topts).submit(req)
+            self._pick_scheduler(topts, len(chunk) / 16000.0).submit(req)
             result = await asyncio.wait_for(
                 asyncio.wrap_future(req.future), timeout=120
             )

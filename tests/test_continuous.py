@@ -66,8 +66,12 @@ def _run_slot(cb, slot, join, status_fn):
 def test_midflight_join_token_parity(engine, rng):
     """Item B joins while item A is mid-generation; both must match their
     fresh lockstep decodes token for token."""
+    # cross_ctx pinned to the full encoder context: these tests verify the
+    # ring-masking invariant against the full-context lockstep decode; the
+    # content cap (a deliberate behavioral difference, TRT padding-removal
+    # analogue) is covered separately below.
     cb = ContinuousEngine(engine, n_slots=2, prompt_pad=16, ring=64,
-                          steps_per_chunk=3)
+                          steps_per_chunk=3, cross_ctx=1500)
     cb.init_state()
     a = _audio(rng, 3.0)
     b = _audio(rng, 2.0)
@@ -104,7 +108,7 @@ def test_slot_reuse_after_release(engine, rng):
     """A slot reused for a second request (ring wraps past old data) must
     decode independently of the first occupant."""
     cb = ContinuousEngine(engine, n_slots=1, prompt_pad=16, ring=32,
-                          steps_per_chunk=4)
+                          steps_per_chunk=4, cross_ctx=1500)
     cb.init_state()
     p, s = engine.build_prompt(OPTS, language="en")
     a = _audio(rng, 2.0)
@@ -216,3 +220,42 @@ def test_worker_survives_bad_request(engine, rng):
         assert r.duration == pytest.approx(2.0)
     finally:
         sched.stop()
+
+
+def test_cross_ctx_content_cap_shapes_and_decode(engine, rng):
+    """Default continuous mode caps resident cross-KV at cross_ctx
+    positions (TRT padding-removal analogue, transcriber_tensorrt.py:79-149)
+    and still decodes short windows end-to-end."""
+    cb = ContinuousEngine(engine, n_slots=1, prompt_pad=16, ring=32,
+                          steps_per_chunk=4)
+    assert cb.cross_ctx == 640  # default for 1500-ctx models
+    assert abs(cb.max_window_s - 12.8) < 1e-6
+    cb.init_state()
+    leaf = next(
+        cb.state["cross_kv"][k] for k in ("kv", "kv8", "kv4")
+        if k in cb.state["cross_kv"]
+    )
+    assert 640 in leaf.shape  # capped position axis
+    p, s = engine.build_prompt(OPTS, language="en")
+    a = _audio(rng, 2.0)
+    buf = np.zeros((1, mel_ops.N_SAMPLES), np.float32)
+    buf[0, : len(a)] = a
+    cb.insert(buf, [p], [s], [True], [0], [0.0], [True], [1.0], [20])
+    toks = _run_slot(cb, 0, 0, None)
+    assert len(toks) > 0
+
+
+def test_long_windows_route_to_window_scheduler(engine):
+    from whisperlive_tpu.serving.backends import TpuBackend
+
+    class _Win:
+        pass
+
+    class _Cont:
+        max_window_s = 12.8
+
+    backend = TpuBackend(_Win(), continuous_scheduler=_Cont())
+    topts = TranscribeOptions()
+    assert backend._pick_scheduler(topts, 5.0) is backend.continuous_scheduler
+    assert backend._pick_scheduler(topts, 20.0) is backend.scheduler
+    assert backend._pick_scheduler(topts) is backend.continuous_scheduler

@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--steps_per_chunk", type=int, default=8,
                         help="Decode steps per continuous-loop dispatch "
                              "(join/harvest granularity).")
+    parser.add_argument("--continuous_cross_ctx", type=int, default=None,
+                        help="Encoder positions of cross-KV kept per "
+                             "continuous slot (default 640 = 12.8 s of "
+                             "audio; longer windows fall back to the "
+                             "window scheduler). Streaming tails are short, "
+                             "and every decode step reads all resident "
+                             "cross-KV, so this scales the dominant "
+                             "per-step HBM term.")
     parser.add_argument("--compilation_cache", type=str,
                         default="~/.cache/whisper-live-tpu/xla-cache",
                         help="Persistent XLA compilation cache dir ('' to disable).")
@@ -189,6 +197,7 @@ def create_backend(args):
             engine,
             n_slots=args.continuous_slots,
             steps_per_chunk=args.steps_per_chunk,
+            cross_ctx=args.continuous_cross_ctx,
         )
         if not args.no_warmup:
             continuous.warmup()

@@ -174,6 +174,7 @@ class ContinuousEngine:
         ring: int = 256,
         steps_per_chunk: int = 8,
         options: TranscribeOptions | None = None,
+        cross_ctx: int | None = None,
     ):
         self.eng = engine
         self.n_slots = n_slots
@@ -183,6 +184,17 @@ class ContinuousEngine:
         cfg = engine.cfg
         spec = engine.spec
         self.cache_len = prompt_pad + ring
+        # Content-capped cross-KV (the TRT padding-removal analogue,
+        # transcriber_tensorrt.py:79-149): streaming windows are a few
+        # seconds of real audio padded to 30 s, so slots keep only the
+        # first cross_ctx encoder positions (cross_ctx * 0.02 s of audio).
+        # Every decode step reads ALL resident cross-KV, so this directly
+        # scales the dominant per-step HBM term. Windows longer than the
+        # cap are routed to the window scheduler (max_window_s below).
+        if cross_ctx is None:
+            cross_ctx = 640 if cfg.n_audio_ctx >= 1500 else cfg.n_audio_ctx
+        self.cross_ctx = min(cross_ctx, cfg.n_audio_ctx)
+        self.max_window_s = self.cross_ctx * (30.0 / cfg.n_audio_ctx)
         base_options = options or TranscribeOptions()
         self.suppress_mask = engine.suppress_mask_for(base_options)
         multilingual = engine.tokenizer.spec.multilingual
@@ -201,15 +213,16 @@ class ContinuousEngine:
             # cross-KV template: run one tiny encode to get leaf shapes?
             # cheaper: build directly from cfg dims.
             hd = cfg.n_text_state // cfg.n_text_head
+            tcap = self.cross_ctx  # content-capped (see __init__)
             kv_shape = (
-                cfg.n_text_layer, 2, b, cfg.n_audio_ctx, cfg.n_text_head, hd
+                cfg.n_text_layer, 2, b, tcap, cfg.n_text_head, hd
             )
             if bits == 8:
                 cross = {
                     # head-major int8 (models/whisper.py quantize_cross_kv)
                     "kv8": jnp.zeros(
                         (cfg.n_text_layer, 2, b, cfg.n_text_head,
-                         cfg.n_audio_ctx, hd), jnp.int8
+                         tcap, hd), jnp.int8
                     ),
                     "scale": jnp.zeros(
                         (cfg.n_text_layer, 2, b, 1, cfg.n_text_head, hd),
@@ -220,7 +233,7 @@ class ContinuousEngine:
                 cross = {
                     "kv4": jnp.zeros(
                         (cfg.n_text_layer, 2, b, cfg.n_text_head,
-                         cfg.n_audio_ctx, hd // 2), jnp.int8
+                         tcap, hd // 2), jnp.int8
                     ),
                     "scale": jnp.zeros(
                         (cfg.n_text_layer, 2, b, 1, cfg.n_text_head, hd),
@@ -276,6 +289,12 @@ class ContinuousEngine:
                 audio = audio.astype(jnp.float32) * (1.0 / 32767.0)
             mel = mel_ops.log_mel_spectrogram(audio, n_mels=cfg.n_mels)
             enc = wmod.encode(params, cfg, mel)
+            # content cap (see __init__): the encoder always runs at its
+            # trained 30 s context, but only the first cross_ctx positions
+            # feed the decoder — the rest is silence padding for windows the
+            # router admits here (duration <= max_window_s). Also shrinks
+            # the cross-KV projection matmuls below.
+            enc = enc[:, : self.cross_ctx]
             cross = _quantize(wmod.compute_cross_kv(params, cfg, enc))
 
             if multilingual:
@@ -454,8 +473,13 @@ class ContinuousEngine:
         ts_en: list[bool],
         rep: list[float],
         max_new: list[int],
-    ) -> np.ndarray:
-        """Insert j requests into the given free slots. Returns lang probs.
+        need_langs: bool = True,
+    ) -> Optional[np.ndarray]:
+        """Insert j requests into the given free slots. Returns lang probs,
+        or None when need_langs=False — then the call stays fully async
+        (no device fetch), so the worker loop dispatches the next step
+        chunk immediately instead of stalling ~an insert-program execution
+        behind the relay round-trip.
 
         Bucket padding duplicates the LAST request's inputs AND slot id —
         the duplicate rows write identical data into that slot, so the
@@ -501,6 +525,8 @@ class ContinuousEngine:
                 jnp.asarray(pad(rep), jnp.float32),
                 jnp.asarray(pad(max_new), jnp.int32),
             )
+        if not need_langs:
+            return None
         return np.asarray(lang_probs[:j], np.float32)
 
     def step(self) -> np.ndarray:
@@ -547,12 +573,17 @@ class ContinuousScheduler:
         prompt_pad: int = 64,
         ring: int = 256,
         options: TranscribeOptions | None = None,
+        cross_ctx: int | None = None,
     ):
         self.engine = engine
         self.cb = ContinuousEngine(
             engine, n_slots=n_slots, prompt_pad=prompt_pad, ring=ring,
             steps_per_chunk=steps_per_chunk, options=options,
+            cross_ctx=cross_ctx,
         )
+        # routing hint for TpuBackend: windows longer than the continuous
+        # cross-KV content cap belong on the window scheduler
+        self.max_window_s = self.cb.max_window_s
         self._queue: "queue.Queue[Optional[BatchRequest]]" = queue.Queue()
         self._pending: list[tuple[BatchRequest, int]] = []  # (req, temp_idx)
         self._slots: dict[int, _SlotInfo] = {}
@@ -674,13 +705,16 @@ class ContinuousScheduler:
                     submitted_at=req.submitted_at,
                 )
             )
+        need_langs = eng.tokenizer.spec.multilingual and any(
+            info.language is None for info in infos
+        )
         lang_probs = self.cb.insert(
             np.stack(windows), prompts, sots, lk, slot_ids,
-            temps, ts_en, rep, max_new,
+            temps, ts_en, rep, max_new, need_langs=need_langs,
         )
         codes = eng.tokenizer.spec.language_codes
         for i, (info, slot) in enumerate(zip(infos, slot_ids)):
-            if info.language is None and eng.tokenizer.spec.multilingual:
+            if info.language is None and lang_probs is not None:
                 li = int(np.argmax(lang_probs[i]))
                 info.language = codes[li]
                 info.language_prob = float(lang_probs[i][li])

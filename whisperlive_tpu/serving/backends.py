@@ -101,7 +101,9 @@ class TpuBackend:
         self._vads: dict[str, object] = {}
         self._vad_threshold = vad_threshold
 
-    def _pick_scheduler(self, options: TranscribeOptions):
+    def _pick_scheduler(
+        self, options: TranscribeOptions, duration_s: float | None = None
+    ):
         if self.continuous_scheduler is None:
             return self.scheduler
         if (
@@ -109,6 +111,12 @@ class TpuBackend:
             or options.word_timestamps
             or options.no_repeat_ngram_size > 0
         ):
+            return self.scheduler
+        # Windows longer than the continuous cross-KV content cap (catch-up
+        # after stalls; offline tails) go to the window scheduler, which
+        # keeps the full 30 s encoder context per request.
+        max_s = getattr(self.continuous_scheduler, "max_window_s", None)
+        if duration_s is not None and max_s is not None and duration_s > max_s:
             return self.scheduler
         return self.continuous_scheduler
 
@@ -156,7 +164,7 @@ class TpuBackend:
             uid=uid,
             include_unfinished=include_unfinished,
         )
-        self._pick_scheduler(topts).submit(req)
+        self._pick_scheduler(topts, len(chunk) / 16000.0).submit(req)
         return await asyncio.wait_for(asyncio.wrap_future(req.future), timeout=60)
 
 

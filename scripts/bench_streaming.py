@@ -14,15 +14,25 @@ decode cadence per stream. Latency target from BASELINE.json: p50 < 500 ms.
 
 import argparse
 import asyncio
+import logging
 import os
 import time
 
 import numpy as np
 
+logging.basicConfig(
+    level=logging.DEBUG if os.environ.get("WL_DEBUG") else logging.WARNING,
+    format="%(asctime)s %(name)s %(message)s",
+)
+# keep jax's own debug chatter out even under WL_DEBUG
+logging.getLogger("jax").setLevel(logging.WARNING)
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--streams", type=int, default=32)
+    parser.add_argument("--streams", type=str, default="32",
+                        help="stream count, or comma-separated sweep "
+                             "(e.g. 8,16,32) reusing one warm engine")
     parser.add_argument("--seconds", type=float, default=20.0)
     parser.add_argument("--model", type=str, default="large-v3")
     parser.add_argument("--batch_max_size", type=int, default=8)
@@ -91,40 +101,30 @@ def main() -> None:
     scheduler.start()
 
     class MeasuringBackend(TpuBackend):
-        """Records per-chunk decode round-trip latency (request -> result).
+        """Records per-chunk decode round-trip latency (request -> result)
+        through the REAL TpuBackend path (VAD gate skipped via options,
+        incremental-prefix decode active)."""
 
-        With random weights the decoded text is empty so no segment JSON is
-        pushed — the engine round-trip is the serving latency proper (the
-        remaining session work is sub-ms numpy + JSON)."""
-
-        async def transcribe(self, chunk, options, **kw):
+        def _adjust_options(self, topts, chunk):
             import dataclasses
 
-            from whisperlive_tpu.engine.scheduler import BatchRequest
-            from whisperlive_tpu.serving.backends import (
-                transcribe_options_from_session,
-            )
-
-            t0 = time.monotonic()
-            if args.tail_cap_s > 0:
-                chunk = chunk[-int(args.tail_cap_s * 16000):]
-            topts = transcribe_options_from_session(options, kw.get("language"))
             if args.tokens_per_s > 0:
                 # random weights never emit EOT: emulate trained-weights
                 # behavior (decode length tracks the audio) so slot/batch
-                # turnover matches production
+                # turnover matches production. With an incremental prefix
+                # the continuous scheduler subtracts the prefix length, so
+                # only the new tail is sampled — as with real weights.
                 budget = max(4, int(len(chunk) / 16000 * args.tokens_per_s))
                 topts = dataclasses.replace(
                     topts, max_new_tokens=min(budget, topts.max_new_tokens or budget)
                 )
-            req = BatchRequest(
-                audio=chunk, options=topts, language=kw.get("language"),
-                uid=kw.get("uid", ""),
-            )
-            self._pick_scheduler(topts, len(chunk) / 16000.0).submit(req)
-            result = await asyncio.wait_for(
-                asyncio.wrap_future(req.future), timeout=120
-            )
+            return topts
+
+        async def transcribe(self, chunk, options, **kw):
+            t0 = time.monotonic()
+            if args.tail_cap_s > 0:
+                chunk = chunk[-int(args.tail_cap_s * 16000):]
+            result = await super().transcribe(chunk, options, **kw)
             latencies.append(time.monotonic() - t0)
             idx = int(kw.get("uid", "s0")[1:])
             updates_per_stream[idx] += 1
@@ -132,17 +132,16 @@ def main() -> None:
 
     backend = MeasuringBackend(scheduler, continuous_scheduler=continuous)
 
-    rng = np.random.default_rng(0)
     chunk_samples = int(16000 * args.chunk_ms / 1000)
 
     latencies: list[float] = []
-    updates_per_stream = [0] * args.streams
+    updates_per_stream: list[int] = []
 
-    async def run() -> None:
+    async def run(n_streams: int) -> None:
         clients = []
-        last_feed_time = [0.0] * args.streams
+        last_feed_time = [0.0] * n_streams
 
-        for i in range(args.streams):
+        for i in range(n_streams):
             idx = i
 
             async def send_json(payload, idx=idx):
@@ -179,35 +178,41 @@ def main() -> None:
         for client in clients:
             await client.cleanup()
 
-    asyncio.run(run())
+    import json
+
+    for n_streams in [int(x) for x in args.streams.split(",")]:
+        latencies.clear()
+        updates_per_stream[:] = [0] * n_streams
+        backend._prefix_cache.clear()  # uids repeat across sweeps
+        asyncio.run(run(n_streams))
+
+        latencies_np = np.asarray(latencies)
+        updates = np.asarray(updates_per_stream, np.float64)
+        cadence = float(np.median(updates)) / args.seconds  # decodes per stream-second
+        result = {
+            "metric": "p50_partial_latency",
+            "value": round(float(np.percentile(latencies_np, 50)), 3) if len(latencies_np) else None,
+            "unit": "s",
+            "detail": {
+                "streams": n_streams,
+                "model": args.model,
+                "p95_s": round(float(np.percentile(latencies_np, 95)), 3) if len(latencies_np) else None,
+                "decodes_total": int(len(latencies_np)),
+                "decodes_per_stream_per_s": round(cadence, 2),
+                "sustained_realtime": bool(cadence > 0.2),  # update at least every 5 s
+                "duration_s": args.seconds,
+                "mode": "continuous" if args.continuous else "window",
+                "tokens_per_s": args.tokens_per_s,
+                "tail_cap_s": args.tail_cap_s,
+                "continuous_slots": args.continuous_slots if args.continuous else None,
+                "steps_per_chunk": args.steps_per_chunk if args.continuous else None,
+            },
+        }
+        print(json.dumps(result), flush=True)
+
     scheduler.stop()
     if continuous is not None:
         continuous.stop()
-
-    latencies_np = np.asarray(latencies)
-    updates = np.asarray(updates_per_stream, np.float64)
-    cadence = float(np.median(updates)) / args.seconds  # decodes per stream-second
-    result = {
-        "metric": "p50_partial_latency",
-        "value": round(float(np.percentile(latencies_np, 50)), 3) if len(latencies_np) else None,
-        "unit": "s",
-        "detail": {
-            "streams": args.streams,
-            "model": args.model,
-            "p95_s": round(float(np.percentile(latencies_np, 95)), 3) if len(latencies_np) else None,
-            "decodes_total": int(len(latencies_np)),
-            "decodes_per_stream_per_s": round(cadence, 2),
-            "sustained_realtime": bool(cadence > 0.2),  # update at least every 5 s
-            "duration_s": args.seconds,
-            "mode": "continuous" if args.continuous else "window",
-            "tokens_per_s": args.tokens_per_s,
-            "continuous_slots": args.continuous_slots if args.continuous else None,
-            "steps_per_chunk": args.steps_per_chunk if args.continuous else None,
-        },
-    }
-    import json
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

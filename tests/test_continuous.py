@@ -259,3 +259,110 @@ def test_long_windows_route_to_window_scheduler(engine):
     assert backend._pick_scheduler(topts, 5.0) is backend.continuous_scheduler
     assert backend._pick_scheduler(topts, 20.0) is backend.scheduler
     assert backend._pick_scheduler(topts) is backend.continuous_scheduler
+
+
+# ---------------------------------------------------------------------------
+# Incremental partial decoding (prefix continuation)
+
+
+def test_prefix_continuation_greedy_parity(engine, rng):
+    """Forcing the first k tokens of a greedy decode as an incremental
+    prefix must reproduce the remaining tokens exactly: the prefill carries
+    the timestamp state (last_ts) and the decode-start rules must not
+    re-fire mid-hypothesis."""
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=64, ring=64)
+    sched.start()
+    try:
+        audio = _audio(rng, 3.0)
+        req = BatchRequest(audio=audio, options=OPTS, uid="full")
+        full = sched.submit(req).result(timeout=180).raw_tokens
+        assert len(full) >= 12
+        k = 10
+        while k > 1 and full[k - 1] >= engine.spec.eot:
+            k -= 1  # the carried hypothesis ends on a text token
+        pre = full[:k]
+        req2 = BatchRequest(audio=audio, options=OPTS, uid="inc",
+                            prefix_tokens=pre)
+        inc = sched.submit(req2).result(timeout=180).raw_tokens
+        assert inc[:k] == tuple(pre)
+        assert inc == full
+    finally:
+        sched.stop()
+
+
+def test_prefix_dropped_on_gate_failure(engine, rng):
+    """A prefix window failing the quality gates retries WITHOUT the
+    prefix at the SAME temperature (the carried hypothesis may be what
+    failed), before any temperature ladder."""
+    import dataclasses
+
+    opts = dataclasses.replace(OPTS, log_prob_threshold=0.0)  # always fails
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=64, ring=64)
+    sched.start()
+    try:
+        audio = _audio(rng, 3.0)
+        base = BatchRequest(audio=audio, options=OPTS, uid="base")
+        full = sched.submit(base).result(timeout=180).raw_tokens
+        bogus = tuple(range(100, 112))  # NOT the greedy hypothesis
+        req = BatchRequest(audio=audio, options=opts, uid="pfx",
+                           prefix_tokens=bogus)
+        r = sched.submit(req).result(timeout=180)
+        # the final (returned) attempt ran from scratch: greedy tokens,
+        # not the bogus forced prefix
+        assert r.raw_tokens[: len(bogus)] != bogus
+        assert r.raw_tokens == full
+        assert tuple(req.prefix_tokens) == ()
+    finally:
+        sched.stop()
+
+
+def test_backend_prefix_cache_anchor():
+    """TpuBackend carries the previous window's raw tokens as the next
+    request's prefix while the tail anchor is unchanged, and invalidates
+    the cache when a commit moves the anchor."""
+    import asyncio
+    from types import SimpleNamespace
+
+    from whisperlive_tpu.engine.scheduler import BatchResult
+    from whisperlive_tpu.serving.backends import TpuBackend
+    from whisperlive_tpu.serving.session import SessionOptions
+
+    captured = []
+
+    class _Cont:
+        max_window_s = 12.8
+
+        def submit(self, req):
+            captured.append(req)
+            req.future.set_result(
+                BatchResult(
+                    segments=[SimpleNamespace(text="x")],
+                    language="en", language_prob=1.0, duration=2.0,
+                    advance_s=2.0,
+                    raw_tokens=tuple([7] * 30),
+                )
+            )
+            return req.future
+
+    window = SimpleNamespace(
+        engine=SimpleNamespace(spec=SimpleNamespace(eot=50257))
+    )
+    backend = TpuBackend(window, continuous_scheduler=_Cont())
+    opts = SessionOptions(language="en", use_vad=False)
+    chunk = np.zeros(32000, np.float32)
+
+    async def drive():
+        await backend.transcribe(chunk, opts, language="en", uid="u",
+                                 window_anchor_s=0.0)
+        assert tuple(captured[0].prefix_tokens) == ()
+        await backend.transcribe(chunk, opts, language="en", uid="u",
+                                 window_anchor_s=0.0)
+        # 30 raw tokens -> trim last 4 -> 26-token prefix
+        assert tuple(captured[1].prefix_tokens) == tuple([7] * 26)
+        await backend.transcribe(chunk, opts, language="en", uid="u",
+                                 window_anchor_s=5.0)  # commit moved anchor
+        assert tuple(captured[2].prefix_tokens) == ()
+
+    asyncio.run(drive())

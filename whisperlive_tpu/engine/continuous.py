@@ -79,6 +79,9 @@ class _SlotInfo:
     language_prob: float
     duration: float
     submitted_at: float
+    # incremental partial decoding: the FULL carried hypothesis (the
+    # decoder may have seen only its tail); harvest prepends it
+    prefix: tuple = ()
 
 
 def _ring_valid(gstep, join_step, ring: int):
@@ -102,10 +105,19 @@ def apply_logit_rules_ring(
     last_ts: jax.Array,  # [B]
     suppress_mask: jax.Array,  # [V]
     ts_enabled: jax.Array,  # [B]
+    has_prefix: jax.Array | None = None,  # [B] bool
+    pfx_last_ts: jax.Array | None = None,  # [B] bool: prefix[-1] is a ts
+    pfx_penult_ts: jax.Array | None = None,  # [B] bool: prefix[-2] is a ts
 ) -> jax.Array:
     """The whisper logit rules of dec.apply_logit_rules, addressed through
     the continuous ring buffer (per-slot generation depths, one global
-    step). Same openai semantics, same masks."""
+    step). Same openai semantics, same masks.
+
+    has_prefix marks slots whose decode continues a forced token prefix
+    (incremental partial decoding): their first SAMPLED token is mid-
+    hypothesis, so the decode-start rules (blank/EOT suppression,
+    timestamp-first, max_initial_timestamp) must not re-fire — the prefix
+    already consumed them; last_ts carries the timestamp state across."""
     b, v = logits.shape
     g = sampled.shape[1]
     vocab = jnp.arange(v)[None, :]
@@ -113,6 +125,8 @@ def apply_logit_rules_ring(
     logits = jnp.where(suppress_mask[None, :], dec.NEG_INF, logits)
 
     first = gen_len == 0
+    if has_prefix is not None:
+        first = first & ~has_prefix
     blank_mask = (vocab == spec.blank) | (vocab == spec.eot)
     logits = jnp.where(first[:, None] & blank_mask, dec.NEG_INF, logits)
 
@@ -120,6 +134,28 @@ def apply_logit_rules_ring(
     penult_tok = _ring_col(sampled, jnp.mod(gstep - 2, g))
     last_was_ts = (gen_len >= 1) & (last_tok >= spec.timestamp_begin)
     penult_was_ts = (gen_len < 2) | (penult_tok >= spec.timestamp_begin)
+    if has_prefix is not None:
+        # Sampling token i continues last=token i-1, penult=token i-2 of
+        # the HYPOTHESIS, which crosses the forced-prefix boundary for
+        # i<2: the timestamp-pairing rules (a lone ts after text forces a
+        # closing ts; ts,ts forbids a third) must read the prefix tail's
+        # ts-ness, not the "decode start" defaults.
+        p_last = has_prefix & (
+            pfx_last_ts if pfx_last_ts is not None else jnp.zeros_like(has_prefix)
+        )
+        p_penult = has_prefix & (
+            pfx_penult_ts if pfx_penult_ts is not None else jnp.zeros_like(has_prefix)
+        )
+        last_was_ts = jnp.where(gen_len >= 1, last_was_ts, p_last)
+        penult_was_ts = jnp.where(
+            gen_len >= 2,
+            penult_was_ts,
+            jnp.where(
+                gen_len == 1,
+                jnp.where(has_prefix, p_last, penult_was_ts),
+                jnp.where(has_prefix, p_penult, penult_was_ts),
+            ),
+        )
 
     is_ts = vocab >= spec.timestamp_begin
     is_text = vocab < spec.eot
@@ -256,6 +292,9 @@ class ContinuousEngine:
                 "last_ts": jnp.full((b,), spec.timestamp_begin - 1, jnp.int32),
                 "active": jnp.zeros((b,), bool),
                 "finished": jnp.zeros((b,), bool),
+                "has_prefix": jnp.zeros((b,), bool),
+                "pfx_last_ts": jnp.zeros((b,), bool),
+                "pfx_penult_ts": jnp.zeros((b,), bool),
                 "sum_logprob": jnp.zeros((b,), jnp.float32),
                 "ns_prob": jnp.zeros((b,), jnp.float32),
                 "temperature": jnp.zeros((b,), jnp.float32),
@@ -281,6 +320,10 @@ class ContinuousEngine:
             ts_en,  # [j] bool
             rep,  # [j]
             max_new,  # [j]
+            last_ts_init,  # [j] int32 (timestamp state carried by a prefix)
+            has_prefix,  # [j] bool
+            pfx_last_ts,  # [j] bool
+            pfx_penult_ts,  # [j] bool
         ):
             j = audio.shape[0]
             if audio.dtype == jnp.int16:
@@ -357,9 +400,12 @@ class ContinuousEngine:
                 set1("prompt_len", prompt_len[i])
                 set1("join_step", state["gstep"])
                 set1("gen_len", jnp.zeros((), jnp.int32))
-                set1("last_ts", jnp.int32(spec.timestamp_begin - 1))
+                set1("last_ts", last_ts_init[i])
                 set1("active", jnp.asarray(True))
                 set1("finished", jnp.asarray(False))
+                set1("has_prefix", has_prefix[i])
+                set1("pfx_last_ts", pfx_last_ts[i])
+                set1("pfx_penult_ts", pfx_penult_ts[i])
                 set1("sum_logprob", jnp.zeros((), jnp.float32))
                 set1("ns_prob", ns[i])
                 set1("temperature", temps[i])
@@ -392,6 +438,7 @@ class ContinuousEngine:
                 filtered = apply_logit_rules_ring(
                     spec, st["logits"], st["sampled"], gstep, st["gen_len"],
                     st["last_ts"], suppress, st["ts_enabled"],
+                    st["has_prefix"], st["pfx_last_ts"], st["pfx_penult_ts"],
                 )
                 filtered = apply_repetition_penalty_ring(
                     filtered, st["sampled"], valid, st["rep_penalty"]
@@ -474,6 +521,10 @@ class ContinuousEngine:
         rep: list[float],
         max_new: list[int],
         need_langs: bool = True,
+        last_ts: Optional[list[int]] = None,
+        has_prefix: Optional[list[bool]] = None,
+        pfx_last_ts: Optional[list[bool]] = None,
+        pfx_penult_ts: Optional[list[bool]] = None,
     ) -> Optional[np.ndarray]:
         """Insert j requests into the given free slots. Returns lang probs,
         or None when need_langs=False — then the call stays fully async
@@ -501,14 +552,26 @@ class ContinuousEngine:
 
         parr, plen = eng._pad_prompts(pad(prompts))
         # insert prompts must fit the continuous prompt region (the caller
-        # trims previous-text conditioning to guarantee this)
-        if parr.shape[1] > self.prompt_pad:
+        # trims previous-text conditioning / incremental prefixes to
+        # guarantee this); the engine's prompt BUCKETS may overshoot the
+        # region, so clamp bucket padding back — only real tokens count
+        if int(np.max(plen)) > self.prompt_pad:
             raise ValueError(
-                f"prompt ({parr.shape[1]}) exceeds continuous prompt region "
-                f"({self.prompt_pad})"
+                f"prompt ({int(np.max(plen))}) exceeds continuous prompt "
+                f"region ({self.prompt_pad})"
             )
+        if parr.shape[1] > self.prompt_pad:
+            parr = parr[:, : self.prompt_pad]
         if parr.shape[1] < self.prompt_pad:
             parr = np.pad(parr, [(0, 0), (0, self.prompt_pad - parr.shape[1])])
+        if last_ts is None:
+            last_ts = [self.eng.spec.timestamp_begin - 1] * j
+        if has_prefix is None:
+            has_prefix = [False] * j
+        if pfx_last_ts is None:
+            pfx_last_ts = [False] * j
+        if pfx_penult_ts is None:
+            pfx_penult_ts = [False] * j
 
         with eng._lock:
             self.state, lang_probs = self._insert_fn(
@@ -524,6 +587,10 @@ class ContinuousEngine:
                 jnp.asarray(pad(ts_en)),
                 jnp.asarray(pad(rep), jnp.float32),
                 jnp.asarray(pad(max_new), jnp.int32),
+                jnp.asarray(pad(list(last_ts)), jnp.int32),
+                jnp.asarray(pad(list(has_prefix))),
+                jnp.asarray(pad(list(pfx_last_ts))),
+                jnp.asarray(pad(list(pfx_penult_ts))),
             )
         if not need_langs:
             return None
@@ -570,7 +637,10 @@ class ContinuousScheduler:
         engine: WhisperEngine,
         n_slots: int = 16,
         steps_per_chunk: int = 8,
-        prompt_pad: int = 64,
+        # sized so sot sequence + an incremental prefix (~150 tokens of
+        # carried hypothesis) prefill in one pass; costs ~10% per-step
+        # self-KV reads over the bare-prompt 64 and saves ~10x the steps
+        prompt_pad: int = 192,
         ring: int = 256,
         options: TranscribeOptions | None = None,
         cross_ctx: int | None = None,
@@ -663,28 +733,58 @@ class ContinuousScheduler:
         take = self._pending[: min(len(free), max(INSERT_BUCKETS))]
         self._pending = self._pending[len(take):]
         eng = self.engine
+        ts_begin = eng.spec.timestamp_begin
         windows, prompts, sots, lk, slot_ids = [], [], [], [], []
         temps, ts_en, rep, max_new, infos = [], [], [], [], []
+        last_ts_init, has_prefix = [], []
+        pfx_last_ts, pfx_penult_ts = [], []
         for (req, temp_idx), slot in zip(take, free):
             opt = req.options
             a = req.audio[: mel_ops.N_SAMPLES]
             buf = np.zeros(mel_ops.N_SAMPLES, np.float32)
             buf[: len(a)] = a
             lang = req.language or opt.language
-            p, s = eng.build_prompt(
-                opt, previous_tokens=req.previous_tokens, language=lang or "en"
-            )
-            if len(p) > self.cb.prompt_pad:
-                # the continuous prompt region is small by design (previous-
-                # text conditioning is a soft prior): trim it first, drop it
-                # entirely if the sot sequence + prefix still don't fit
-                keep = max(self.cb.prompt_pad - (len(p) - len(req.previous_tokens)) - 1, 0)
+            # Incremental partial decoding: continue the previous window's
+            # hypothesis (prefilled on the MXU in this insert) and sample
+            # only the new tail tokens. A user-supplied text prefix
+            # (opt.prefix) takes precedence; retries arrive prefix-less.
+            prefix = tuple(req.prefix_tokens) if not opt.prefix else ()
+            if prefix:
+                # the prefix gets the prompt-region room first; previous-
+                # text conditioning keeps whatever is left over
+                p, s = eng.build_prompt(opt, language=lang or "en")
+                room = self.cb.prompt_pad - len(p)
+                if room < 8:
+                    prefix = ()
+                else:
+                    spare = room - min(len(prefix), room)
+                    if spare >= 8 and req.previous_tokens:
+                        prev = tuple(req.previous_tokens)[-(spare - 1):]
+                        p2, s2 = eng.build_prompt(
+                            opt, previous_tokens=prev, language=lang or "en"
+                        )
+                        if len(p2) + min(len(prefix), room) <= self.cb.prompt_pad:
+                            p, s = p2, s2
+                            room = self.cb.prompt_pad - len(p)
+                    # the decoder sees the prefix TAIL (conditioning);
+                    # the full prefix stays the carried hypothesis
+                    p = p + [int(t) for t in prefix[-room:]]
+            else:
                 p, s = eng.build_prompt(
-                    opt,
-                    previous_tokens=tuple(req.previous_tokens)[-keep:] if keep else (),
+                    opt, previous_tokens=req.previous_tokens,
                     language=lang or "en",
                 )
-                p = p[: self.cb.prompt_pad]
+                if len(p) > self.cb.prompt_pad:
+                    # trim the previous-text conditioning first (a soft
+                    # prior), drop it entirely if the sot sequence + prefix
+                    # still don't fit
+                    keep = max(self.cb.prompt_pad - (len(p) - len(req.previous_tokens)) - 1, 0)
+                    p, s = eng.build_prompt(
+                        opt,
+                        previous_tokens=tuple(req.previous_tokens)[-keep:] if keep else (),
+                        language=lang or "en",
+                    )
+                    p = p[: self.cb.prompt_pad]
             windows.append(buf)
             prompts.append(p)
             sots.append(s)
@@ -695,22 +795,44 @@ class ContinuousScheduler:
             rep.append(opt.repetition_penalty)
             budget = self.cb.ring - 1
             if opt.max_new_tokens is not None:
-                budget = min(budget, opt.max_new_tokens)
+                cap = opt.max_new_tokens - len(prefix) if prefix else opt.max_new_tokens
+                budget = min(budget, max(8, cap))
             max_new.append(budget)
+            lts = ts_begin - 1
+            for t in reversed(prefix):
+                if t >= ts_begin:
+                    lts = int(t)
+                    break
+            last_ts_init.append(lts)
+            has_prefix.append(bool(prefix))
+            pfx_last_ts.append(
+                bool(prefix) and prefix[-1] >= ts_begin
+            )
+            pfx_penult_ts.append(
+                len(prefix) >= 2 and prefix[-2] >= ts_begin
+            )
             infos.append(
                 _SlotInfo(
                     req=req, options=opt, join_step=self._gstep,
                     temp_index=temp_idx, language=lang, language_prob=1.0,
                     duration=len(a) / mel_ops.SAMPLE_RATE,
                     submitted_at=req.submitted_at,
+                    prefix=prefix,
                 )
             )
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug(
+                    "cb insert slot=%d uid=%s prefix=%d budget=%d prompt=%d",
+                    slot, req.uid, len(prefix), max_new[-1], len(p),
+                )
         need_langs = eng.tokenizer.spec.multilingual and any(
             info.language is None for info in infos
         )
         lang_probs = self.cb.insert(
             np.stack(windows), prompts, sots, lk, slot_ids,
             temps, ts_en, rep, max_new, need_langs=need_langs,
+            last_ts=last_ts_init, has_prefix=has_prefix,
+            pfx_last_ts=pfx_last_ts, pfx_penult_ts=pfx_penult_ts,
         )
         codes = eng.tokenizer.spec.language_codes
         for i, (info, slot) in enumerate(zip(infos, slot_ids)):
@@ -737,6 +859,10 @@ class ContinuousScheduler:
             sum_lp = float(status[b, 3])
             ns_prob = float(status[b, 4])
             toks = self.cb.unroll(sampled[b], info.join_step, gen_len, self.cb.ring)
+            if info.prefix:
+                toks = np.concatenate(
+                    [np.asarray(info.prefix, np.int32), toks]
+                )
             toks = toks[toks != eng.spec.eot]
             text = eng.tokenizer.decode([int(t) for t in toks])
             from whisperlive_tpu.engine.engine import compression_ratio
@@ -751,13 +877,17 @@ class ContinuousScheduler:
                 ],
             )
             opt = info.options
-            if (
-                fails_quality_gates(opt, res)
-                and info.temp_index + 1 < len(opt.temperatures)
-            ):
-                # retry at the next temperature: just another insert
-                self._pending.append((info.req, info.temp_index + 1))
-                continue
+            if fails_quality_gates(opt, res):
+                if info.prefix:
+                    # the carried hypothesis may be what failed the gates:
+                    # retry from scratch at the SAME temperature first
+                    info.req.prefix_tokens = ()
+                    self._pending.append((info.req, info.temp_index))
+                    continue
+                if info.temp_index + 1 < len(opt.temperatures):
+                    # retry at the next temperature: just another insert
+                    self._pending.append((info.req, info.temp_index + 1))
+                    continue
             try:
                 result = assemble_result(
                     eng, info.req, res, info.duration,

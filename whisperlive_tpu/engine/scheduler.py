@@ -58,6 +58,11 @@ class BatchRequest:
     # partial; offline/REST seek loops must drop it and re-decode from the
     # last closed timestamp (reference _split_segments_by_timestamps).
     include_unfinished: bool = True
+    # Incremental partial decoding (continuous scheduler only): force the
+    # previous window's hypothesis as a token-level decode prefix so only
+    # the new tail is sampled. Timestamp tokens included; ignored by the
+    # window scheduler and whenever options.prefix (user text) is set.
+    prefix_tokens: Sequence[int] = ()
     future: Future = dataclasses.field(default_factory=Future)
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
 
@@ -82,6 +87,9 @@ class BatchResult:
     # when the window ended cleanly; less when trailing tokens were
     # unfinished and must be re-decoded from advance_s onward.
     advance_s: float = 0.0
+    # Full decoded token stream (timestamps included) — the next window's
+    # incremental prefix candidate (TpuBackend prefix cache).
+    raw_tokens: tuple = ()
 
 
 def assemble_result(
@@ -164,6 +172,9 @@ def assemble_result(
         language_prob=language_prob,
         duration=duration,
         advance_s=advance_s,
+        # a no-speech skip means the decoded stream is hallucination over
+        # silence — never a prefix candidate for the next window
+        raw_tokens=() if skip else tuple(int(t) for t in res.tokens),
     )
 
 

@@ -100,6 +100,16 @@ class TpuBackend:
         self.use_vad_default = use_vad_default
         self._vads: dict[str, object] = {}
         self._vad_threshold = vad_threshold
+        # Incremental partial decoding (continuous path): per-stream cache
+        # of the last window's decoded tokens, keyed by the tail anchor
+        # (session timestamp_offset). While the anchor is unchanged the
+        # next window re-transcribes the SAME audio plus a little more, so
+        # the previous hypothesis is forced as a decode prefix — prefilled
+        # in one MXU pass — and only the new tail tokens are sampled
+        # (~10 steps instead of ~100). A commit moves the anchor and
+        # invalidates the cache, forcing a from-scratch decode.
+        self.incremental = os.environ.get("WL_INCREMENTAL", "1") != "0"
+        self._prefix_cache: dict[str, tuple[float, tuple[int, ...]]] = {}
 
     def _pick_scheduler(
         self, options: TranscribeOptions, duration_s: float | None = None
@@ -132,6 +142,28 @@ class TpuBackend:
 
     def release(self, uid: str) -> None:
         self._vads.pop(uid, None)
+        self._prefix_cache.pop(uid, None)
+
+    def _adjust_options(
+        self, topts: TranscribeOptions, chunk: np.ndarray
+    ) -> TranscribeOptions:
+        """Per-request option hook (benchmarks override it to emulate
+        trained-weights decode lengths)."""
+        return topts
+
+    def _trim_prefix(self, tokens: Sequence[int]) -> tuple[int, ...]:
+        """Stable-prefix trim of a previous hypothesis: drop trailing
+        specials/timestamps, then the last few text tokens (the unstable
+        zone next to the freshly arrived audio)."""
+        eng = getattr(self.scheduler, "engine", None)
+        if eng is None:
+            return ()
+        eot = eng.spec.eot
+        toks = [int(t) for t in tokens]
+        while toks and toks[-1] >= eot:
+            toks.pop()
+        toks = toks[:-4]
+        return tuple(toks) if len(toks) >= 8 else ()
 
     async def transcribe(
         self,
@@ -142,6 +174,7 @@ class TpuBackend:
         previous_tokens: Sequence[int] = (),
         uid: str = "",
         include_unfinished: bool = True,
+        window_anchor_s: Optional[float] = None,
     ) -> Optional[BatchResult]:
         if options.use_vad:
             vad = self._vad_for(uid, options)
@@ -156,6 +189,7 @@ class TpuBackend:
         topts = transcribe_options_from_session(
             options, language, beam_size=self.beam_size
         )
+        topts = self._adjust_options(topts, chunk)
         req = BatchRequest(
             audio=chunk,
             options=topts,
@@ -164,8 +198,24 @@ class TpuBackend:
             uid=uid,
             include_unfinished=include_unfinished,
         )
-        self._pick_scheduler(topts, len(chunk) / 16000.0).submit(req)
-        return await asyncio.wait_for(asyncio.wrap_future(req.future), timeout=60)
+        scheduler = self._pick_scheduler(topts, len(chunk) / 16000.0)
+        on_continuous = scheduler is self.continuous_scheduler
+        use_prefix = (
+            self.incremental and on_continuous and window_anchor_s is not None
+        )
+        if use_prefix and uid in self._prefix_cache:
+            anchor, toks = self._prefix_cache[uid]
+            if abs(anchor - window_anchor_s) < 1e-6:
+                req.prefix_tokens = self._trim_prefix(toks)
+            else:
+                del self._prefix_cache[uid]  # commit moved the tail start
+        scheduler.submit(req)
+        result = await asyncio.wait_for(
+            asyncio.wrap_future(req.future), timeout=60
+        )
+        if use_prefix and result is not None and result.raw_tokens:
+            self._prefix_cache[uid] = (window_anchor_s, result.raw_tokens)
+        return result
 
 
 class FakeBackend:
@@ -187,6 +237,7 @@ class FakeBackend:
         previous_tokens: Sequence[int] = (),
         uid: str = "",
         include_unfinished: bool = True,
+        window_anchor_s: Optional[float] = None,
     ) -> BatchResult:
         if self.latency_s:
             await asyncio.sleep(self.latency_s)

@@ -196,6 +196,10 @@ class ServeClient:
                     language=self.language,
                     previous_tokens=self.previous_tokens,
                     uid=self.uid,
+                    # the tail anchor: while it is unchanged (no commit),
+                    # successive windows extend the same audio, enabling
+                    # the backend's incremental-prefix decode
+                    window_anchor_s=self.session.timestamp_offset,
                 )
                 wl_metrics.track_transcription_latency(time.monotonic() - t0)
             except asyncio.CancelledError:

@@ -43,6 +43,10 @@ def main() -> None:
     parser.add_argument("--no_continuous", dest="continuous", action="store_false")
     parser.add_argument("--continuous_slots", type=int, default=16)
     parser.add_argument("--steps_per_chunk", type=int, default=8)
+    parser.add_argument("--cross_ctx", type=int, default=None,
+                        help="continuous cross-KV content cap (positions)")
+    parser.add_argument("--ring", type=int, default=256)
+    parser.add_argument("--prompt_pad", type=int, default=192)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) — the env var "
                              "is too late under the axon sitecustomize")
@@ -85,6 +89,9 @@ def main() -> None:
             engine,
             n_slots=args.continuous_slots,
             steps_per_chunk=args.steps_per_chunk,
+            cross_ctx=args.cross_ctx,
+            ring=args.ring,
+            prompt_pad=args.prompt_pad,
         )
         continuous.warmup()
         continuous.start()

@@ -366,3 +366,60 @@ def test_backend_prefix_cache_anchor():
         assert tuple(captured[2].prefix_tokens) == ()
 
     asyncio.run(drive())
+
+
+def test_backend_incremental_end_to_end(engine, rng):
+    """TpuBackend + real ContinuousScheduler: window 2 at the same anchor
+    rides the window-1 hypothesis as its forced prefix and the result
+    stream extends it."""
+    import asyncio
+    from types import SimpleNamespace
+
+    from whisperlive_tpu.serving.backends import TpuBackend
+    from whisperlive_tpu.serving.session import SessionOptions
+
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=64, ring=64)
+    sched.start()
+    submitted = []
+    orig_submit = sched.submit
+    sched.submit = lambda req: (submitted.append(req), orig_submit(req))[1]
+    try:
+        class GatelessBackend(TpuBackend):
+            # random weights always fail the quality gates, which would
+            # (correctly) drop the prefix on retry; emulate trained-weight
+            # behavior so the prefix survives to the result
+            def _adjust_options(self, topts, chunk):
+                import dataclasses
+
+                return dataclasses.replace(
+                    topts, temperatures=(0.0,), log_prob_threshold=None,
+                    compression_ratio_threshold=None, no_speech_threshold=None,
+                )
+
+        backend = GatelessBackend(SimpleNamespace(engine=engine),
+                                  continuous_scheduler=sched)
+        opts = SessionOptions(language="en", use_vad=False)
+        a1 = _audio(rng, 2.0)
+        a2 = np.concatenate([a1, _audio(rng, 1.0)])
+
+        async def drive():
+            r1 = await backend.transcribe(a1, opts, language="en", uid="u",
+                                          window_anchor_s=0.0)
+            assert r1.raw_tokens
+            assert tuple(submitted[0].prefix_tokens) == ()
+            r2 = await backend.transcribe(a2, opts, language="en", uid="u",
+                                          window_anchor_s=0.0)
+            pre = tuple(submitted[1].prefix_tokens)
+            assert pre == backend._trim_prefix(r1.raw_tokens)
+            assert len(pre) >= 8
+            assert tuple(r2.raw_tokens[: len(pre)]) == pre
+            # a commit moves the anchor: next window decodes from scratch
+            await backend.transcribe(a2, opts, language="en", uid="u",
+                                     window_anchor_s=1.5)
+            assert tuple(submitted[2].prefix_tokens) == ()
+
+        asyncio.run(drive())
+    finally:
+        sched.submit = orig_submit
+        sched.stop()

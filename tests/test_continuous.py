@@ -423,3 +423,61 @@ def test_backend_incremental_end_to_end(engine, rng):
     finally:
         sched.submit = orig_submit
         sched.stop()
+
+
+def test_word_timestamps_on_continuous_path(engine, rng):
+    """Word alignment against the slot-resident cross-KV must match the
+    window path's alignment for the same tokens (cross_ctx pinned to full
+    context so the attention content is identical), and a word_timestamps
+    request must ride the continuous scheduler end-to-end."""
+    import dataclasses
+
+    cb = ContinuousEngine(engine, n_slots=2, prompt_pad=16, ring=64,
+                          steps_per_chunk=4, cross_ctx=1500)
+    cb.init_state()
+    a = _audio(rng, 3.0)
+    buf = np.zeros((1, mel_ops.N_SAMPLES), np.float32)
+    buf[0, : len(a)] = a
+    p, s = engine.build_prompt(OPTS, language="en")
+    cb.insert(buf, [p], [s], [True], [0], [0.0], [True], [1.0], [16])
+    toks = _run_slot(cb, 0, 0, None)
+    assert any(t < engine.spec.eot for t in toks)
+
+    w_cont = engine.align_words(cb.state["cross_kv"], 0, toks, 300)
+    _, cross = engine.prepare(buf)
+    w_win = engine.align_words(cross, 0, toks, 300)
+    assert [w.word for w in w_cont] == [w.word for w in w_win]
+    for a_t, b_t in zip(w_cont, w_win):
+        assert a_t.start == pytest.approx(b_t.start, abs=1e-3)
+        assert a_t.end == pytest.approx(b_t.end, abs=1e-3)
+
+    # end-to-end: the scheduler routes word_timestamps requests and the
+    # harvest-time alignment runs against the capped default state
+    opts = dataclasses.replace(OPTS, word_timestamps=True)
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    sched.start()
+    try:
+        req = BatchRequest(audio=a, options=opts, uid="wt")
+        r = sched.submit(req).result(timeout=300)
+        assert r.duration == pytest.approx(3.0)
+        for seg in r.segments:
+            assert seg.words is not None
+    finally:
+        sched.stop()
+
+
+def test_backend_routes_word_timestamps_to_continuous():
+    from types import SimpleNamespace
+
+    from whisperlive_tpu.serving.backends import TpuBackend
+
+    class _Cont:
+        max_window_s = 12.8
+
+    backend = TpuBackend(SimpleNamespace(), continuous_scheduler=_Cont())
+    topts = TranscribeOptions(word_timestamps=True)
+    assert backend._pick_scheduler(topts, 5.0) is backend.continuous_scheduler
+    assert backend._pick_scheduler(
+        TranscribeOptions(beam_size=4), 5.0
+    ) is backend.scheduler

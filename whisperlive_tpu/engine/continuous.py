@@ -26,8 +26,13 @@ Fallback-temperature retries become ordinary re-inserts, so a retry no
 longer stalls the other streams (the reference re-decodes the failing
 sub-batch synchronously, batch_inference.py:312-384).
 
-Not routed here (handled by the window scheduler): beam search, word
-timestamps (need the window's cross-KV after decode), no_repeat_ngram.
+Word timestamps ride this path too: the slot's (content-capped, int8)
+cross-KV is still device-resident at harvest, so the alignment pass runs
+against it before the slot is released — same align program as the window
+scheduler, specialized to the capped context.
+
+Not routed here (handled by the window scheduler): beam search,
+no_repeat_ngram.
 """
 
 from __future__ import annotations
@@ -702,6 +707,16 @@ class ContinuousScheduler:
             )
             self._gstep = self._gstep  # unchanged by inserts
         self.cb.step()
+        # word-timestamps sessions align against the slot's content-capped
+        # cross-KV: a separate specialization of the align program (ctx =
+        # cross_ctx, not the window path's full context) — warm it too
+        try:
+            eng.align_words(
+                self.cb.state["cross_kv"], 0, eng.tokenizer.encode(" warm up"),
+                100,
+            )
+        except Exception:
+            logger.exception("continuous align warmup failed")
         # fresh state for serving (warmup slots held dummy data)
         self.cb.init_state()
         self._gstep = 0
@@ -893,6 +908,13 @@ class ContinuousScheduler:
                     eng, info.req, res, info.duration,
                     language=info.language or "en",
                     language_prob=info.language_prob,
+                    # slot cross-KV is still resident (release happens
+                    # below): the word-alignment pass reads it in place
+                    cross_kv=(
+                        self.cb.state["cross_kv"]
+                        if info.options.word_timestamps else None
+                    ),
+                    item_index=b,
                 )
                 info.req.future.set_result(result)
                 wl_metrics.track_transcription(

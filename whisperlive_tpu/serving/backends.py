@@ -116,11 +116,7 @@ class TpuBackend:
     ):
         if self.continuous_scheduler is None:
             return self.scheduler
-        if (
-            options.beam_size > 1
-            or options.word_timestamps
-            or options.no_repeat_ngram_size > 0
-        ):
+        if options.beam_size > 1 or options.no_repeat_ngram_size > 0:
             return self.scheduler
         # Windows longer than the continuous cross-KV content cap (catch-up
         # after stalls; offline tails) go to the window scheduler, which

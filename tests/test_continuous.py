@@ -481,3 +481,36 @@ def test_backend_routes_word_timestamps_to_continuous():
     assert backend._pick_scheduler(
         TranscribeOptions(beam_size=4), 5.0
     ) is backend.scheduler
+
+
+def test_continuous_scheduler_under_tp(rng):
+    """The continuous decode loop must produce identical token streams with
+    Megatron-TP-sharded params (the --tp serving path) as unsharded — the
+    persistent slot state composes with NamedSharding params under one
+    mesh (multichip serving story: session layer feeds a sharded engine)."""
+    from whisperlive_tpu.parallel.mesh import EngineShardings
+
+    cfg = WhisperConfig(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = init_params(cfg, 0)
+    audio = (np.random.default_rng(11).standard_normal(32000) * 0.1).astype(np.float32)
+
+    def decode(engine):
+        sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                    prompt_pad=16, ring=64)
+        sched.start()
+        try:
+            req = BatchRequest(audio=audio, options=OPTS, uid="tp")
+            return sched.submit(req).result(timeout=300).raw_tokens
+        finally:
+            sched.stop()
+
+    base = decode(WhisperEngine(cfg, params, compute_dtype=jnp.float32,
+                                batch_buckets=(1, 2)))
+    sharded = decode(WhisperEngine(cfg, params, compute_dtype=jnp.float32,
+                                   batch_buckets=(1, 2),
+                                   shardings=EngineShardings.create(tp=2)))
+    assert tuple(base) == tuple(sharded)

@@ -514,3 +514,20 @@ def test_continuous_scheduler_under_tp(rng):
                                    batch_buckets=(1, 2),
                                    shardings=EngineShardings.create(tp=2)))
     assert tuple(base) == tuple(sharded)
+
+
+def test_small_max_new_tokens_respected(engine, rng):
+    """A small explicit generation budget must not be inflated by the
+    prefix sampling floor (which applies only to prefix continuations)."""
+    import dataclasses
+
+    opts = dataclasses.replace(OPTS, max_new_tokens=4)
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    sched.start()
+    try:
+        req = BatchRequest(audio=_audio(rng, 2.0), options=opts, uid="small")
+        r = sched.submit(req).result(timeout=180)
+        assert len(r.raw_tokens) <= 4
+    finally:
+        sched.stop()

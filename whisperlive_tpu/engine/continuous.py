@@ -810,8 +810,12 @@ class ContinuousScheduler:
             rep.append(opt.repetition_penalty)
             budget = self.cb.ring - 1
             if opt.max_new_tokens is not None:
-                cap = opt.max_new_tokens - len(prefix) if prefix else opt.max_new_tokens
-                budget = min(budget, max(8, cap))
+                cap = opt.max_new_tokens
+                if prefix:
+                    # the prefix counts toward the window budget; keep a
+                    # small sampling floor so the decode can extend it
+                    cap = max(8, cap - len(prefix))
+                budget = min(budget, cap)
             max_new.append(budget)
             lts = ts_begin - 1
             for t in reversed(prefix):

@@ -531,3 +531,47 @@ def test_small_max_new_tokens_respected(engine, rng):
         assert len(r.raw_tokens) <= 4
     finally:
         sched.stop()
+
+
+def test_prefix_refresh_bounds_lockin():
+    """Every Nth consecutive prefix window decodes from scratch, bounding
+    how long a plausible-but-wrong carried hypothesis can survive."""
+    import asyncio
+    from types import SimpleNamespace
+
+    from whisperlive_tpu.engine.scheduler import BatchResult
+    from whisperlive_tpu.serving.backends import TpuBackend
+    from whisperlive_tpu.serving.session import SessionOptions
+
+    captured = []
+
+    class _Cont:
+        max_window_s = 12.8
+
+        def submit(self, req):
+            captured.append(req)
+            req.future.set_result(
+                BatchResult(segments=[], language="en", language_prob=1.0,
+                            duration=2.0, advance_s=2.0,
+                            raw_tokens=tuple([9] * 30))
+            )
+            return req.future
+
+    backend = TpuBackend(
+        SimpleNamespace(engine=SimpleNamespace(spec=SimpleNamespace(eot=50257))),
+        continuous_scheduler=_Cont(),
+    )
+    backend.prefix_refresh = 3
+    opts = SessionOptions(language="en", use_vad=False)
+    chunk = np.zeros(32000, np.float32)
+
+    async def drive():
+        for _ in range(8):
+            await backend.transcribe(chunk, opts, language="en", uid="u",
+                                     window_anchor_s=0.0)
+
+    asyncio.run(drive())
+    used = [bool(r.prefix_tokens) for r in captured]
+    # call 0: cold. calls 1-3: prefix streak. call 4: forced refresh.
+    # calls 5-7: streak again.
+    assert used == [False, True, True, True, False, True, True, True]

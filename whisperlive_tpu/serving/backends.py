@@ -110,6 +110,12 @@ class TpuBackend:
         # invalidates the cache, forcing a from-scratch decode.
         self.incremental = os.environ.get("WL_INCREMENTAL", "1") != "0"
         self._prefix_cache: dict[str, tuple[float, tuple[int, ...]]] = {}
+        # Lock-in bound: every Nth consecutive prefix window decodes from
+        # scratch, so a plausible-but-wrong carried hypothesis (one the
+        # quality gates keep passing) survives at most N updates even if
+        # the stabilization layer never commits. 0 disables the refresh.
+        self.prefix_refresh = int(os.environ.get("WL_PREFIX_REFRESH", "8"))
+        self._prefix_streak: dict[str, int] = {}
 
     def _pick_scheduler(
         self, options: TranscribeOptions, duration_s: float | None = None
@@ -139,6 +145,7 @@ class TpuBackend:
     def release(self, uid: str) -> None:
         self._vads.pop(uid, None)
         self._prefix_cache.pop(uid, None)
+        self._prefix_streak.pop(uid, None)
 
     def _adjust_options(
         self, topts: TranscribeOptions, chunk: np.ndarray
@@ -202,9 +209,15 @@ class TpuBackend:
         if use_prefix and uid in self._prefix_cache:
             anchor, toks = self._prefix_cache[uid]
             if abs(anchor - window_anchor_s) < 1e-6:
-                req.prefix_tokens = self._trim_prefix(toks)
+                streak = self._prefix_streak.get(uid, 0)
+                if self.prefix_refresh and streak >= self.prefix_refresh:
+                    self._prefix_streak[uid] = 0  # periodic full re-decode
+                else:
+                    req.prefix_tokens = self._trim_prefix(toks)
+                    self._prefix_streak[uid] = streak + 1 if req.prefix_tokens else 0
             else:
                 del self._prefix_cache[uid]  # commit moved the tail start
+                self._prefix_streak.pop(uid, None)
         scheduler.submit(req)
         result = await asyncio.wait_for(
             asyncio.wrap_future(req.future), timeout=60

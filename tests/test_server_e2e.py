@@ -235,3 +235,45 @@ def test_backend_state_released_on_disconnect():
         while uid not in released and time.time() < deadline:
             time.sleep(0.1)
         assert uid in released
+
+
+def test_vad_gated_session_does_not_starve_event_loop():
+    """Regression: backend.transcribe returning None SYNCHRONOUSLY (the
+    VAD-silence gate) must not let speech_to_text spin without yielding —
+    that seizes the event loop and starves every other connection."""
+    import asyncio
+
+    import numpy as np
+
+    from whisperlive_tpu.serving.server import ServeClient
+    from whisperlive_tpu.serving.session import SessionOptions
+
+    class SilenceBackend:
+        async def transcribe(self, chunk, options, **kw):
+            return None  # completes without ever awaiting
+
+    async def drive():
+        client = ServeClient(
+            websocket=None, uid="starve",
+            options=SessionOptions(language="en", use_vad=False),
+            backend=SilenceBackend(),
+            send_json=lambda payload: None,
+        )
+        client.add_frames(np.zeros(32000, np.float32))  # 2 s tail, forever
+        client.start()
+        try:
+            ticks = 0
+            # with the busy-spin bug this coroutine never runs and
+            # wait_for times out
+            async def other():
+                nonlocal ticks
+                for _ in range(5):
+                    await asyncio.sleep(0.02)
+                    ticks += 1
+
+            await asyncio.wait_for(other(), timeout=5)
+            assert ticks == 5
+        finally:
+            await client.cleanup()
+
+    asyncio.run(drive())

@@ -229,3 +229,38 @@ def test_int4_cross_kv_tracks_f32(rng, converted):
     ref, out = np.asarray(ref), np.asarray(out)
     assert np.abs(ref - out).max() < 0.3
     assert ref.argmax() == out.argmax()
+
+
+def test_engine_int8_cross_split_path(rng):
+    """The ENGINE-level split path (prepare -> detect/decode_batch ->
+    align_words) must handle the int8 cross-KV dict — the TPU-default
+    layout {kv8, scale} that CPU's f32 default never exercises. Regression:
+    decode_batch read only the "kv"/"kv4" keys and crashed on kv8 at
+    server warmup."""
+    from whisperlive_tpu.engine.engine import TranscribeOptions, WhisperEngine
+    from whisperlive_tpu.models.whisper import WhisperConfig, init_params
+    from whisperlive_tpu.ops.mel import N_SAMPLES
+
+    cfg = WhisperConfig(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    eng = WhisperEngine(cfg, init_params(cfg, 0), compute_dtype=jnp.float32,
+                        batch_buckets=(1,), cross_kv_bits=8)
+    audio = (np.random.default_rng(3).standard_normal(32000) * 0.1).astype(np.float32)
+    buf = np.zeros((1, N_SAMPLES), np.float32)
+    buf[0, : len(audio)] = audio
+    _, cross = eng.prepare(buf)
+    assert "kv8" in cross
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=12,
+    )
+    p, s = eng.build_prompt(opts, language="en")
+    (res,) = eng.decode_batch(cross, [p], [s], opts)
+    assert len(res.tokens) > 0
+    eng.detect_language_from_cross(cross)
+    words = eng.align_words(cross, 0, [t for t in res.tokens][:8], 200)
+    assert isinstance(words, list)

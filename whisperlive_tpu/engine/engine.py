@@ -679,8 +679,8 @@ class WhisperEngine:
     ) -> list[DecodeResult]:
         """One decode pass over a prepared batch. cross_kv batch dim must
         equal len(prompts) (already padded to a bucket)."""
-        kv_arr = cross_kv.get("kv", cross_kv.get("kv4"))
-        b = kv_arr.shape[2]
+        kv_arr = cross_kv.get("kv", cross_kv.get("kv8", cross_kv.get("kv4")))
+        b = kv_arr.shape[2]  # batch axis is 2 in every layout
         assert len(prompts) <= b
         n_real = len(prompts)
         prompts = list(prompts) + [[self.spec.eot + 1]] * (b - n_real)

@@ -210,6 +210,15 @@ class ServeClient:
                 await asyncio.sleep(POLL_S)
                 continue
             if result is None:
+                # VAD-gated silence: nothing was decoded and the tail was
+                # not consumed, so this branch can recur immediately. The
+                # sleep is LOAD-BEARING: backend.transcribe returns None
+                # synchronously (no internal await), and a bare `continue`
+                # would spin this coroutine without ever yielding — seizing
+                # the event loop and starving every other connection
+                # (handshakes, closes, all sessions) until new audio
+                # changes the VAD verdict.
+                await asyncio.sleep(POLL_S)
                 continue
 
             if not self.language_pushed and result.language:

@@ -56,7 +56,14 @@ def main() -> None:
                              "weights nothing ever commits so tails grow "
                              "without bound, an artifact trained weights "
                              "don't have (commits advance the cursor and "
-                             "keep tails at a few seconds). 0 = no cap.")
+                             "keep tails at a few seconds). 0 = no cap. "
+                             "NOTE: the cap slides the window start while "
+                             "the anchor stays fixed, so carried prefixes "
+                             "describe slightly stale audio — device work "
+                             "still matches production because the "
+                             "prefix-refresh cycle (WL_PREFIX_REFRESH) "
+                             "forces the same periodic full re-decodes "
+                             "that commits force in production.")
     parser.add_argument("--tokens_per_s", type=float, default=10.0,
                         help="emulated decode length per window (random "
                              "weights never hit EOT; real speech decodes "
@@ -95,6 +102,12 @@ def main() -> None:
         )
         continuous.warmup()
         continuous.start()
+        if args.tail_cap_s == 0 or args.tail_cap_s > continuous.max_window_s:
+            # without a tail cap, tails outgrow the continuous content cap
+            # (~12.8 s) mid-run and overflow to the WINDOW scheduler — warm
+            # it too or those windows hit minutes-long cold compiles
+            buckets = [b for b in engine.batch_buckets if b <= args.batch_max_size]
+            engine.warmup(batch_sizes=set(buckets))
     else:
         # warm every batch bucket the scheduler can produce — a cold compile
         # at runtime stalls all streams for minutes
@@ -138,6 +151,7 @@ def main() -> None:
             return result
 
     backend = MeasuringBackend(scheduler, continuous_scheduler=continuous)
+    backend.request_timeout_s = 180.0  # survive rare cold-shape compiles
 
     chunk_samples = int(16000 * args.chunk_ms / 1000)
 
@@ -191,6 +205,7 @@ def main() -> None:
         latencies.clear()
         updates_per_stream[:] = [0] * n_streams
         backend._prefix_cache.clear()  # uids repeat across sweeps
+        backend._prefix_streak.clear()
         asyncio.run(run(n_streams))
 
         latencies_np = np.asarray(latencies)

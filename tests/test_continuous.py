@@ -309,11 +309,14 @@ def test_prefix_dropped_on_gate_failure(engine, rng):
         req = BatchRequest(audio=audio, options=opts, uid="pfx",
                            prefix_tokens=bogus)
         r = sched.submit(req).result(timeout=180)
-        # the final (returned) attempt ran from scratch: greedy tokens,
-        # not the bogus forced prefix
-        assert r.raw_tokens[: len(bogus)] != bogus
-        assert r.raw_tokens == full
+        # the retry dropped the forced prefix (req mutated in place) ...
         assert tuple(req.prefix_tokens) == ()
+        # ... and a result whose final attempt still failed the gates is a
+        # known-bad hypothesis: it must NOT be offered as the next
+        # window's prefix
+        assert r.raw_tokens == ()
+        # sanity: an untainted decode of the same audio passes raw tokens
+        assert len(full) > 0
     finally:
         sched.stop()
 

@@ -659,8 +659,15 @@ class ContinuousScheduler:
         # routing hint for TpuBackend: windows longer than the continuous
         # cross-KV content cap belong on the window scheduler
         self.max_window_s = self.cb.max_window_s
+        from concurrent.futures import ThreadPoolExecutor
+
         self._queue: "queue.Queue[Optional[BatchRequest]]" = queue.Queue()
         self._pending: list[tuple[BatchRequest, int]] = []  # (req, temp_idx)
+        # word-timestamps assembly (alignment fetch + host DTW) runs here
+        # so it never stalls the lockstep decode loop
+        self._assemble_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="wl-assemble"
+        )
         self._slots: dict[int, _SlotInfo] = {}
         self._gstep = 0
         self._stop = threading.Event()
@@ -685,6 +692,7 @@ class ContinuousScheduler:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        self._assemble_pool.shutdown(wait=True)
 
     def submit(self, request: BatchRequest):
         self._queue.put(request)
@@ -709,12 +717,10 @@ class ContinuousScheduler:
         self.cb.step()
         # word-timestamps sessions align against the slot's content-capped
         # cross-KV: a separate specialization of the align program (ctx =
-        # cross_ctx, not the window path's full context) — warm it too
+        # cross_ctx, not the window path's full context) — warm it at every
+        # prompt bucket a real hypothesis can hit
         try:
-            eng.align_words(
-                self.cb.state["cross_kv"], 0, eng.tokenizer.encode(" warm up"),
-                100,
-            )
+            eng._warm_align(self.cb.state["cross_kv"])
         except Exception:
             logger.exception("continuous align warmup failed")
         # fresh state for serving (warmup slots held dummy data)
@@ -827,8 +833,11 @@ class ContinuousScheduler:
             pfx_last_ts.append(
                 bool(prefix) and prefix[-1] >= ts_begin
             )
+            # missing penultimate counts as a timestamp (the gen_len<2
+            # convention of the ring rules), so a 1-token prefix matches
+            # the from-scratch decode's state at hypothesis index 1
             pfx_penult_ts.append(
-                len(prefix) >= 2 and prefix[-2] >= ts_begin
+                bool(prefix) and (len(prefix) < 2 or prefix[-2] >= ts_begin)
             )
             infos.append(
                 _SlotInfo(
@@ -896,7 +905,8 @@ class ContinuousScheduler:
                 ],
             )
             opt = info.options
-            if fails_quality_gates(opt, res):
+            final_failed = fails_quality_gates(opt, res)
+            if final_failed:
                 if info.prefix:
                     # the carried hypothesis may be what failed the gates:
                     # retry from scratch at the SAME temperature first
@@ -907,27 +917,50 @@ class ContinuousScheduler:
                     # retry at the next temperature: just another insert
                     self._pending.append((info.req, info.temp_index + 1))
                     continue
-            try:
-                result = assemble_result(
-                    eng, info.req, res, info.duration,
-                    language=info.language or "en",
-                    language_prob=info.language_prob,
-                    # slot cross-KV is still resident (release happens
-                    # below): the word-alignment pass reads it in place
-                    cross_kv=(
-                        self.cb.state["cross_kv"]
-                        if info.options.word_timestamps else None
-                    ),
-                    item_index=b,
+            if info.options.word_timestamps:
+                # Word alignment fetches the [L,H,T,ctx] cross-attention
+                # maps over the relay and runs host DTW — hundreds of ms
+                # that must NOT stall the shared lockstep loop. Slice the
+                # slot's cross-KV NOW (a fresh device buffer, immune to
+                # the state donation of the next step dispatch — so the
+                # slot can be released immediately) and hand the heavy
+                # part to the assemble thread.
+                idx = jnp.asarray([b])
+                sub_cross = jax.tree.map(
+                    lambda a: jnp.take(a, idx, axis=2),
+                    self.cb.state["cross_kv"],
                 )
-                info.req.future.set_result(result)
-                wl_metrics.track_transcription(
-                    time.monotonic() - info.submitted_at, info.duration
+                self._assemble_pool.submit(
+                    self._assemble_and_resolve, info, res, sub_cross,
+                    final_failed,
                 )
-            except Exception as e:
-                if not info.req.future.done():
-                    info.req.future.set_exception(e)
+                continue
+            self._assemble_and_resolve(info, res, None, final_failed)
         self.cb.release(done_slots)
+
+    def _assemble_and_resolve(
+        self, info: _SlotInfo, res: DecodeResult, sub_cross, final_failed: bool
+    ) -> None:
+        """Build the BatchResult and resolve the request future. Runs on
+        the worker thread for plain decodes, on the assemble pool for
+        word-timestamps decodes (alignment fetch + DTW are slow)."""
+        try:
+            result = assemble_result(
+                self.engine, info.req, res, info.duration,
+                language=info.language or "en",
+                language_prob=info.language_prob,
+                cross_kv=sub_cross,
+                item_index=0,
+                prefix_ok=not final_failed,
+            )
+            if not info.req.future.done():
+                info.req.future.set_result(result)
+            wl_metrics.track_transcription(
+                time.monotonic() - info.submitted_at, info.duration
+            )
+        except Exception as e:
+            if not info.req.future.done():
+                info.req.future.set_exception(e)
 
     def _worker_loop(self) -> None:
         logger.info(

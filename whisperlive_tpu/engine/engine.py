@@ -631,10 +631,22 @@ class WhisperEngine:
             prompt, sot = self.build_prompt(options, language="en")
             self.decode_batch(cross, [prompt] * b, [sot] * b, options)
             try:
-                self.align_words(cross, 0, self.tokenizer.encode(" warm up"), 100)
+                self._warm_align(cross)
             except Exception:
                 logger.exception("align warmup failed")
         logger.info("warmup complete")
+
+    def _warm_align(self, cross_kv) -> None:
+        """Compile the alignment pass at EVERY prompt bucket: a real
+        hypothesis is 20-250 tokens, so the common case buckets to 64/256
+        — a cold align compile at first word-timestamps harvest would
+        stall all live streams for minutes. WL_WARM_ALIGN=0 skips."""
+        if os.environ.get("WL_WARM_ALIGN", "1") == "0":
+            return
+        for pmax in self.prompt_buckets:
+            n_text = max(pmax - len(self.tokenizer.sot_sequence()) - 1, 1)
+            self.align_words(cross_kv, 0, [1000 + i for i in range(n_text)],
+                             100)
 
     def prepare(self, audio: np.ndarray):
         """audio [B, N_SAMPLES] f32 or int16 PCM -> (enc, cross_kv) on device.

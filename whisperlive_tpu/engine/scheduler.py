@@ -101,6 +101,7 @@ def assemble_result(
     language_prob: float,
     cross_kv=None,
     item_index: int = 0,
+    prefix_ok: bool = True,
 ) -> BatchResult:
     """One decode result -> wire-ready BatchResult (no-speech skip, timestamp
     split, optional word alignment). Shared by the window-level and the
@@ -173,8 +174,13 @@ def assemble_result(
         duration=duration,
         advance_s=advance_s,
         # a no-speech skip means the decoded stream is hallucination over
-        # silence — never a prefix candidate for the next window
-        raw_tokens=() if skip else tuple(int(t) for t in res.tokens),
+        # silence, and a decode whose final attempt still failed the
+        # quality gates is a known-bad hypothesis — neither may seed the
+        # next window's forced prefix
+        raw_tokens=(
+            () if (skip or not prefix_ok)
+            else tuple(int(t) for t in res.tokens)
+        ),
     )
 
 

@@ -116,6 +116,9 @@ class TpuBackend:
         # the stabilization layer never commits. 0 disables the refresh.
         self.prefix_refresh = int(os.environ.get("WL_PREFIX_REFRESH", "8"))
         self._prefix_streak: dict[str, int] = {}
+        # per-request engine deadline; benchmarks raise it to survive cold
+        # compiles of rarely-hit shapes without dropping samples
+        self.request_timeout_s = 60.0
 
     def _pick_scheduler(
         self, options: TranscribeOptions, duration_s: float | None = None
@@ -204,7 +207,13 @@ class TpuBackend:
         scheduler = self._pick_scheduler(topts, len(chunk) / 16000.0)
         on_continuous = scheduler is self.continuous_scheduler
         use_prefix = (
-            self.incremental and on_continuous and window_anchor_s is not None
+            self.incremental
+            and on_continuous
+            and window_anchor_s is not None
+            # the ring repetition penalty cannot see prompt-region prefix
+            # tokens, so a non-default penalty would diverge from the
+            # from-scratch decode it must reproduce — decode fully instead
+            and topts.repetition_penalty == 1.0
         )
         if use_prefix and uid in self._prefix_cache:
             anchor, toks = self._prefix_cache[uid]
@@ -220,7 +229,7 @@ class TpuBackend:
                 self._prefix_streak.pop(uid, None)
         scheduler.submit(req)
         result = await asyncio.wait_for(
-            asyncio.wrap_future(req.future), timeout=60
+            asyncio.wrap_future(req.future), timeout=self.request_timeout_s
         )
         if use_prefix and result is not None and result.raw_tokens:
             self._prefix_cache[uid] = (window_anchor_s, result.raw_tokens)

@@ -751,7 +751,12 @@ class ContinuousScheduler:
         ]
         if not free or not self._pending:
             return
-        take = self._pending[: min(len(free), max(INSERT_BUCKETS))]
+        # Insert granularity: one j=8 insert encodes 8 windows in a single
+        # ~500 ms device pass that stalls the step loop; smaller buckets
+        # interleave steps between encodes (worse encode efficiency,
+        # smoother step cadence). 8 measured best for p50 on the dev chip.
+        insert_max = int(os.environ.get("WL_INSERT_MAX", "0")) or max(INSERT_BUCKETS)
+        take = self._pending[: min(len(free), insert_max)]
         self._pending = self._pending[len(take):]
         eng = self.engine
         ts_begin = eng.spec.timestamp_begin

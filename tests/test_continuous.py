@@ -578,3 +578,85 @@ def test_prefix_refresh_bounds_lockin():
     # call 0: cold. calls 1-3: prefix streak. call 4: forced refresh.
     # calls 5-7: streak again.
     assert used == [False, True, True, True, False, True, True, True]
+
+
+def test_insert_failure_fails_taken_futures(engine, rng):
+    """Requests popped from _pending must get their futures failed if the
+    insert itself blows up — they are invisible to the worker-loop
+    catch-all at that point."""
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+
+    def boom(take, free):
+        raise RuntimeError("induced insert failure")
+
+    sched._insert_take = boom
+    sched.start()
+    try:
+        req = BatchRequest(audio=_audio(rng, 2.0), options=OPTS, uid="boom")
+        with pytest.raises(RuntimeError, match="induced insert failure"):
+            sched.submit(req).result(timeout=30)
+    finally:
+        sched.stop()
+
+
+def test_scheduler_restart_recreates_assemble_pool(engine, rng):
+    """stop() then start() is a supported cycle: the word-timestamps
+    assemble pool must be recreated, not left shut down."""
+    import dataclasses
+
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    sched.start()
+    sched.stop()
+    sched.start()
+    try:
+        opts = dataclasses.replace(OPTS, word_timestamps=True)
+        req = BatchRequest(audio=_audio(rng, 2.0), options=opts, uid="restart")
+        r = sched.submit(req).result(timeout=180)
+        assert r.duration == pytest.approx(2.0)
+    finally:
+        sched.stop()
+
+
+def test_implicated_prefix_evicted_from_cache():
+    """A prefix-eligible result with empty raw_tokens (gate failure /
+    no-speech) must also EVICT the previous cache entry — re-forcing the
+    hypothesis that just got implicated repeats the doomed cycle."""
+    import asyncio
+    from types import SimpleNamespace
+
+    from whisperlive_tpu.engine.scheduler import BatchResult
+    from whisperlive_tpu.serving.backends import TpuBackend
+    from whisperlive_tpu.serving.session import SessionOptions
+
+    calls = [0]
+
+    class _Cont:
+        max_window_s = 12.8
+
+        def submit(self, req):
+            calls[0] += 1
+            raw = tuple([7] * 30) if calls[0] == 1 else ()
+            req.future.set_result(
+                BatchResult(segments=[], language="en", language_prob=1.0,
+                            duration=2.0, advance_s=2.0, raw_tokens=raw)
+            )
+            return req.future
+
+    backend = TpuBackend(
+        SimpleNamespace(engine=SimpleNamespace(spec=SimpleNamespace(eot=50257))),
+        continuous_scheduler=_Cont(),
+    )
+    opts = SessionOptions(language="en", use_vad=False)
+    chunk = np.zeros(32000, np.float32)
+
+    async def drive():
+        await backend.transcribe(chunk, opts, language="en", uid="u",
+                                 window_anchor_s=0.0)
+        assert "u" in backend._prefix_cache
+        await backend.transcribe(chunk, opts, language="en", uid="u",
+                                 window_anchor_s=0.0)  # raw=() -> evict
+        assert "u" not in backend._prefix_cache
+
+    asyncio.run(drive())

@@ -659,15 +659,12 @@ class ContinuousScheduler:
         # routing hint for TpuBackend: windows longer than the continuous
         # cross-KV content cap belong on the window scheduler
         self.max_window_s = self.cb.max_window_s
-        from concurrent.futures import ThreadPoolExecutor
-
         self._queue: "queue.Queue[Optional[BatchRequest]]" = queue.Queue()
         self._pending: list[tuple[BatchRequest, int]] = []  # (req, temp_idx)
         # word-timestamps assembly (alignment fetch + host DTW) runs here
-        # so it never stalls the lockstep decode loop
-        self._assemble_pool = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="wl-assemble"
-        )
+        # so it never stalls the lockstep decode loop; created in start()
+        # so a stop()/start() cycle gets a fresh pool
+        self._assemble_pool = None
         self._slots: dict[int, _SlotInfo] = {}
         self._gstep = 0
         self._stop = threading.Event()
@@ -679,6 +676,16 @@ class ContinuousScheduler:
     def start(self) -> None:
         if self._thread is not None:
             return
+        # support stop()/start() cycles: re-arm the stop flag (the stale
+        # None sentinel a previous stop() left in the queue is skipped by
+        # _drain_queue)
+        self._stop.clear()
+        if self._assemble_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._assemble_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="wl-assemble"
+            )
         if self.cb.state is None:
             self.cb.init_state()
         self._thread = threading.Thread(
@@ -692,7 +699,9 @@ class ContinuousScheduler:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
-        self._assemble_pool.shutdown(wait=True)
+        if self._assemble_pool is not None:
+            self._assemble_pool.shutdown(wait=True)
+            self._assemble_pool = None
 
     def submit(self, request: BatchRequest):
         self._queue.put(request)
@@ -756,8 +765,22 @@ class ContinuousScheduler:
         # interleave steps between encodes (worse encode efficiency,
         # smoother step cadence). 8 measured best for p50 on the dev chip.
         insert_max = int(os.environ.get("WL_INSERT_MAX", "0")) or max(INSERT_BUCKETS)
+        insert_max = min(insert_max, max(INSERT_BUCKETS))
         take = self._pending[: min(len(free), insert_max)]
         self._pending = self._pending[len(take):]
+        try:
+            self._insert_take(take, free)
+        except Exception as e:
+            # the taken requests are no longer in _pending and not yet in
+            # _slots — the worker-loop catch-all cannot see them, so fail
+            # their futures HERE or clients block until request timeout
+            logger.exception("insert failed; failing %d requests", len(take))
+            wl_metrics.track_error("continuous_insert")
+            for req, _ in take:
+                if not req.future.done():
+                    req.future.set_exception(e)
+
+    def _insert_take(self, take, free) -> None:
         eng = self.engine
         ts_begin = eng.spec.timestamp_begin
         windows, prompts, sots, lk, slot_ids = [], [], [], [], []

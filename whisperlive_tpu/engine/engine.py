@@ -202,7 +202,10 @@ class WhisperEngine:
         # kernel). Default int8 on TPU, full precision on CPU (tests compare
         # against f32 oracles).
         if cross_kv_bits is None:
-            cross_kv_bits = 8 if on_tpu else 16
+            env_bits = os.environ.get("WL_CROSS_BITS")
+            cross_kv_bits = (
+                int(env_bits) if env_bits else (8 if on_tpu else 16)
+            )
         assert cross_kv_bits in (4, 8, 16)
         self.cross_kv_bits = cross_kv_bits
         self.cross_kv_int8 = cross_kv_bits == 8

@@ -231,8 +231,17 @@ class TpuBackend:
         result = await asyncio.wait_for(
             asyncio.wrap_future(req.future), timeout=self.request_timeout_s
         )
-        if use_prefix and result is not None and result.raw_tokens:
-            self._prefix_cache[uid] = (window_anchor_s, result.raw_tokens)
+        if use_prefix and result is not None:
+            if result.raw_tokens:
+                self._prefix_cache[uid] = (window_anchor_s, result.raw_tokens)
+            else:
+                # empty raw_tokens on a prefix-eligible result = no-speech
+                # skip or a decode whose final attempt failed the gates;
+                # ALSO evict the previous entry — re-forcing the hypothesis
+                # that just got implicated would repeat the doomed
+                # prefix-decode + from-scratch retry every window
+                self._prefix_cache.pop(uid, None)
+                self._prefix_streak.pop(uid, None)
         return result
 
 

@@ -660,3 +660,63 @@ def test_implicated_prefix_evicted_from_cache():
         assert "u" not in backend._prefix_cache
 
     asyncio.run(drive())
+
+
+def test_session_loop_drives_prefix_via_anchor(engine, rng):
+    """The live session loop (ServeClient.speech_to_text) passes the tail
+    anchor into the backend, so growing audio at a stable anchor engages
+    the incremental-prefix cache — the full serving-side plumbing, not
+    just the backend API."""
+    import asyncio
+    from types import SimpleNamespace
+
+    from whisperlive_tpu.serving.backends import TpuBackend
+    from whisperlive_tpu.serving.server import ServeClient
+    from whisperlive_tpu.serving.session import SessionOptions
+
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=64, ring=64)
+    sched.start()
+    captured = []
+    orig_submit = sched.submit
+    sched.submit = lambda req: (captured.append(req), orig_submit(req))[1]
+    try:
+        class GatelessBackend(TpuBackend):
+            def _adjust_options(self, topts, chunk):
+                import dataclasses
+
+                return dataclasses.replace(
+                    topts, temperatures=(0.0,), log_prob_threshold=None,
+                    compression_ratio_threshold=None,
+                    no_speech_threshold=None, max_new_tokens=16,
+                )
+
+        backend = GatelessBackend(SimpleNamespace(engine=engine),
+                                  continuous_scheduler=sched)
+
+        async def drive():
+            client = ServeClient(
+                websocket=None, uid="plumb",
+                options=SessionOptions(language="en", use_vad=False,
+                                       same_output_threshold=99),
+                backend=backend,
+                send_json=lambda payload: None,
+            )
+            client.add_frames(_audio(rng, 2.0))
+            client.start()
+            try:
+                for _ in range(200):  # wait for >= 2 decodes
+                    await asyncio.sleep(0.1)
+                    if len(captured) >= 2:
+                        break
+                assert len(captured) >= 2
+                # first window cold, a later window carries the hypothesis
+                assert tuple(captured[0].prefix_tokens) == ()
+                assert any(req.prefix_tokens for req in captured[1:])
+            finally:
+                await client.cleanup()
+
+        asyncio.run(drive())
+    finally:
+        sched.submit = orig_submit
+        sched.stop()

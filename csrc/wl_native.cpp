@@ -13,6 +13,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <stdexcept>
@@ -329,11 +330,14 @@ PyObject* Float32ToInt16(PyObject*, PyObject* args) {
   }
   const float* in = static_cast<const float*>(buf.buf);
   int16_t* out = reinterpret_cast<int16_t*>(PyBytes_AS_STRING(bytes));
+  // Round-to-nearest (truncation doubles the quantization error) and clip
+  // symmetrically at +/-32767: the device dequant divides by 32767, so the
+  // symmetric clip keeps full-scale samples exactly inside [-1, 1].
   for (Py_ssize_t i = 0; i < n; ++i) {
     float v = in[i] * 32767.0f;
     if (v > 32767.0f) v = 32767.0f;
-    if (v < -32768.0f) v = -32768.0f;
-    out[i] = static_cast<int16_t>(v);
+    if (v < -32767.0f) v = -32767.0f;
+    out[i] = static_cast<int16_t>(lrintf(v));
   }
   PyBuffer_Release(&buf);
   return bytes;

@@ -292,12 +292,15 @@ def test_prefix_continuation_greedy_parity(engine, rng):
 
 
 def test_prefix_dropped_on_gate_failure(engine, rng):
-    """A prefix window failing the quality gates retries WITHOUT the
-    prefix at the SAME temperature (the carried hypothesis may be what
-    failed), before any temperature ladder."""
+    """A prefix window whose (>= 12-token) sampled tail fails the quality
+    gates retries WITHOUT the prefix at the SAME temperature (the carried
+    hypothesis may be what failed), before any temperature ladder."""
     import dataclasses
 
-    opts = dataclasses.replace(OPTS, log_prob_threshold=0.0)  # always fails
+    # always fails — and a budget that leaves a >= 12-token sampled tail
+    # after the prefix, so the log-prob gate applies (short tails skip it)
+    opts = dataclasses.replace(OPTS, log_prob_threshold=0.0,
+                               max_new_tokens=60)
     sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
                                 prompt_pad=64, ring=64)
     sched.start()
@@ -317,6 +320,33 @@ def test_prefix_dropped_on_gate_failure(engine, rng):
         assert r.raw_tokens == ()
         # sanity: an untainted decode of the same audio passes raw tokens
         assert len(full) > 0
+    finally:
+        sched.stop()
+
+
+def test_short_tail_skips_logprob_gate(engine, rng):
+    """A prefix continuation sampling only a handful of tokens must NOT be
+    retried on the log-prob gate: a tail-only avg_logprob over < 12 tokens
+    is noise (one unlucky word would drop a good carried hypothesis). The
+    compression-ratio gate and WL_PREFIX_REFRESH still bound lock-in."""
+    import dataclasses
+
+    # max_new 20 - 12 prefix tokens -> 8-token sampled tail (< 12)
+    opts = dataclasses.replace(OPTS, log_prob_threshold=0.0,
+                               max_new_tokens=20)
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=64, ring=64)
+    sched.start()
+    try:
+        audio = _audio(rng, 3.0)
+        bogus = tuple(range(100, 112))
+        req = BatchRequest(audio=audio, options=opts, uid="short",
+                           prefix_tokens=bogus)
+        r = sched.submit(req).result(timeout=180)
+        # no prefix-drop retry: the forced prefix survives on the request
+        assert tuple(req.prefix_tokens) == bogus
+        # and the hypothesis (prefix + tail) is offered for the next window
+        assert tuple(r.raw_tokens[: len(bogus)]) == bogus
     finally:
         sched.stop()
 
@@ -720,3 +750,52 @@ def test_session_loop_drives_prefix_via_anchor(engine, rng):
     finally:
         sched.submit = orig_submit
         sched.stop()
+
+
+def test_zero_recompiles_after_warmup(engine, rng):
+    """Every jitted program on the live continuous path (insert at each
+    bucket, step, release at any done-count, align) must be compiled by
+    warmup(): a cold compile during serving stalls the shared lockstep
+    loop for every stream (CLAUDE.md bucketed-shapes invariant)."""
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=12,
+    )
+    sched = ContinuousScheduler(engine, n_slots=4, steps_per_chunk=2,
+                                prompt_pad=64, ring=64)
+    sched.warmup()
+    cb = sched.cb
+    tracked = {
+        "insert": cb._insert_fn,
+        "step": cb._step_fn,
+        "release": cb._release_fn,
+        "align": engine._align_fn,
+    }
+    before = {k: f._cache_size() for k, f in tracked.items()}
+
+    sched.start()
+    try:
+        # batch churn: 1, then 3 concurrent, then 4 (insert buckets 1/2/4),
+        # mixed with a word-timestamps request (align at harvest) — every
+        # release count 1..4 can occur
+        for wave in ([2.0], [1.5, 2.0, 2.5], [1.0, 1.5, 2.0, 2.5]):
+            futs = []
+            for i, sec in enumerate(wave):
+                o = opts if i else dataclasses_replace_wt(opts)
+                req = BatchRequest(audio=_audio(rng, sec), options=o,
+                                   uid=f"w{len(wave)}-{i}")
+                futs.append(sched.submit(req))
+            for f in futs:
+                f.result(timeout=180)
+    finally:
+        sched.stop()
+
+    after = {k: f._cache_size() for k, f in tracked.items()}
+    assert after == before, f"recompiled after warmup: {before} -> {after}"
+
+
+def dataclasses_replace_wt(opts):
+    import dataclasses
+
+    return dataclasses.replace(opts, word_timestamps=True)

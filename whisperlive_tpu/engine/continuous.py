@@ -490,16 +490,12 @@ class ContinuousEngine:
             state["status"] = _pack_status(state)
             return state
 
-        def _release(state, slot_ids):
-            for i in range(slot_ids.shape[0]):
-                b = slot_ids[i]
-                for name, val in (
-                    ("active", jnp.asarray(False)),
-                    ("finished", jnp.asarray(False)),
-                ):
-                    state[name] = jax.lax.dynamic_update_slice_in_dim(
-                        state[name], val[None], b, axis=0
-                    )
+        def _release(state, mask):
+            # mask: [B] bool — one static shape for ANY number of released
+            # slots (an unrolled slot_ids loop would compile one program
+            # per distinct done-count, each a live-loop compile stall).
+            state["active"] = state["active"] & ~mask
+            state["finished"] = state["finished"] & ~mask
             state["status"] = _pack_status(state)
             return state
 
@@ -555,16 +551,27 @@ class ContinuousEngine:
         def pad(xs):
             return list(xs) + [xs[-1]] * (bucket - j)
 
+        # Defensive boundary clamp: callers (_insert_take, warmup) trim
+        # prompts to the continuous prompt region, but a future call site
+        # that misses one trim rule must degrade, not fail the request —
+        # drop the OLDEST conditioning tokens, keep the steering tail, and
+        # shift the sot index accordingly.
+        prompts = list(prompts)
+        sot_idx = list(sot_idx)
+        for i, p in enumerate(prompts):
+            if len(p) > self.prompt_pad:
+                drop = len(p) - self.prompt_pad
+                logger.warning(
+                    "insert prompt (%d) exceeds continuous prompt region "
+                    "(%d); clamping oldest %d tokens",
+                    len(p), self.prompt_pad, drop,
+                )
+                prompts[i] = list(p)[drop:]
+                sot_idx[i] = max(int(sot_idx[i]) - drop, 0)
+
         parr, plen = eng._pad_prompts(pad(prompts))
-        # insert prompts must fit the continuous prompt region (the caller
-        # trims previous-text conditioning / incremental prefixes to
-        # guarantee this); the engine's prompt BUCKETS may overshoot the
-        # region, so clamp bucket padding back — only real tokens count
-        if int(np.max(plen)) > self.prompt_pad:
-            raise ValueError(
-                f"prompt ({int(np.max(plen))}) exceeds continuous prompt "
-                f"region ({self.prompt_pad})"
-            )
+        # the engine's prompt BUCKETS may overshoot the region, so clamp
+        # bucket padding back — only real tokens count
         if parr.shape[1] > self.prompt_pad:
             parr = parr[:, : self.prompt_pad]
         if parr.shape[1] < self.prompt_pad:
@@ -610,10 +617,10 @@ class ContinuousEngine:
         return np.asarray(self.state["status"], np.float32)
 
     def release(self, slot_ids: list[int]) -> None:
+        mask = np.zeros((self.n_slots,), bool)
+        mask[list(slot_ids)] = True
         with self.eng._lock:
-            self.state = self._release_fn(
-                self.state, jnp.asarray(slot_ids, np.int32)
-            )
+            self.state = self._release_fn(self.state, jnp.asarray(mask))
 
     def harvest_all(self) -> np.ndarray:
         """Fetch the whole sampled ring in ONE device->host roundtrip
@@ -676,9 +683,9 @@ class ContinuousScheduler:
     def start(self) -> None:
         if self._thread is not None:
             return
-        # support stop()/start() cycles: re-arm the stop flag (the stale
-        # None sentinel a previous stop() left in the queue is skipped by
-        # _drain_queue)
+        # support stop()/start() cycles: re-arm the stop flag (a stale
+        # None sentinel a previous stop() left in the queue is consumed
+        # and skipped by _drain_queue while the stop flag is clear)
         self._stop.clear()
         if self._assemble_pool is None:
             from concurrent.futures import ThreadPoolExecutor
@@ -724,6 +731,8 @@ class ContinuousScheduler:
             )
             self._gstep = self._gstep  # unchanged by inserts
         self.cb.step()
+        # the mask-based release program: one shape covers every done-count
+        self.cb.release([0])
         # word-timestamps sessions align against the slot's content-capped
         # cross-KV: a separate specialization of the align program (ctx =
         # cross_ctx, not the window path's full context) — warm it at every
@@ -740,14 +749,19 @@ class ContinuousScheduler:
     # ------------------------------------------------------------------
 
     def _drain_queue(self, block: bool) -> bool:
-        """Move queued requests into the pending list."""
+        """Move queued requests into the pending list. A None sentinel
+        (enqueued by stop()) ends the drain when the stop flag is set;
+        a STALE sentinel from a previous stop()/start() cycle is consumed
+        and skipped so requests behind it still drain this pass."""
         got = False
         try:
             timeout = 0.05 if block else 0.0
             while True:
                 req = self._queue.get(block=block and not got, timeout=timeout)
                 if req is None:
-                    return got
+                    if self._stop.is_set():
+                        return got
+                    continue
                 self._pending.append((req, 0))
                 got = True
                 block = False
@@ -803,22 +817,30 @@ class ContinuousScheduler:
                 # text conditioning keeps whatever is left over
                 p, s = eng.build_prompt(opt, language=lang or "en")
                 room = self.cb.prompt_pad - len(p)
-                if room < 8:
+                if len(prefix) > room:
+                    # A truncated prefix would shift the continued tokens'
+                    # absolute positions (learned positional embeddings)
+                    # vs a from-scratch decode, silently breaking the
+                    # token-exact continuation invariant — decode from
+                    # scratch instead (the else-branch below rebuilds the
+                    # prompt with previous-token conditioning). Bounded in
+                    # practice: hypotheses longer than prompt_pad -
+                    # len(sot) are rare (the session layer commits and
+                    # trims long tails).
                     prefix = ()
                 else:
-                    spare = room - min(len(prefix), room)
+                    spare = room - len(prefix)
                     if spare >= 8 and req.previous_tokens:
                         prev = tuple(req.previous_tokens)[-(spare - 1):]
                         p2, s2 = eng.build_prompt(
                             opt, previous_tokens=prev, language=lang or "en"
                         )
-                        if len(p2) + min(len(prefix), room) <= self.cb.prompt_pad:
+                        if len(p2) + len(prefix) <= self.cb.prompt_pad:
                             p, s = p2, s2
-                            room = self.cb.prompt_pad - len(p)
-                    # the decoder sees the prefix TAIL (conditioning);
-                    # the full prefix stays the carried hypothesis
-                    p = p + [int(t) for t in prefix[-room:]]
-            else:
+                    # the decoder prefills the ENTIRE prefix (it fits),
+                    # so continuation positions match a from-scratch run
+                    p = p + [int(t) for t in prefix]
+            if not prefix:
                 p, s = eng.build_prompt(
                     opt, previous_tokens=req.previous_tokens,
                     language=lang or "en",
@@ -925,6 +947,12 @@ class ContinuousScheduler:
 
             res = DecodeResult(
                 tokens=toks,
+                # NOTE: for prefix continuations this is a TAIL-ONLY
+                # average — sum_lp covers only the newly sampled tokens
+                # (the forced prefix was prefilled, not scored), divided
+                # by the sampled count. The full-hypothesis average the
+                # reference computes would need a scoring pass over the
+                # prefix; tail-only is the honest per-update quantity.
                 avg_logprob=sum_lp / max(gen_len, 1),
                 no_speech_prob=ns_prob,
                 compression_ratio=compression_ratio(text),
@@ -933,7 +961,21 @@ class ContinuousScheduler:
                 ],
             )
             opt = info.options
-            final_failed = fails_quality_gates(opt, res)
+            gate_opt = opt
+            if (
+                info.prefix
+                and gen_len < 12
+                and opt.log_prob_threshold is not None
+            ):
+                # A tail-only avg_logprob over a handful of sampled tokens
+                # is too noisy for the quality gate: one low-probability
+                # word would trigger a spurious prefix-drop retry. Skip the
+                # log-prob gate below 12 sampled tokens — the from-scratch
+                # retry path and the periodic WL_PREFIX_REFRESH full
+                # re-decode already bound hypothesis lock-in; compression
+                # ratio (full-hypothesis text) still gates.
+                gate_opt = dataclasses.replace(opt, log_prob_threshold=None)
+            final_failed = fails_quality_gates(gate_opt, res)
             if final_failed:
                 if info.prefix:
                     # the carried hypothesis may be what failed the gates:

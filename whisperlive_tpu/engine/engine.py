@@ -115,8 +115,10 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 
 
 def _pcm16(audio: np.ndarray) -> np.ndarray:
-    """float32 PCM [-1, 1] -> int16 (clipped). wl_native does it in one
-    pass; the numpy fallback is ~3 passes but still far cheaper than
+    """float32 PCM [-1, 1] -> int16, round-to-nearest, clipped to
+    +/-32767 (the device dequant divides by 32767, so the symmetric clip
+    keeps full-scale samples exactly inside [-1, 1]). wl_native does it in
+    one pass; the numpy fallback is ~3 passes but still far cheaper than
     shipping double the bytes through the relay."""
     try:
         import wl_native
@@ -125,7 +127,9 @@ def _pcm16(audio: np.ndarray) -> np.ndarray:
         out = np.frombuffer(wl_native.float32_to_int16(flat), np.int16)
         return out.reshape(audio.shape)
     except Exception:
-        return np.clip(audio * 32767.0, -32768, 32767).astype(np.int16)
+        return np.clip(np.round(audio * 32767.0), -32767, 32767).astype(
+            np.int16
+        )
 
 
 def fails_quality_gates(options: TranscribeOptions, r: DecodeResult) -> bool:

@@ -155,29 +155,46 @@ def split_segments_by_timestamps(
 _ANOMALY_PUNCT = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 _SENTENCE_END_MARKS = ".。!！?？"
 
+# Hallucination fingerprint on aligned words: suspicion accrues from an
+# implausibly low token probability (flat penalty) and from durations
+# outside the plausible speech range (linear penalties). The numeric
+# thresholds match the reference heuristics exactly — they define
+# user-visible output behavior (cf. transcriber_faster_whisper.py
+# word_anomaly_score / is_segment_anomaly) — but the scoring here is a
+# closed-form expression, not a branch chain.
+_SUSPECT_PROB = 0.15  # below this, the word itself is doubtful
+_DUR_FLOOR = 0.133  # seconds; shorter implies a clipped/ghost word
+_DUR_CEIL = 2.0  # seconds; longer implies a smeared alignment
+_SHORT_RATE = 15.0  # suspicion per second under the floor
+_SEG_SCORE_LIMIT = 3.0  # total suspicion that damns a segment
+_SEG_WORD_SAMPLE = 8  # leading words considered per segment
 
-def _word_anomaly_score(word: dict) -> float:
-    # transcriber_faster_whisper.py:1189-1199
-    probability = word.get("probability", 0.0)
+
+def _word_suspicion(word: dict) -> float:
     dur = word["end"] - word["start"]
-    score = 0.0
-    if probability < 0.15:
-        score += 1.0
-    if dur < 0.133:
-        score += (0.133 - dur) * 15
-    if dur > 2.0:
-        score += dur - 2.0
-    return score
+    return (
+        float(word.get("probability", 0.0) < _SUSPECT_PROB)
+        + max(_DUR_FLOOR - dur, 0.0) * _SHORT_RATE
+        + max(dur - _DUR_CEIL, 0.0)
+    )
 
 
-def _is_segment_anomaly(segment: Optional[dict]) -> bool:
-    # transcriber_faster_whisper.py:1201-1207
-    if segment is None or not segment["words"]:
+def _looks_hallucinated(segment: Optional[dict]) -> bool:
+    """Segment-level verdict: sum word suspicions over the first few
+    non-punctuation words; damn the segment when the total crosses the
+    absolute limit or (within epsilon) averages >= 1 per word."""
+    if segment is None or not segment.get("words"):
         return False
-    words = [w for w in segment["words"] if w["word"] not in _ANOMALY_PUNCT]
-    words = words[:8]
-    score = sum(_word_anomaly_score(w) for w in words)
-    return score >= 3 or score + 0.01 >= len(words)
+    sampled = [
+        w for w in segment["words"] if w["word"] not in _ANOMALY_PUNCT
+    ][:_SEG_WORD_SAMPLE]
+    total = sum(_word_suspicion(w) for w in sampled)
+    return total >= _SEG_SCORE_LIMIT or total + 0.01 >= len(sampled)
+
+
+# Back-compat aliases (older tests exercise these names directly).
+_word_anomaly_score = _word_suspicion
+_is_segment_anomaly = _looks_hallucinated
 
 
 def _next_words_segment(segments: list[dict]) -> Optional[dict]:
@@ -227,14 +244,8 @@ def add_word_timestamps(
     median_duration = min(0.7, median_duration)
     max_duration = median_duration * 2
 
-    # truncate long words at sentence boundaries (reference "hack")
     if len(word_durations) > 0:
-        for i in range(1, len(alignment)):
-            if alignment[i].end - alignment[i].start > max_duration:
-                if alignment[i].word in _SENTENCE_END_MARKS:
-                    alignment[i].end = alignment[i].start + max_duration
-                elif alignment[i - 1].word in _SENTENCE_END_MARKS:
-                    alignment[i].start = alignment[i].end - max_duration
+        _cap_sentence_boundary_words(alignment, max_duration)
 
     alignment = align_mod.merge_punctuations(alignment)
 
@@ -257,45 +268,151 @@ def add_word_timestamps(
             word_index += 1
 
         if words:
-            # first word after a pause must not be absurdly long
-            if words[0]["end"] - last_speech_timestamp > median_duration * 4 and (
-                words[0]["end"] - words[0]["start"] > max_duration
-                or (
-                    len(words) > 1
-                    and words[1]["end"] - words[0]["start"] > max_duration * 2
-                )
-            ):
-                if (
-                    len(words) > 1
-                    and words[1]["end"] - words[1]["start"] > max_duration
-                ):
-                    boundary = max(
-                        words[1]["end"] / 2, words[1]["end"] - max_duration
-                    )
-                    words[0]["end"] = words[1]["start"] = boundary
-                words[0]["start"] = max(0, words[0]["end"] - max_duration)
-
-            # prefer segment-level boundaries when the edge words are long
-            if (
-                piece["start"] < words[0]["end"]
-                and piece["start"] - 0.5 > words[0]["start"]
-            ):
-                words[0]["start"] = max(
-                    0, min(words[0]["end"] - median_duration, piece["start"])
-                )
-            else:
-                piece["start"] = words[0]["start"]
-            if (
-                piece["end"] > words[-1]["start"]
-                and piece["end"] + 0.5 < words[-1]["end"]
-            ):
-                words[-1]["end"] = max(
-                    words[-1]["start"] + median_duration, piece["end"]
-                )
-            else:
-                piece["end"] = words[-1]["end"]
+            _rebalance_post_pause(
+                words, last_speech_timestamp, median_duration, max_duration
+            )
+            _reconcile_segment_edges(piece, words, median_duration)
             last_speech_timestamp = piece["end"]
         piece["words"] = words
+
+
+def _cap_sentence_boundary_words(alignment, max_duration: float) -> None:
+    """A word stretched past max_duration at a sentence boundary is an
+    alignment smear, not real speech: shrink a long punctuation mark
+    forward onto its start, and a long word that FOLLOWS a mark backward
+    onto its end. (DTW likes to park sentence-final silence on whichever
+    token sits next to it; same duration bound as the reference.)"""
+    for i in range(1, len(alignment)):
+        cur = alignment[i]
+        if cur.end - cur.start <= max_duration:
+            continue
+        if cur.word in _SENTENCE_END_MARKS:
+            cur.end = cur.start + max_duration
+        elif alignment[i - 1].word in _SENTENCE_END_MARKS:
+            cur.start = cur.end - max_duration
+
+
+def _rebalance_post_pause(
+    words: list[dict],
+    pause_anchor: float,
+    median_duration: float,
+    max_duration: float,
+) -> None:
+    """After a long pause (> 4x the median word), the window's leading
+    word tends to absorb the silence. Detect the smear — the lead word
+    itself over-long, or the lead pair spanning > 2x the bound — then
+    re-cut: if the SECOND word is also over-long, move their shared
+    boundary to the later of (half its end, end - bound); finally pull
+    the lead word's start up to at most `max_duration` before its end."""
+    lead = words[0]
+    paused = lead["end"] - pause_anchor > median_duration * 4
+    lead_smeared = lead["end"] - lead["start"] > max_duration
+    pair_smeared = (
+        len(words) > 1 and words[1]["end"] - lead["start"] > max_duration * 2
+    )
+    if not (paused and (lead_smeared or pair_smeared)):
+        return
+    if len(words) > 1 and words[1]["end"] - words[1]["start"] > max_duration:
+        cut = max(words[1]["end"] / 2, words[1]["end"] - max_duration)
+        lead["end"] = words[1]["start"] = cut
+    lead["start"] = max(0, lead["end"] - max_duration)
+
+
+def _reconcile_segment_edges(
+    piece: dict, words: list[dict], median_duration: float
+) -> None:
+    """Segment (timestamp-token) boundaries vs edge-word (DTW) boundaries
+    disagree at window edges. Policy, per edge: when the segment boundary
+    sits INSIDE the edge word but far (> 0.5 s) from the word's own
+    boundary, the word is the smeared party — clamp it toward the segment
+    time (keeping at least a median-word of duration); otherwise the word
+    wins and the segment adopts its boundary."""
+    lead, tail = words[0], words[-1]
+    seg_start_inside = piece["start"] < lead["end"]
+    word_start_far = piece["start"] - 0.5 > lead["start"]
+    if seg_start_inside and word_start_far:
+        lead["start"] = max(
+            0, min(lead["end"] - median_duration, piece["start"])
+        )
+    else:
+        piece["start"] = lead["start"]
+
+    seg_end_inside = piece["end"] > tail["start"]
+    word_end_far = piece["end"] + 0.5 < tail["end"]
+    if seg_end_inside and word_end_far:
+        tail["end"] = max(tail["start"] + median_duration, piece["end"])
+    else:
+        piece["end"] = tail["end"]
+
+
+def _reseek_past_hallucination(
+    pieces: list[dict],
+    threshold: float,
+    *,
+    time_offset: float,
+    window_duration: float,
+    window_end_time: float,
+    content_frames: int,
+    content_duration: float,
+    previous_seek: int,
+    last_speech_timestamp: float,
+) -> tuple[Optional[int], bool]:
+    """Hallucinations live in silence: a suspect segment with quiet on
+    both sides is noise the decoder invented, so the seek loop should
+    jump past the silence (or truncate the window at the suspect) rather
+    than commit it. The numeric bounds match the reference's
+    hallucination_silence_threshold behavior; the decomposition here is
+    two phases — a leading-silence restart check, then a flanked-suspect
+    scan over the word-bearing segments.
+
+    Returns (seek_frames, restart). seek_frames is None when no rule
+    fired. restart=True: re-decode the window from seek_frames without
+    committing anything. restart=False with seek_frames set: `pieces`
+    was truncated in place at the suspect; the survivors commit.
+    """
+    near_edge_s = 2.0  # proximity to a window edge that counts as quiet
+
+    lead = _next_words_segment(pieces)
+    if _looks_hallucinated(lead):
+        leading_quiet = lead["start"] - time_offset
+        if leading_quiet > threshold:
+            return (
+                previous_seek + round(leading_quiet * FRAMES_PER_SECOND),
+                True,
+            )
+
+    prev_speech_end = last_speech_timestamp
+    for idx, seg in enumerate(pieces):
+        if not seg["words"]:
+            continue
+        if _looks_hallucinated(seg):
+            follower = _next_words_segment(pieces[idx + 1:])
+            next_speech_start = (
+                follower["words"][0]["start"]
+                if follower is not None
+                else time_offset + window_duration
+            )
+            quiet_before = (
+                seg["start"] - prev_speech_end > threshold
+                or seg["start"] < threshold
+                or seg["start"] - time_offset < near_edge_s
+            )
+            quiet_after = (
+                next_speech_start - seg["end"] > threshold
+                or _looks_hallucinated(follower)
+                or window_end_time - seg["end"] < near_edge_s
+            )
+            if quiet_before and quiet_after:
+                seek_frames = round(
+                    max(time_offset + 1, seg["start"]) * FRAMES_PER_SECOND
+                )
+                if content_duration - seg["end"] < threshold:
+                    # the suspicion extends to the end of the clip: stop
+                    seek_frames = content_frames
+                del pieces[idx:]
+                return seek_frames, False
+        prev_speech_end = seg["end"]
+    return None, False
 
 
 def generate_segments(
@@ -415,48 +532,25 @@ def generate_segments(
                 if last_word_end is not None and last_word_end > time_offset:
                     seek = round(last_word_end * FRAMES_PER_SECOND)
 
-            # skip silence before possible hallucinations
-            # (transcriber_faster_whisper.py:1240-1287)
+            # Hallucinations live in silence: re-seek past / truncate at
+            # suspect segments flanked by quiet (behavioral contract of
+            # the reference's hallucination_silence_threshold rules).
             if options.hallucination_silence_threshold is not None:
-                threshold = options.hallucination_silence_threshold
-                first_segment = _next_words_segment(pieces)
-                if first_segment is not None and _is_segment_anomaly(first_segment):
-                    gap = first_segment["start"] - time_offset
-                    if gap > threshold:
-                        seek = previous_seek + round(gap * FRAMES_PER_SECOND)
+                new_seek, restart = _reseek_past_hallucination(
+                    pieces,
+                    options.hallucination_silence_threshold,
+                    time_offset=time_offset,
+                    window_duration=segment_duration,
+                    window_end_time=window_end_time,
+                    content_frames=content_frames,
+                    content_duration=content_duration,
+                    previous_seek=previous_seek,
+                    last_speech_timestamp=last_speech_timestamp,
+                )
+                if new_seek is not None:
+                    seek = new_seek
+                    if restart:
                         continue
-
-                hal_last_end = last_speech_timestamp
-                for si in range(len(pieces)):
-                    segment = pieces[si]
-                    if not segment["words"]:
-                        continue
-                    if _is_segment_anomaly(segment):
-                        next_segment = _next_words_segment(pieces[si + 1 :])
-                        if next_segment is not None:
-                            hal_next_start = next_segment["words"][0]["start"]
-                        else:
-                            hal_next_start = time_offset + segment_duration
-                        silence_before = (
-                            segment["start"] - hal_last_end > threshold
-                            or segment["start"] < threshold
-                            or segment["start"] - time_offset < 2.0
-                        )
-                        silence_after = (
-                            hal_next_start - segment["end"] > threshold
-                            or _is_segment_anomaly(next_segment)
-                            or window_end_time - segment["end"] < 2.0
-                        )
-                        if silence_before and silence_after:
-                            seek = round(
-                                max(time_offset + 1, segment["start"])
-                                * FRAMES_PER_SECOND
-                            )
-                            if content_duration - segment["end"] < threshold:
-                                seek = content_frames
-                            pieces[si:] = []
-                            break
-                    hal_last_end = segment["end"]
 
             last_word_end = _get_end(pieces)
             if last_word_end is not None:

@@ -90,10 +90,11 @@ class TpuBackend:
     ):
         self.scheduler = scheduler
         # Decode-step-level continuous batching (engine/continuous.py):
-        # greedy/temperature requests join a running decode instead of
-        # waiting for the previous window batch. Requests the continuous
-        # path can't serve (beam, word timestamps, no_repeat_ngram) fall
-        # back to the window scheduler.
+        # greedy/temperature requests — including word-timestamps sessions
+        # (alignment runs against the slot's device-resident cross-KV at
+        # harvest) — join a running decode instead of waiting for the
+        # previous window batch. Only beam search and no_repeat_ngram
+        # requests fall back to the window scheduler (see _pick_scheduler).
         self.continuous_scheduler = continuous_scheduler
         self.model_name = model_name
         self.beam_size = beam_size

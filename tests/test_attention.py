@@ -97,3 +97,31 @@ def test_cross_attention_int8_kernel_matches_jnp(rng):
     probs /= probs.sum(-1, keepdims=True)
     ref = np.einsum("bht,bthd->bhd", probs, v)
     np.testing.assert_allclose(out, ref, atol=1e-2, rtol=1e-3)
+
+
+def test_cross_attention_int8_length_mask(rng):
+    """lengths[b] masks the stale tail of a shared-size KV region: the
+    kernel output must equal plain attention computed over only the first
+    lengths[b] positions."""
+    import jax.numpy as jnp
+    from whisperlive_tpu.ops.attention import cross_attention_int8
+
+    b, h, t, hd = 2, 2, 16, 8
+    q = rng.standard_normal((b, h, hd)).astype(np.float32)
+    k = (rng.standard_normal((b, h, t, hd)) * 40).astype(np.int8)
+    v = (rng.standard_normal((b, h, t, hd)) * 40).astype(np.int8)
+    lengths = np.asarray([5, 16], np.int32)
+    out = np.asarray(
+        cross_attention_int8(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            lengths=jnp.asarray(lengths), interpret=True,
+        )
+    )
+    for bi in range(b):
+        n = lengths[bi]
+        for hi in range(h):
+            scores = (q[bi, hi] @ k[bi, hi, :n].astype(np.float32).T) * hd**-0.5
+            p = np.exp(scores - scores.max())
+            p /= p.sum()
+            ref = p @ v[bi, hi, :n].astype(np.float32)
+            np.testing.assert_allclose(out[bi, hi], ref, atol=1e-3, rtol=1e-3)

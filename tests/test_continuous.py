@@ -617,7 +617,7 @@ def test_insert_failure_fails_taken_futures(engine, rng):
     sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
                                 prompt_pad=16, ring=64)
 
-    def boom(take, free):
+    def boom(take, free, enc_ctx=None):
         raise RuntimeError("induced insert failure")
 
     sched._insert_take = boom
@@ -799,3 +799,92 @@ def dataclasses_replace_wt(opts):
     import dataclasses
 
     return dataclasses.replace(opts, word_timestamps=True)
+
+
+def test_reduced_context_insert_token_consistency(engine, rng):
+    """A window inserted at a reduced encoder-context bucket (enc_ctx=512,
+    cross region masked beyond it) must decode token-exactly like a plain
+    lockstep decode over a cross-KV built from the same short encode — the
+    per-slot cross_len mask fully hides the stale region tail."""
+    import jax
+    from whisperlive_tpu.models import whisper as wmod
+
+    enc_ctx = 512
+    cb = ContinuousEngine(engine, n_slots=2, prompt_pad=16, ring=64,
+                          steps_per_chunk=4, cross_ctx=640)
+    cb.init_state()
+    # poison the cross region so an unmasked stale tail would change tokens
+    cb.state["cross_kv"] = jax.tree.map(
+        lambda a: jnp.ones_like(a) if a is not None else a,
+        cb.state["cross_kv"],
+    )
+    audio = _audio(rng, 3.0)
+    p, s = engine.build_prompt(OPTS, language="en")
+    cb.insert(np.stack([audio]), [p], [s], [True], [0], [0.0], [True],
+              [1.0], [20], enc_ctx=enc_ctx)
+    status = None
+    for _ in range(50):
+        status = cb.step()
+        if status[0, 1] > 0.5:
+            break
+    toks = cb.harvest(0, 0, int(status[0, 2]))
+    strip = lambda ts: [int(t) for t in ts if t != engine.spec.eot]
+
+    # reference: the same short-context encode -> cross-KV -> plain decode
+    n_samples = enc_ctx * 2 * mel_ops.HOP_LENGTH
+    buf = np.zeros((1, n_samples), np.float32)
+    buf[0, : len(audio)] = audio[:n_samples]
+    mel = mel_ops.log_mel_spectrogram(jnp.asarray(buf), n_mels=engine.cfg.n_mels)
+    enc = wmod.encode(engine.params, engine.cfg, mel)
+    cross = wmod.compute_cross_kv(engine.params, engine.cfg, enc)
+    (ref,) = engine.decode_batch(cross, [p], [s], OPTS)
+    assert strip(toks) == [int(t) for t in ref.tokens][: len(strip(toks))]
+    assert len(strip(toks)) > 0
+
+
+def test_fair_slot_grant_lru_uid(engine, rng):
+    """With one slot and a backlog from stream A, a later request from
+    stream B must be served before A's backlog drains: slots are granted
+    least-recently-served-uid first, so re-submitting streams cannot
+    starve newcomers at oversubscription."""
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    done_order = []
+
+    def tag(f, name):
+        f.add_done_callback(lambda _: done_order.append(name))
+
+    sched.start()
+    try:
+        a_futs = []
+        for i in range(4):
+            req = BatchRequest(audio=_audio(rng, 2.0), options=OPTS,
+                               uid="A")
+            a_futs.append(sched.submit(req))
+            tag(a_futs[-1], f"A{i}")
+        time.sleep(0.3)  # let A0 occupy the slot; A1..A3 queue
+        req_b = BatchRequest(audio=_audio(rng, 2.0), options=OPTS, uid="B")
+        fb = sched.submit(req_b)
+        tag(fb, "B")
+        fb.result(timeout=180)
+        for f in a_futs:
+            f.result(timeout=180)
+        # B beats at least A's tail: it must not be served last
+        assert done_order.index("B") < done_order.index("A3")
+    finally:
+        sched.stop()
+
+
+def test_overload_backpressure_signal(engine):
+    """Sustained oversubscription trips overloaded(); an idle scheduler
+    does not."""
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    assert not sched.overloaded()
+    sched._load_ema = 5.0
+    assert sched.overloaded()
+    assert sched.overloaded(bound=4.9)
+    assert not sched.overloaded(bound=6.0)
+    sched._pending = [(None, 0)] * 8
+    sched._service_ema = 2.0
+    assert sched.estimated_wait_s() == pytest.approx(8 * 2.0 / 2)

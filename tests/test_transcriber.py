@@ -262,3 +262,73 @@ def test_quality_gate_silence_override_parity():
         compression_ratio_threshold=None, log_prob_threshold=None,
     )
     assert not fails_quality_gates(opts2, r(9.0, -9.0, 0.9))
+
+
+def test_batched_transcriber_word_timestamps(engine, rng):
+    """Word timings on >= 2 concurrent files through the batched path:
+    every file's windows must run the alignment pass against its OWN
+    batch lane (item_index), and emitted segments carry a words list
+    (BatchedInferencePipeline word_timestamps capability). Word-value
+    correctness is covered by the sequential fixture + oracle tests —
+    the hermetic byte tokenizer decodes most random token ids to '', so
+    this test checks the batched wiring, not text."""
+    from whisperlive_tpu.engine.transcribe import BatchedTranscriber
+
+    bt = BatchedTranscriber(engine)
+    align_calls: list[int] = []
+    orig_align = engine.align_words
+
+    def spy(cross_kv, item_index, *a, **kw):
+        align_calls.append(item_index)
+        return orig_align(cross_kv, item_index, *a, **kw)
+
+    engine.align_words = spy
+    try:
+        opts = TranscribeOptions(
+            language="en", temperatures=(0.0,), log_prob_threshold=None,
+            no_speech_threshold=None, compression_ratio_threshold=None,
+            max_new_tokens=14, word_timestamps=True,
+        )
+        audios = [
+            (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32),
+            (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32),
+        ]
+        results = bt.transcribe(audios, opts)
+    finally:
+        engine.align_words = orig_align
+    assert len(results) == 2
+    # both batch lanes aligned (the first decode round has items 0 and 1)
+    assert 0 in align_calls and 1 in align_calls
+    for segments, info in results:
+        for s in segments:
+            assert s.words is not None
+            for w in s.words:
+                assert 0.0 <= w.start <= w.end
+                assert 0.0 <= w.probability <= 1.0
+                assert isinstance(w.word, str)
+
+
+def test_batched_transcriber_vad_filter(engine, rng):
+    """vad_filter collapses leading silence and restores original times:
+    a file whose speech starts at 2 s must come back with segments at
+    ~>= 2 s, and an all-silence file yields no segments."""
+    from whisperlive_tpu.engine.transcribe import BatchedTranscriber
+
+    bt = BatchedTranscriber(engine)
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=10,
+    )
+    speechy = np.zeros(16000 * 5, np.float32)
+    speechy[16000 * 2:] = (
+        rng.standard_normal(16000 * 3) * 0.3
+    ).astype(np.float32)
+    silent = np.zeros(16000 * 3, np.float32)
+    results = bt.transcribe([speechy, silent], opts, vad_filter=True)
+    (segs_a, info_a), (segs_b, info_b) = results
+    assert info_a.duration == pytest.approx(5.0)
+    assert info_b.duration == pytest.approx(3.0)
+    assert segs_b == []
+    for s in segs_a:
+        assert s.start >= 1.0  # restored into the original timeline

@@ -264,3 +264,32 @@ def test_engine_int8_cross_split_path(rng):
     eng.detect_language_from_cross(cross)
     words = eng.align_words(cross, 0, [t for t in res.tokens][:8], 200)
     assert isinstance(words, list)
+
+
+def test_encoder_reduced_context_parity(rng, hf_model, converted):
+    """Short-window encoding (streaming tails skip most of the 30 s
+    padding) must match an HF Whisper whose max_source_positions is cut to
+    the same length — the VALIDATION that slicing the position embedding
+    is the correct reduced-context semantics."""
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    cfg, params = converted
+    t_short = cfg.n_audio_ctx // 2  # 48 of 96 positions
+    short_cfg = dict(TINY, max_source_positions=t_short)
+    hf_short = WhisperForConditionalGeneration(HFConfig(**short_cfg)).eval()
+    sd = {k: v.clone() for k, v in hf_model.state_dict().items()}
+    sd["model.encoder.embed_positions.weight"] = sd[
+        "model.encoder.embed_positions.weight"
+    ][:t_short]
+    hf_short.load_state_dict(sd)
+
+    mel = _rand_mel(rng, cfg)[:, : 2 * t_short]
+    with torch.no_grad():
+        ref = hf_short.model.encoder(
+            torch.from_numpy(mel.transpose(0, 2, 1))
+        ).last_hidden_state.numpy()
+    ours = np.asarray(wmod.encode(params, cfg, jnp.asarray(mel)))
+    assert ours.shape == (mel.shape[0], t_short, cfg.n_audio_state)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)

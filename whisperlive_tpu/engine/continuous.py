@@ -87,6 +87,9 @@ class _SlotInfo:
     # incremental partial decoding: the FULL carried hypothesis (the
     # decoder may have seen only its tail); harvest prepends it
     prefix: tuple = ()
+    # valid encoder positions (reduced-context windows mask the tail of
+    # the shared cross region; word-ts alignment needs the same mask)
+    cross_len: int = 0
 
 
 def _ring_valid(gstep, join_step, ring: int):
@@ -216,6 +219,7 @@ class ContinuousEngine:
         steps_per_chunk: int = 8,
         options: TranscribeOptions | None = None,
         cross_ctx: int | None = None,
+        enc_buckets: tuple[int, ...] | None = None,
     ):
         self.eng = engine
         self.n_slots = n_slots
@@ -236,6 +240,28 @@ class ContinuousEngine:
             cross_ctx = 640 if cfg.n_audio_ctx >= 1500 else cfg.n_audio_ctx
         self.cross_ctx = min(cross_ctx, cfg.n_audio_ctx)
         self.max_window_s = self.cross_ctx * (30.0 / cfg.n_audio_ctx)
+        # Reduced-context encoder buckets: a streaming tail of a few
+        # seconds does not need the encoder's full 30 s context — encoding
+        # 1024 mel frames (512 positions, 10.24 s) instead of 3000 is ~3x
+        # less insert compute AND ~3x fewer relay-upload bytes, which is
+        # the dominant stall of the lockstep step loop. Windows route to
+        # the smallest bucket that holds them; per-slot `cross_len` masks
+        # the unused tail of the shared cross-KV region. Only active in
+        # content-capped (streaming) configs — with cross_ctx pinned to
+        # the full context (parity tests) every window encodes fully.
+        if enc_buckets is None:
+            if self.cross_ctx < cfg.n_audio_ctx:
+                env = os.environ.get("WL_ENC_BUCKETS")
+                if env:
+                    enc_buckets = tuple(int(x) for x in env.split(","))
+                else:
+                    enc_buckets = (512,)
+            else:
+                enc_buckets = ()
+        enc_buckets = tuple(
+            b for b in sorted(set(enc_buckets)) if 0 < b < cfg.n_audio_ctx
+        ) + (cfg.n_audio_ctx,)
+        self.enc_buckets = enc_buckets
         base_options = options or TranscribeOptions()
         self.suppress_mask = engine.suppress_mask_for(base_options)
         multilingual = engine.tokenizer.spec.multilingual
@@ -306,6 +332,9 @@ class ContinuousEngine:
                 "ts_enabled": jnp.ones((b,), bool),
                 "rep_penalty": jnp.ones((b,), jnp.float32),
                 "max_new": jnp.full((b,), ring - 1, jnp.int32),
+                # valid encoder positions per slot (reduced-context
+                # windows leave a stale tail in the shared cross region)
+                "cross_len": jnp.full((b,), self.cross_ctx, jnp.int32),
                 "gstep": jnp.zeros((), jnp.int32),
                 "key": key,
                 "status": jnp.zeros((b, 5), jnp.float32),
@@ -336,13 +365,14 @@ class ContinuousEngine:
                 # relay bytes; dequant fuses into mel framing.
                 audio = audio.astype(jnp.float32) * (1.0 / 32767.0)
             mel = mel_ops.log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+            # The encoder runs at the AUDIO BUCKET's context (short tails
+            # skip most of the 30 s padding — see enc_buckets above), and
+            # only the first cross_ctx positions feed the decoder (content
+            # cap, the TRT padding-removal analogue). jit specializes one
+            # insert program per (j, bucket) shape.
             enc = wmod.encode(params, cfg, mel)
-            # content cap (see __init__): the encoder always runs at its
-            # trained 30 s context, but only the first cross_ctx positions
-            # feed the decoder — the rest is silence padding for windows the
-            # router admits here (duration <= max_window_s). Also shrinks
-            # the cross-KV projection matmuls below.
-            enc = enc[:, : self.cross_ctx]
+            t_here = min(enc.shape[1], self.cross_ctx)
+            enc = enc[:, :t_here]
             cross = _quantize(wmod.compute_cross_kv(params, cfg, enc))
 
             if multilingual:
@@ -417,6 +447,7 @@ class ContinuousEngine:
                 set1("ts_enabled", ts_en[i])
                 set1("rep_penalty", rep[i])
                 set1("max_new", max_new[i])
+                set1("cross_len", jnp.asarray(t_here, jnp.int32))
             state["status"] = _pack_status(state)
             return state, lang_probs
 
@@ -480,6 +511,7 @@ class ContinuousEngine:
                 logits, st["self_kv"] = wmod.decode_step_masked(
                     params, cfg, tok, pos, slot_w, mask,
                     st["self_kv"], st["cross_kv"],
+                    cross_len=st["cross_len"],
                 )
                 st["logits"] = logits
                 st["gstep"] = gstep + 1
@@ -526,6 +558,7 @@ class ContinuousEngine:
         has_prefix: Optional[list[bool]] = None,
         pfx_last_ts: Optional[list[bool]] = None,
         pfx_penult_ts: Optional[list[bool]] = None,
+        enc_ctx: Optional[int] = None,
     ) -> Optional[np.ndarray]:
         """Insert j requests into the given free slots. Returns lang probs,
         or None when need_langs=False — then the call stays fully async
@@ -535,13 +568,20 @@ class ContinuousEngine:
 
         Bucket padding duplicates the LAST request's inputs AND slot id —
         the duplicate rows write identical data into that slot, so the
-        write order inside the program does not matter."""
+        write order inside the program does not matter.
+
+        enc_ctx: encoder positions for this wave (an enc_buckets entry);
+        None/full runs the trained 30 s context. Every window in the wave
+        must fit (the caller groups by bucket)."""
         eng = self.eng
         j = len(slot_ids)
         bucket = _bucket(j, INSERT_BUCKETS)
-        audio = np.zeros((bucket, mel_ops.N_SAMPLES), np.float32)
+        if enc_ctx is None:
+            enc_ctx = eng.cfg.n_audio_ctx
+        n_samples = min(enc_ctx * 2 * mel_ops.HOP_LENGTH, mel_ops.N_SAMPLES)
+        audio = np.zeros((bucket, n_samples), np.float32)
         for i in range(bucket):
-            src = windows[min(i, j - 1)][: mel_ops.N_SAMPLES]
+            src = windows[min(i, j - 1)][:n_samples]
             audio[i, : len(src)] = src
         if eng._on_tpu and os.environ.get("WL_UPLOAD_PCM16", "1") != "0":
             from whisperlive_tpu.engine.engine import _pcm16
@@ -656,18 +696,31 @@ class ContinuousScheduler:
         ring: int = 256,
         options: TranscribeOptions | None = None,
         cross_ctx: int | None = None,
+        enc_buckets: tuple[int, ...] | None = None,
     ):
         self.engine = engine
         self.cb = ContinuousEngine(
             engine, n_slots=n_slots, prompt_pad=prompt_pad, ring=ring,
             steps_per_chunk=steps_per_chunk, options=options,
-            cross_ctx=cross_ctx,
+            cross_ctx=cross_ctx, enc_buckets=enc_buckets,
         )
         # routing hint for TpuBackend: windows longer than the continuous
         # cross-KV content cap belong on the window scheduler
         self.max_window_s = self.cb.max_window_s
         self._queue: "queue.Queue[Optional[BatchRequest]]" = queue.Queue()
         self._pending: list[tuple[BatchRequest, int]] = []  # (req, temp_idx)
+        # Fairness at oversubscription: slots are granted least-recently-
+        # served-uid first (FIFO within a uid), so a stalled stream's
+        # fallback re-inserts cannot starve newcomers. _uid_seq maps uid ->
+        # global sequence number of its last granted slot.
+        self._uid_seq: dict[str, int] = {}
+        self._insert_seq = 0
+        # Backpressure: EMA of (resident + queued) / slots, updated every
+        # worker tick;
+        # the serving layer turns sustained oversubscription into WAIT
+        # responses for NEW connections (reference server.py:117-139).
+        self._load_ema = 0.0
+        self._service_ema = 1.0  # seconds per request, rough prior
         # word-timestamps assembly (alignment fetch + host DTW) runs here
         # so it never stalls the lockstep decode loop; created in start()
         # so a stop()/start() cycle gets a fresh pool
@@ -714,6 +767,23 @@ class ContinuousScheduler:
         self._queue.put(request)
         return request.future
 
+    def overloaded(self, bound: float | None = None) -> bool:
+        """True when sustained (resident + queued) oversubscription exceeds
+        `bound` x slots — the serving layer's signal to WAIT new
+        connections instead of letting every session's cadence collapse
+        (reference capacity behavior, server.py:117-139). The EMA means a
+        momentary burst does not trip it."""
+        if bound is None:
+            bound = float(os.environ.get("WL_OVERLOAD_FACTOR", "3.0"))
+        return self._load_ema > bound
+
+    def estimated_wait_s(self) -> float:
+        """Rough head-of-queue wait: queued requests cycling through the
+        slot pool at the observed per-request service time."""
+        return (
+            len(self._pending) * self._service_ema / max(self.cb.n_slots, 1)
+        )
+
     def warmup(self) -> None:
         """Compile the insert buckets and the step program."""
         eng = self.engine
@@ -721,15 +791,17 @@ class ContinuousScheduler:
             self.cb.init_state()
         opts = TranscribeOptions()
         prompt, sot = eng.build_prompt(opts, language="en")
-        for j in INSERT_BUCKETS:
-            if j > self.cb.n_slots:
-                continue
-            self.cb.insert(
-                np.zeros((j, mel_ops.N_SAMPLES), np.float32),
-                [prompt] * j, [sot] * j, [True] * j,
-                list(range(j)), [0.0] * j, [True] * j, [1.0] * j, [8] * j,
-            )
-            self._gstep = self._gstep  # unchanged by inserts
+        for enc_ctx in self.cb.enc_buckets:
+            for j in INSERT_BUCKETS:
+                if j > self.cb.n_slots:
+                    continue
+                self.cb.insert(
+                    np.zeros((j, mel_ops.N_SAMPLES), np.float32),
+                    [prompt] * j, [sot] * j, [True] * j,
+                    list(range(j)), [0.0] * j, [True] * j, [1.0] * j,
+                    [8] * j, enc_ctx=enc_ctx,
+                )
+                self._gstep = self._gstep  # unchanged by inserts
         self.cb.step()
         # the mask-based release program: one shape covers every done-count
         self.cb.release([0])
@@ -780,22 +852,63 @@ class ContinuousScheduler:
         # smoother step cadence). 8 measured best for p50 on the dev chip.
         insert_max = int(os.environ.get("WL_INSERT_MAX", "0")) or max(INSERT_BUCKETS)
         insert_max = min(insert_max, max(INSERT_BUCKETS))
-        take = self._pending[: min(len(free), insert_max)]
-        self._pending = self._pending[len(take):]
-        try:
-            self._insert_take(take, free)
-        except Exception as e:
-            # the taken requests are no longer in _pending and not yet in
-            # _slots — the worker-loop catch-all cannot see them, so fail
-            # their futures HERE or clients block until request timeout
-            logger.exception("insert failed; failing %d requests", len(take))
-            wl_metrics.track_error("continuous_insert")
-            for req, _ in take:
-                if not req.future.done():
-                    req.future.set_exception(e)
+        k = min(len(free), insert_max)
+        # Least-recently-served-uid first (stable: FIFO within a uid and
+        # between equally-stale uids) — at oversubscription a cycling
+        # stream's re-submits cannot starve a newcomer.
+        order = sorted(
+            range(len(self._pending)),
+            key=lambda i: self._uid_seq.get(self._pending[i][0].uid, -1),
+        )
+        chosen = sorted(order[:k])  # wave keeps arrival order
+        take = [self._pending[i] for i in chosen]
+        picked = set(chosen)
+        self._pending = [
+            p for i, p in enumerate(self._pending) if i not in picked
+        ]
+        for req, _ in take:
+            self._uid_seq[req.uid] = self._insert_seq
+        self._insert_seq += 1
+        if len(self._uid_seq) > 4096:  # bound stale-uid growth
+            cut = sorted(self._uid_seq.values())[len(self._uid_seq) // 2]
+            self._uid_seq = {
+                u: s for u, s in self._uid_seq.items() if s >= cut
+            }
+        # Group the wave by encoder-context bucket (short tails encode at
+        # a reduced context — see enc_buckets): each group is one insert
+        # program; groups keep FIFO order within themselves.
+        groups: dict[int, list] = {}
+        for item in take:
+            groups.setdefault(self._enc_bucket_for(item[0]), []).append(item)
+        for enc_ctx, group in groups.items():
+            g_free, free = free[: len(group)], free[len(group):]
+            try:
+                self._insert_take(group, g_free, enc_ctx=enc_ctx)
+            except Exception as e:
+                # the taken requests are no longer in _pending and not yet
+                # in _slots — the worker-loop catch-all cannot see them, so
+                # fail their futures HERE or clients block until timeout
+                logger.exception("insert failed; failing %d requests", len(group))
+                wl_metrics.track_error("continuous_insert")
+                for req, _ in group:
+                    if not req.future.done():
+                        req.future.set_exception(e)
 
-    def _insert_take(self, take, free) -> None:
+    def _enc_bucket_for(self, req: BatchRequest) -> int:
+        """Smallest encoder-context bucket holding the request's window."""
+        need = -(-min(len(req.audio), mel_ops.N_SAMPLES) // (
+            2 * mel_ops.HOP_LENGTH
+        ))
+        for b in self.cb.enc_buckets:
+            if need <= b:
+                return b
+        return self.cb.enc_buckets[-1]
+
+    def _insert_take(self, take, free, enc_ctx: int | None = None) -> None:
         eng = self.engine
+        if enc_ctx is None:
+            enc_ctx = eng.cfg.n_audio_ctx
+        slot_cross_len = min(enc_ctx, self.cb.cross_ctx)
         ts_begin = eng.spec.timestamp_begin
         windows, prompts, sots, lk, slot_ids = [], [], [], [], []
         temps, ts_en, rep, max_new, infos = [], [], [], [], []
@@ -896,6 +1009,7 @@ class ContinuousScheduler:
                     duration=len(a) / mel_ops.SAMPLE_RATE,
                     submitted_at=req.submitted_at,
                     prefix=prefix,
+                    cross_len=slot_cross_len,
                 )
             )
             if logger.isEnabledFor(logging.DEBUG):
@@ -911,6 +1025,7 @@ class ContinuousScheduler:
             temps, ts_en, rep, max_new, need_langs=need_langs,
             last_ts=last_ts_init, has_prefix=has_prefix,
             pfx_last_ts=pfx_last_ts, pfx_penult_ts=pfx_penult_ts,
+            enc_ctx=enc_ctx,
         )
         codes = eng.tokenizer.spec.language_codes
         for i, (info, slot) in enumerate(zip(infos, slot_ids)):
@@ -1022,12 +1137,13 @@ class ContinuousScheduler:
                 cross_kv=sub_cross,
                 item_index=0,
                 prefix_ok=not final_failed,
+                cross_len=info.cross_len or None,
             )
             if not info.req.future.done():
                 info.req.future.set_result(result)
-            wl_metrics.track_transcription(
-                time.monotonic() - info.submitted_at, info.duration
-            )
+            service_s = time.monotonic() - info.submitted_at
+            self._service_ema += 0.1 * (service_s - self._service_ema)
+            wl_metrics.track_transcription(service_s, info.duration)
         except Exception as e:
             if not info.req.future.done():
                 info.req.future.set_exception(e)
@@ -1043,6 +1159,10 @@ class ContinuousScheduler:
                 self._drain_queue(block=idle)
                 if self._stop.is_set():
                     break
+                load = (len(self._slots) + len(self._pending)) / max(
+                    self.cb.n_slots, 1
+                )
+                self._load_ema += 0.05 * (load - self._load_ema)
                 t0 = time.monotonic()
                 self._do_inserts()
                 t1 = time.monotonic()

@@ -492,8 +492,10 @@ class WhisperEngine:
             )
             return (*out, lang_probs)
 
-        def _align(params, cross_kv, tokens, text_len):
-            return wmod.decode_with_cross_attn(params, cfgc, tokens, text_len, cross_kv)
+        def _align(params, cross_kv, tokens, text_len, cross_len):
+            return wmod.decode_with_cross_attn(
+                params, cfgc, tokens, text_len, cross_kv, cross_len=cross_len
+            )
 
         self._prepare_fn = jax.jit(_prepare)
         self._prepare_mel_fn = jax.jit(_prepare_mel)
@@ -857,6 +859,7 @@ class WhisperEngine:
         text_tokens: Sequence[int],
         num_frames: int,
         merge: bool = True,
+        cross_len: int | None = None,
     ):
         """Word timings for one decoded window item (cross-attention DTW).
 
@@ -881,10 +884,18 @@ class WhisperEngine:
         sub_cross = jax.tree.map(
             lambda a: jnp.take(a, jnp.asarray([item_index]), axis=2), cross_kv
         )
+        if cross_len is None:
+            # full context of whatever cross array was handed in
+            kv_arr = cross_kv.get("kv")
+            cross_len = (
+                kv_arr.shape[3] if kv_arr is not None
+                else cross_kv.get("kv8", cross_kv.get("kv4")).shape[4]
+            )
         with self._lock:
             logits, cross = self._align_fn(
                 self.params, sub_cross, jnp.asarray(arr),
                 jnp.asarray([len(seq)], np.int32),
+                jnp.asarray([cross_len], np.int32),
             )
         logits = np.asarray(logits[0], np.float32)  # [T, V]
         cross = np.asarray(cross[:, 0], np.float32)  # [L, H, T, ctx]

@@ -102,6 +102,7 @@ def assemble_result(
     cross_kv=None,
     item_index: int = 0,
     prefix_ok: bool = True,
+    cross_len: int | None = None,
 ) -> BatchResult:
     """One decode result -> wire-ready BatchResult (no-speech skip, timestamp
     split, optional word alignment). Shared by the window-level and the
@@ -127,7 +128,8 @@ def assemble_result(
         if req.options.word_timestamps and cross_kv is not None:
             try:
                 timings = eng.align_words(
-                    cross_kv, item_index, res.tokens, segment_size
+                    cross_kv, item_index, res.tokens, segment_size,
+                    cross_len=cross_len,
                 )
             except Exception:
                 logger.exception("word alignment failed")

@@ -669,7 +669,15 @@ class BatchedTranscriber:
     """Offline batched transcription of many files (the capability of the
     reference's BatchedInferencePipeline, transcriber_faster_whisper.py:
     113-571): each file's current 30 s window joins one device batch; files
-    advance their seek cursors independently until all are exhausted."""
+    advance their seek cursors independently until all are exhausted.
+
+    word_timestamps (options.word_timestamps) aligns each window against
+    the batch's device-resident cross-KV and applies the same boundary
+    rules as the sequential path (add_word_timestamps); vad_filter
+    collapses silence per file before decoding and restores original
+    times afterwards. Like the reference's batched pipeline, no
+    hallucination re-seek runs here (that is a sequential-seek-loop
+    feature, transcriber_faster_whisper.py:1240-1287)."""
 
     def __init__(self, engine: WhisperEngine):
         self.engine = engine
@@ -679,9 +687,17 @@ class BatchedTranscriber:
         audios: list[np.ndarray],
         options: TranscribeOptions | None = None,
         seed: int = 0,
+        vad_filter: bool = False,
+        vad_parameters: Optional[dict] = None,
     ) -> list[tuple[list[Segment], TranscriptionInfo]]:
         options = options or TranscribeOptions()
         eng = self.engine
+
+        if vad_filter:
+            return self._transcribe_vad(
+                audios, options, seed=seed, vad_parameters=vad_parameters
+            )
+
         n = len(audios)
         seeks = [0] * n
         all_segments: list[list[Segment]] = [[] for _ in range(n)]
@@ -689,6 +705,7 @@ class BatchedTranscriber:
         languages: list[Optional[str]] = [options.language] * n
         language_probs = [1.0] * n
         seg_ids = [0] * n
+        last_speech_ts = [0.0] * n
 
         def active_items():
             return [
@@ -750,22 +767,54 @@ class BatchedTranscriber:
                 if skip:
                     seeks[i] += segment_size
                     continue
-                pieces, advance, _ = split_segments_by_timestamps(
-                    eng.spec, res.tokens, time_offset, window_duration, segment_size
+                raw_pieces, advance, single_ts_ending = (
+                    split_segments_by_timestamps(
+                        eng.spec, res.tokens, time_offset, window_duration,
+                        segment_size,
+                    )
                 )
                 seeks[i] += advance
-                for start, end, toks in pieces:
+                pieces = [
+                    {"start": st, "end": en, "tokens": tk, "words": None}
+                    for st, en, tk in raw_pieces
+                ]
+                if options.word_timestamps:
+                    window_seek = seeks[i] - advance
+                    add_word_timestamps(
+                        eng, cross, j, pieces, segment_size, time_offset,
+                        last_speech_ts[i],
+                    )
+                    if not single_ts_ending:
+                        last_word_end = _get_end(pieces)
+                        if last_word_end is not None:
+                            new_seek = round(last_word_end * FRAMES_PER_SECOND)
+                            # strict progress: a rewind to (or before) the
+                            # window start would loop forever
+                            if new_seek > window_seek:
+                                seeks[i] = new_seek
+                    last_word_end = _get_end(pieces)
+                    if last_word_end is not None:
+                        last_speech_ts[i] = last_word_end
+                for piece in pieces:
+                    toks = piece["tokens"]
                     text = eng.tokenizer.decode(toks)
                     if not text.strip():
                         continue
                     all_segments[i].append(
                         Segment(
-                            id=seg_ids[i], seek=seeks[i], start=start, end=end,
+                            id=seg_ids[i], seek=seeks[i],
+                            start=piece["start"], end=piece["end"],
                             text=text, tokens=toks,
                             temperature=res.temperature,
                             avg_logprob=res.avg_logprob,
                             compression_ratio=res.compression_ratio,
                             no_speech_prob=res.no_speech_prob,
+                            words=(
+                                [Word(**w) for w in piece["words"]]
+                                if options.word_timestamps
+                                and piece["words"] is not None
+                                else None
+                            ),
                         )
                     )
                     seg_ids[i] += 1
@@ -783,3 +832,71 @@ class BatchedTranscriber:
             )
             for i in range(n)
         ]
+
+    def _transcribe_vad(
+        self,
+        audios: list[np.ndarray],
+        options: TranscribeOptions,
+        seed: int,
+        vad_parameters: Optional[dict],
+    ) -> list[tuple[list[Segment], TranscriptionInfo]]:
+        """Per-file silence collapse before the batched decode, original
+        timestamps restored afterwards (BatchedInferencePipeline's
+        vad_filter capability; restoration semantics shared with
+        Transcriber.transcribe's vad path)."""
+        from whisperlive_tpu.audio.vad import (
+            SpeechTimestampsMap,
+            VadOptions,
+            collect_chunks,
+            get_speech_timestamps,
+        )
+
+        opts = VadOptions(**(vad_parameters or {}))
+        collapsed: list[np.ndarray] = []
+        maps: list[Optional[SpeechTimestampsMap]] = []
+        durations = [len(a) / mel_ops.SAMPLE_RATE for a in audios]
+        keep_idx: list[int] = []
+        for i, audio in enumerate(audios):
+            chunks = get_speech_timestamps(audio, opts)
+            if not chunks:
+                maps.append(None)
+                continue
+            maps.append(SpeechTimestampsMap(chunks))
+            collapsed.append(collect_chunks(audio, chunks))
+            keep_idx.append(i)
+
+        decoded = (
+            self.transcribe(collapsed, options, seed=seed)
+            if collapsed else []
+        )
+        out: list[tuple[list[Segment], TranscriptionInfo]] = []
+        it = iter(zip(keep_idx, decoded))
+        next_item = next(it, None)
+        for i in range(len(audios)):
+            if next_item is None or next_item[0] != i:
+                out.append(
+                    (
+                        [],
+                        TranscriptionInfo(
+                            language=options.language or "en",
+                            language_probability=1.0,
+                            duration=durations[i],
+                            transcription_options=options,
+                        ),
+                    )
+                )
+                continue
+            _, (segments, info) = next_item
+            ts_map = maps[i]
+            for s in segments:
+                ci = ts_map.get_chunk_index(s.start)
+                s.start = ts_map.get_original_time(s.start, ci)
+                s.end = max(ts_map.get_original_time(s.end, ci), s.start)
+                if s.words:
+                    for w in s.words:
+                        wi = ts_map.get_chunk_index(w.start)
+                        w.start = ts_map.get_original_time(w.start, wi)
+                        w.end = max(ts_map.get_original_time(w.end, wi), w.start)
+            out.append((segments, info._replace(duration=durations[i])))
+            next_item = next(it, None)
+        return out

@@ -285,12 +285,20 @@ def _conv1d(x, p, stride):
 
 
 def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
-    """mel [B, 3000, n_mels] -> encoder states [B, 1500, d] (compute dtype)."""
+    """mel [B, T_mel, n_mels] -> encoder states [B, T_mel/2, d].
+
+    T_mel is normally 3000 (30 s), but SHORTER windows are first-class: the
+    position embedding is sliced to the actual length, so streaming tails
+    can run the encoder at a reduced context (e.g. 1024 frames = 10.24 s)
+    for ~3x less encode compute — the TPU-native counterpart of the
+    reference TRT path's padding removal (transcriber_tensorrt.py:79-149).
+    Reduced-context outputs match an HF Whisper with max_source_positions
+    cut to T_mel/2 (tests/test_whisper_model.py parity)."""
     p = params["encoder"]
     x = mel.astype(cfg.dtype)
     x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, p["conv2"], 2), approximate=False)
-    x = x + p["pos"].astype(cfg.dtype)
+    x = x + p["pos"][: x.shape[1]].astype(cfg.dtype)
 
     def block(x, lp):
         h = _layer_norm(x, lp["attn_ln"])
@@ -371,14 +379,27 @@ def quantize_cross_kv_int4(cross_kv: Params) -> Params:
     return {"kv4": packed, "scale": scale.astype(jnp.bfloat16)}
 
 
-def _cross_attend(qc, ckv, dtype, collect_probs=False):
+def _cross_len_mask(ckv_t: int, cross_len) -> jax.Array | None:
+    """[B] valid encoder lengths -> [B, 1, 1, T] attention mask (or None).
+
+    Slots whose window was encoded at a REDUCED context occupy only the
+    first cross_len positions of the shared cross-KV region; the tail holds
+    stale data from a previous occupant and must never receive attention
+    mass."""
+    if cross_len is None:
+        return None
+    return (jnp.arange(ckv_t)[None, :] < cross_len[:, None])[:, None, None, :]
+
+
+def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
     """Cross-attention against one layer's (possibly quantized) KV slice.
 
     qc: [B, Tq, H, hd]; ckv: {"kv": [2, B, T, H, hd] bf16, or
     "kv8": [2, B, H, T, hd] int8 head-major, or "kv4": [2, B, H, T, hd/2]
     packed int4 head-major; "scale": optional [2, B, 1, H, hd]}.
     Per-channel scales fold into q (for K) and into the output (for V), so
-    the quantized arrays feed the MXU directly.
+    the quantized arrays feed the MXU directly. cross_len: optional [B]
+    int32 — valid encoder positions per item (reduced-context windows).
     """
     scale = ckv.get("scale")
     if "kv8" in ckv:
@@ -390,14 +411,16 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False):
             and not collect_probs
             and jax.default_backend() in ("tpu", "axon")
         ):
-            out = cross_attention_int8(q_eff[:, 0], ckv["kv8"][0], ckv["kv8"][1])
+            out = cross_attention_int8(
+                q_eff[:, 0], ckv["kv8"][0], ckv["kv8"][1], lengths=cross_len
+            )
             out = out[:, None].astype(dtype) * scale[1][:, 0][:, None].astype(dtype)
             return out, None
         # fallback (CPU tests, prefill/align): head-major [2, B, H, T, hd]
         # -> [B, T, H, hd]
         k = jnp.swapaxes(ckv["kv8"][0], 1, 2).astype(dtype)
         v = jnp.swapaxes(ckv["kv8"][1], 1, 2).astype(dtype)
-        out, probs = _attention(q_eff, k, v, None)
+        out, probs = _attention(q_eff, k, v, _cross_len_mask(k.shape[1], cross_len))
         out = out * scale[1][:, 0][:, None].astype(out.dtype)
         return (out, probs) if collect_probs else (out, None)
     if "kv4" in ckv:
@@ -409,21 +432,25 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False):
             and not collect_probs
             and jax.default_backend() in ("tpu", "axon")
         ):
-            out = cross_attention_int4(q_eff[:, 0], ckv["kv4"][0], ckv["kv4"][1])
+            out = cross_attention_int4(
+                q_eff[:, 0], ckv["kv4"][0], ckv["kv4"][1], lengths=cross_len
+            )
             out = out[:, None].astype(dtype) * scale[1][:, 0][:, None].astype(dtype)
             return out, None
         # fallback (CPU tests, prefill/align): unpack in jnp; kv4 is
         # head-major [2, B, H, T, hd/2] -> [B, T, H, hd]
         k = jnp.swapaxes(unpack_int4(ckv["kv4"][0]), 1, 2).astype(dtype)
         v = jnp.swapaxes(unpack_int4(ckv["kv4"][1]), 1, 2).astype(dtype)
-        out, probs = _attention(q_eff, k, v, None)
+        out, probs = _attention(q_eff, k, v, _cross_len_mask(k.shape[1], cross_len))
         out = out * scale[1][:, 0][:, None].astype(out.dtype)
         return (out, probs) if collect_probs else (out, None)
 
     k, v = ckv["kv"][0], ckv["kv"][1]
     if scale is not None:
         qc = qc * scale[0][:, 0][:, None].astype(qc.dtype)  # [B,1,H,hd]
-    out, probs = _attention(qc, k.astype(dtype), v.astype(dtype), None)
+    out, probs = _attention(
+        qc, k.astype(dtype), v.astype(dtype), _cross_len_mask(k.shape[1], cross_len)
+    )
     if scale is not None:
         out = out * scale[1][:, 0][:, None].astype(out.dtype)
     if collect_probs:
@@ -447,7 +474,9 @@ def init_self_kv(cfg: WhisperConfig, batch: int, cache_len: int | None = None) -
     )
 
 
-def _decoder_block_step(x, lp, self_kv, cross_kv, slot_start, attn_mask, n_head):
+def _decoder_block_step(
+    x, lp, self_kv, cross_kv, slot_start, attn_mask, n_head, cross_len=None
+):
     """One decoder layer for Tq query tokens given caches.
 
     TPU-critical layout decision: new K/V land at a batch-UNIFORM cache slot
@@ -477,10 +506,12 @@ def _decoder_block_step(x, lp, self_kv, cross_kv, slot_start, attn_mask, n_head)
     attn_out, _ = _attention(q, k_cache, v_cache, attn_mask)
     x = x + _linear(_merge_heads(attn_out), lp["attn"]["o"])
 
-    # Cross-attention (full encoder context, no mask).
+    # Cross-attention (full encoder context unless cross_len restricts it).
     h = _layer_norm(x, lp["cross_attn_ln"])
     qc = _split_heads(_linear(h, lp["cross_attn"]["q"]), n_head)
-    cross_out, cross_probs = _cross_attend(qc, cross_kv, x.dtype, collect_probs=True)
+    cross_out, cross_probs = _cross_attend(
+        qc, cross_kv, x.dtype, collect_probs=True, cross_len=cross_len
+    )
     x = x + _linear(_merge_heads(cross_out), lp["cross_attn"]["o"])
 
     x = x + _mlp(_layer_norm(x, lp["mlp_ln"]), lp["mlp"])
@@ -497,6 +528,7 @@ def _decoder_forward(
     self_kv: jax.Array,  # [L, 2, B, C, H, hd]
     cross_kv: jax.Array,  # [L, 2, B, Tenc, H, hd]
     collect_cross_attn: bool = False,
+    cross_len: jax.Array | None = None,  # [B] valid encoder positions
 ):
     p = params["decoder"]
     x = _embed_lookup(p, tokens, cfg.dtype) + p["pos"].astype(cfg.dtype)[
@@ -506,7 +538,8 @@ def _decoder_forward(
     def block(x, layer):
         lp, skv, ckv = layer
         x, new_skv, cross_probs = _decoder_block_step(
-            x, lp, skv, ckv, slot_start, attn_mask, cfg.n_text_head
+            x, lp, skv, ckv, slot_start, attn_mask, cfg.n_text_head,
+            cross_len=cross_len,
         )
         out = (new_skv, cross_probs) if collect_cross_attn else (new_skv, None)
         return x, out
@@ -618,6 +651,7 @@ def decode_step_masked(
     mask: jax.Array,  # [B, C] bool — cache slots each item may attend
     self_kv: jax.Array,
     cross_kv: jax.Array,
+    cross_len: jax.Array | None = None,  # [B] valid encoder positions
 ):
     """decode_step with a caller-supplied attention mask over cache slots.
 
@@ -669,10 +703,10 @@ def decode_step_masked(
         )
         x = x + _linear(_merge_heads(out), lp["attn"]["o"])
 
-        # Cross-attention (full encoder context).
+        # Cross-attention (cross_len-masked for reduced-context slots).
         h = _layer_norm(x, lp["cross_attn_ln"])
         qc = _split_heads(_linear(h, lp["cross_attn"]["q"]), n_head)
-        cross_out, _ = _cross_attend(qc, ckv, x.dtype)
+        cross_out, _ = _cross_attend(qc, ckv, x.dtype, cross_len=cross_len)
         x = x + _linear(_merge_heads(cross_out), lp["cross_attn"]["o"])
         x = x + _mlp(_layer_norm(x, lp["mlp_ln"]), lp["mlp"])
 
@@ -697,6 +731,7 @@ def decode_with_cross_attn(
     tokens: jax.Array,  # [B, T]
     prompt_len: jax.Array,  # [B]
     cross_kv: jax.Array,
+    cross_len: jax.Array | None = None,  # [B] valid encoder positions
 ):
     """Full teacher-forced pass returning cross-attention maps.
 
@@ -714,7 +749,7 @@ def decode_with_cross_attn(
     )[None, None]
     x, _, cross = _decoder_forward(
         params, cfg, tokens, pos_idx, jnp.zeros((), jnp.int32), causal,
-        self_kv, cross_kv, collect_cross_attn=True,
+        self_kv, cross_kv, collect_cross_attn=True, cross_len=cross_len,
     )
     # cross stays in compute dtype: [L, B, H, T, ctx] is large — the f32
     # upcast happens on host after slicing the alignment heads.

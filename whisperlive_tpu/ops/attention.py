@@ -49,7 +49,7 @@ def pack_int4(values: jax.Array) -> jax.Array:
     ).astype(jnp.int8)
 
 
-def _cross_attn_int4_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _cross_attn_int4_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """Decode-step cross-attention over int4-packed KV, unpacked in VMEM.
 
     Per grid cell = one (batch, head). Block shapes: q/out [1, H, hd] (the
@@ -83,6 +83,8 @@ def _cross_attn_int4_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
             + jax.lax.dot_general(q[:, hd2:], k_hi, contract,
                                   preferred_element_type=jnp.float32)
         ) * scale  # [1, T]
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < len_ref[pl.program_id(0)], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
 
         v_lo, v_hi = nibbles(v_ref[0, h])
@@ -99,20 +101,28 @@ def cross_attention_int4(
     q: jax.Array,  # [B, H, hd] compute dtype, K-scales already folded in
     k4: jax.Array,  # [B, H, T, hd/2] int8 packed (HEAD-MAJOR)
     v4: jax.Array,  # [B, H, T, hd/2] int8 packed
+    lengths: jax.Array | None = None,  # [B] int32 valid positions
     interpret: bool = False,
 ) -> jax.Array:
     """Single-token cross-attention reading int4 KV directly from HBM.
 
     Returns [B, H, hd] float32 (apply per-channel V scales outside).
     Exists because a jnp unpack of loop-invariant KV gets hoisted out of
-    the decode while-loop by XLA, materializing a full-precision copy."""
+    the decode while-loop by XLA, materializing a full-precision copy.
+    `lengths` masks positions >= lengths[b] (reduced-context windows share
+    the full-size KV region; the tail holds stale data)."""
     b, h, t, hd2 = k4.shape
     hd = hd2 * 2
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
     out = pl.pallas_call(
         functools.partial(_cross_attn_int4_kernel, scale=hd**-0.5),
         out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
         grid=(b,),
         in_specs=[
+            # whole [B] vector in SMEM (Mosaic requires rank-1 blocks to
+            # cover the array); the kernel indexes it by program_id
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
@@ -123,11 +133,11 @@ def cross_attention_int4(
         out_specs=pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k4, v4)
+    )(lengths.astype(jnp.int32), q, k4, v4)
     return out
 
 
-def _cross_attn_int8_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _cross_attn_int8_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """Decode-step cross-attention over int8 KV, dequantized in VMEM.
 
     Per grid cell = one (batch, head-set). Block shapes: q/out [1, H, hd],
@@ -151,6 +161,8 @@ def _cross_attn_int8_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [1, T]
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < len_ref[pl.program_id(0)], scores, NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
         v = v_ref[0, h].astype(dtype)
         o_ref[0, h] = jax.lax.dot_general(
@@ -164,17 +176,25 @@ def cross_attention_int8(
     q: jax.Array,  # [B, H, hd] compute dtype, K-scales already folded in
     k8: jax.Array,  # [B, H, T, hd] int8 (HEAD-MAJOR)
     v8: jax.Array,  # [B, H, T, hd] int8
+    lengths: jax.Array | None = None,  # [B] int32 valid positions
     interpret: bool = False,
 ) -> jax.Array:
     """Single-token cross-attention reading int8 KV directly from HBM.
 
-    Returns [B, H, hd] float32 (apply per-channel V scales outside)."""
+    Returns [B, H, hd] float32 (apply per-channel V scales outside).
+    `lengths` masks positions >= lengths[b] (reduced-context windows share
+    the full-size KV region; the tail holds stale data)."""
     b, h, t, hd = k8.shape
+    if lengths is None:
+        lengths = jnp.full((b,), t, jnp.int32)
     out = pl.pallas_call(
         functools.partial(_cross_attn_int8_kernel, scale=hd**-0.5),
         out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
         grid=(b,),
         in_specs=[
+            # whole [B] vector in SMEM (Mosaic requires rank-1 blocks to
+            # cover the array); the kernel indexes it by program_id
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
@@ -185,7 +205,7 @@ def cross_attention_int8(
         out_specs=pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k8, v8)
+    )(lengths.astype(jnp.int32), q, k8, v8)
     return out
 
 

@@ -297,15 +297,23 @@ class TranscriptionServer:
 
         uid = opts_json.get("uid") or str(uuid.uuid4())
 
+        # Capacity WAIT: hard client cap (reference server.py:117-139), or
+        # sustained engine oversubscription — the continuous scheduler's
+        # load EMA — which would otherwise collapse every session's update
+        # cadence rather than reject anyone.
+        wait_minutes: Optional[float] = None
         if self.client_manager.is_server_full():
+            wait_minutes = self.client_manager.get_wait_time()
+        else:
+            sched = getattr(self.backend, "continuous_scheduler", None)
+            if sched is not None and getattr(sched, "overloaded", None):
+                if sched.overloaded():
+                    wait_minutes = max(sched.estimated_wait_s() / 60.0, 0.1)
+        if wait_minutes is not None:
             wl_metrics.track_connection_rejected()
             await websocket.send(
                 json.dumps(
-                    {
-                        "uid": uid,
-                        "status": "WAIT",
-                        "message": self.client_manager.get_wait_time(),
-                    }
+                    {"uid": uid, "status": "WAIT", "message": wait_minutes}
                 )
             )
             return None

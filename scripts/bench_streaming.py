@@ -42,10 +42,13 @@ def main() -> None:
                         help="decode-step-level continuous batching (default)")
     parser.add_argument("--no_continuous", dest="continuous", action="store_false")
     parser.add_argument("--continuous_slots", type=int, default=16)
+    parser.add_argument("--beam_size", type=int, default=1,
+                        help="lockstep beam lanes per slot (slot pool "
+                             "shrinks to continuous_slots/beam_size)")
     parser.add_argument("--steps_per_chunk", type=int, default=8)
     parser.add_argument("--cross_ctx", type=int, default=None,
                         help="continuous cross-KV content cap (positions)")
-    parser.add_argument("--ring", type=int, default=256)
+    parser.add_argument("--ring", type=int, default=128)
     parser.add_argument("--prompt_pad", type=int, default=192)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) — the env var "
@@ -92,13 +95,17 @@ def main() -> None:
     if args.continuous:
         from whisperlive_tpu.engine.continuous import ContinuousScheduler
 
+        n_slots = args.continuous_slots
+        if args.beam_size > 1:
+            n_slots = max(2, args.continuous_slots // args.beam_size)
         continuous = ContinuousScheduler(
             engine,
-            n_slots=args.continuous_slots,
+            n_slots=n_slots,
             steps_per_chunk=args.steps_per_chunk,
             cross_ctx=args.cross_ctx,
             ring=args.ring,
             prompt_pad=args.prompt_pad,
+            beam_width=args.beam_size,
         )
         continuous.warmup()
         continuous.start()
@@ -150,7 +157,8 @@ def main() -> None:
             updates_per_stream[idx] += 1
             return result
 
-    backend = MeasuringBackend(scheduler, continuous_scheduler=continuous)
+    backend = MeasuringBackend(scheduler, continuous_scheduler=continuous,
+                               beam_size=args.beam_size)
     backend.request_timeout_s = 180.0  # survive rare cold-shape compiles
 
     chunk_samples = int(16000 * args.chunk_ms / 1000)
@@ -224,6 +232,7 @@ def main() -> None:
                 "sustained_realtime": bool(cadence > 0.2),  # update at least every 5 s
                 "duration_s": args.seconds,
                 "mode": "continuous" if args.continuous else "window",
+                "beam_size": args.beam_size,
                 "tokens_per_s": args.tokens_per_s,
                 "tail_cap_s": args.tail_cap_s,
                 "continuous_slots": args.continuous_slots if args.continuous else None,

@@ -888,3 +888,149 @@ def test_overload_backpressure_signal(engine):
     sched._pending = [(None, 0)] * 8
     sched._service_ema = 2.0
     assert sched.estimated_wait_s() == pytest.approx(8 * 2.0 / 2)
+
+
+def test_continuous_beam_token_parity(engine, rng):
+    """A slot's K lockstep lanes at T=0 must reproduce the window path's
+    batched beam search (engine._decode_beam) token for token — beam
+    serving keeps continuous batching without changing decode semantics."""
+    K = 3
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=16, beam_size=K,
+    )
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=16, ring=64, beam_width=K,
+                                cross_ctx=1500)
+    sched.start()
+    try:
+        audio = _audio(rng, 3.0)
+        req = BatchRequest(audio=audio, options=opts, uid="beam")
+        r = sched.submit(req).result(timeout=180)
+        cont = [int(t) for t in r.raw_tokens]
+    finally:
+        sched.stop()
+
+    buf = np.zeros((1, mel_ops.N_SAMPLES), np.float32)
+    buf[0, : len(audio)] = audio
+    _, cross = engine.prepare(buf)
+    p, s = engine.build_prompt(opts, language="en")
+    (ref,) = engine.decode_batch(cross, [p], [s], opts)
+    assert cont == [int(t) for t in ref.tokens]
+    assert len(cont) > 0
+
+
+def test_continuous_beam_two_slots_and_reuse(engine, rng):
+    """Two beamed slots decode concurrently and a released slot's lanes
+    serve a new request cleanly."""
+    K = 2
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=12, beam_size=K,
+    )
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=16, ring=64, beam_width=K,
+                                cross_ctx=1500)
+    sched.start()
+    try:
+        audios = [_audio(rng, 2.0), _audio(rng, 3.0), _audio(rng, 2.5)]
+        futs = [
+            sched.submit(BatchRequest(audio=a, options=opts, uid=f"b{i}"))
+            for i, a in enumerate(audios)
+        ]
+        results = [f.result(timeout=180) for f in futs]
+    finally:
+        sched.stop()
+    for a, r in zip(audios, results):
+        buf = np.zeros((1, mel_ops.N_SAMPLES), np.float32)
+        buf[0, : len(a)] = a
+        _, cross = engine.prepare(buf)
+        p, s = engine.build_prompt(opts, language="en")
+        (ref,) = engine.decode_batch(cross, [p], [s], opts)
+        assert [int(t) for t in r.raw_tokens] == [int(t) for t in ref.tokens]
+
+
+def test_continuous_beam_sampling_retry_best_of(engine, rng):
+    """A beamed request that fails the gates retries at T>0: the K lanes
+    sample independently (best_of) and the harvest keeps the best lane —
+    the request resolves with the retry temperature."""
+    K = 2
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0, 0.8),
+        log_prob_threshold=0.0,  # always fails -> forced retry at 0.8
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=40, beam_size=K,
+    )
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=16, ring=64, beam_width=K,
+                                cross_ctx=1500)
+    sched.start()
+    try:
+        req = BatchRequest(audio=_audio(rng, 2.0), options=opts, uid="bo")
+        r = sched.submit(req).result(timeout=180)
+        if r.segments:
+            assert r.segments[0].temperature == pytest.approx(0.8)
+    finally:
+        sched.stop()
+
+
+def test_continuous_scheduler_dp_x_tp_parity(rng):
+    """dp x tp serving: with the slot pool sized as a multiple of dp, the
+    slot state's row axis shards over the "data" mesh axis (each replica
+    decodes its own slots; TP collectives ride "model") and token streams
+    must match the unsharded engine exactly. This is the serving-layer
+    multi-chip scale-out: one scheduler drives dp x the slots."""
+    from whisperlive_tpu.parallel.mesh import EngineShardings
+
+    cfg = WhisperConfig(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = init_params(cfg, 0)
+    audios = [
+        (np.random.default_rng(20 + i).standard_normal(32000) * 0.1).astype(
+            np.float32
+        )
+        for i in range(4)
+    ]
+
+    def decode(engine, n_slots):
+        sched = ContinuousScheduler(engine, n_slots=n_slots,
+                                    steps_per_chunk=4, prompt_pad=16,
+                                    ring=64)
+        sched.start()
+        try:
+            futs = [
+                sched.submit(BatchRequest(audio=a, options=OPTS,
+                                          uid=f"dp{i}"))
+                for i, a in enumerate(audios)
+            ]
+            return [tuple(f.result(timeout=300).raw_tokens) for f in futs]
+        finally:
+            sched.stop()
+
+    base = decode(
+        WhisperEngine(cfg, params, compute_dtype=jnp.float32,
+                      batch_buckets=(1, 2)),
+        n_slots=4,
+    )
+    shardings = EngineShardings.create(tp=2)  # 8 devices -> dp=4 x tp=2
+    eng = WhisperEngine(cfg, params, compute_dtype=jnp.float32,
+                        batch_buckets=(1, 2), shardings=shardings)
+    sched = ContinuousScheduler(eng, n_slots=4, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    assert sched.cb.dp_sharded, "4 slots over dp=4 must shard"
+    sched.start()
+    try:
+        futs = [
+            sched.submit(BatchRequest(audio=a, options=OPTS, uid=f"dp{i}"))
+            for i, a in enumerate(audios)
+        ]
+        sharded = [tuple(f.result(timeout=300).raw_tokens) for f in futs]
+    finally:
+        sched.stop()
+    assert base == sharded
+    assert any(len(t) > 0 for t in base)

@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Override engine compute dtype.")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel degree over the local device mesh.")
+    parser.add_argument("--dp", type=int, default=None,
+                        help="Data-parallel replicas for SERVING: the "
+                             "continuous slot pool scales to dp x "
+                             "--continuous_slots and its state shards over "
+                             "the mesh's data axis (each replica decodes "
+                             "its own slots). Default: n_devices // tp "
+                             "when --tp or --dp is given, else 1.")
     parser.add_argument("--beam_size", type=int, default=1,
                         help="Beam width for streaming decodes (1=greedy; the "
                              "reference's transcriber defaults to 5 — wider "
@@ -163,10 +170,10 @@ def create_backend(args):
         compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.compute_dtype]
 
     shardings = None
-    if args.tp > 1:
+    if args.tp > 1 or (args.dp or 1) > 1:
         from whisperlive_tpu.parallel.mesh import EngineShardings
 
-        shardings = EngineShardings.create(tp=args.tp)
+        shardings = EngineShardings.create(tp=args.tp, dp=args.dp)
 
     engine = WhisperEngine(cfg, params, tokenizer=tokenizer,
                            compute_dtype=compute_dtype, shardings=shardings)
@@ -190,14 +197,35 @@ def create_backend(args):
     )
     scheduler.start()
     continuous = None
-    if args.continuous_batching and args.beam_size == 1:
+    if args.continuous_batching:
         from whisperlive_tpu.engine.continuous import ContinuousScheduler
 
+        # --beam_size > 1: each slot owns beam_size lockstep lanes, so
+        # beamed serving KEEPS continuous batching and incremental
+        # decoding (T>0 fallback retries become best-of-K sampling).
+        # Resident state scales with slots*beams — shrink the slot pool
+        # to bound HBM.
+        n_slots = args.continuous_slots
+        if args.beam_size > 1:
+            n_slots = max(2, args.continuous_slots // args.beam_size)
+            logging.info(
+                "continuous beam serving: %d slots x %d lanes",
+                n_slots, args.beam_size,
+            )
+        if shardings is not None and shardings.dp > 1:
+            # dp replicas each carry a full slot pool; rows shard over the
+            # mesh's data axis inside one scheduler/program
+            n_slots *= shardings.dp
+            logging.info(
+                "dp x tp serving: %d slots total over dp=%d x tp=%d",
+                n_slots, shardings.dp, shardings.tp,
+            )
         continuous = ContinuousScheduler(
             engine,
-            n_slots=args.continuous_slots,
+            n_slots=n_slots,
             steps_per_chunk=args.steps_per_chunk,
             cross_ctx=args.continuous_cross_ctx,
+            beam_width=args.beam_size,
         )
         if not args.no_warmup:
             continuous.warmup()

@@ -220,12 +220,45 @@ class ContinuousEngine:
         options: TranscribeOptions | None = None,
         cross_ctx: int | None = None,
         enc_buckets: tuple[int, ...] | None = None,
+        beam_width: int = 1,
     ):
         self.eng = engine
         self.n_slots = n_slots
         self.prompt_pad = prompt_pad
         self.ring = ring
         self.steps_per_chunk = steps_per_chunk
+        # Lockstep beam lanes: each slot owns K contiguous state rows. At
+        # T=0 the K lanes run coupled beam expansion (top-K over K*V with
+        # a per-step parent gather, CTranslate2 semantics — the window
+        # path's _decode_beam, engine.py); at T>0 (fallback retries) the
+        # lanes sample independently and harvest keeps the best-scoring
+        # lane (faster-whisper's best_of). K=1 compiles to exactly the
+        # greedy program (no lane ops traced).
+        self.beam_width = max(int(beam_width), 1)
+        self.n_rows = n_slots * self.beam_width
+        # dp x tp serving: when the engine's params are sharded over a
+        # ("data", "model") mesh, the slot state's row axis shards over
+        # "data" — each data-replica decodes its own slots with NO cross-
+        # replica communication in the step (weights replicated over
+        # "data", TP collectives ride "model"). One scheduler, one logical
+        # program, dp x the slot pool.
+        self.shardings = getattr(engine, "_shardings", None)
+        self.dp_sharded = (
+            self.shardings is not None
+            and self.shardings.dp > 1
+            and self.n_rows % self.shardings.dp == 0
+        )
+        if (
+            self.shardings is not None
+            and self.shardings.dp > 1
+            and not self.dp_sharded
+        ):
+            logger.warning(
+                "slot rows (%d = %d slots x %d lanes) do not divide dp=%d; "
+                "slot state stays unsharded over the data axis (size the "
+                "pool as a multiple of dp to use all replicas)",
+                self.n_rows, n_slots, self.beam_width, self.shardings.dp,
+            )
         cfg = engine.cfg
         spec = engine.spec
         self.cache_len = prompt_pad + ring
@@ -274,9 +307,12 @@ class ContinuousEngine:
                 return wmod.quantize_cross_kv_int4(cross)
             return cross
 
+        K = self.beam_width
+        n_rows = self.n_rows
+
         # ---------------- state init ----------------
         def _init_state(key):
-            b = n_slots
+            b = n_rows
             # cross-KV template: run one tiny encode to get leaf shapes?
             # cheaper: build directly from cfg dims.
             hd = cfg.n_text_state // cfg.n_text_head
@@ -331,13 +367,14 @@ class ContinuousEngine:
                 "temperature": jnp.zeros((b,), jnp.float32),
                 "ts_enabled": jnp.ones((b,), bool),
                 "rep_penalty": jnp.ones((b,), jnp.float32),
+                "length_penalty": jnp.ones((b,), jnp.float32),
                 "max_new": jnp.full((b,), ring - 1, jnp.int32),
                 # valid encoder positions per slot (reduced-context
                 # windows leave a stale tail in the shared cross region)
                 "cross_len": jnp.full((b,), self.cross_ctx, jnp.int32),
                 "gstep": jnp.zeros((), jnp.int32),
                 "key": key,
-                "status": jnp.zeros((b, 5), jnp.float32),
+                "status": jnp.zeros((n_slots, 6), jnp.float32),
             }
 
         # ---------------- insert ----------------
@@ -358,6 +395,7 @@ class ContinuousEngine:
             has_prefix,  # [j] bool
             pfx_last_ts,  # [j] bool
             pfx_penult_ts,  # [j] bool
+            length_pen,  # [j] f32 (beam winner scoring)
         ):
             j = audio.shape[0]
             if audio.dtype == jnp.int16:
@@ -403,25 +441,39 @@ class ContinuousEngine:
 
             zero = jnp.zeros((), jnp.int32)
             for i in range(j):
-                b = slot_ids[i]
+                # a slot's K beam lanes are CONTIGUOUS rows — every write
+                # is one K-row block update at row0 (never per-lane, which
+                # would unroll j*K scatters)
+                row0 = slot_ids[i] * K
                 state["self_kv"] = jax.lax.dynamic_update_slice(
                     state["self_kv"],
-                    jax.lax.dynamic_slice_in_dim(self_kv_j, i, 1, axis=2),
-                    (zero, zero, b, zero, zero, zero),
+                    jnp.repeat(
+                        jax.lax.dynamic_slice_in_dim(self_kv_j, i, 1, axis=2),
+                        K, axis=2,
+                    ),
+                    (zero, zero, row0, zero, zero, zero),
                 )
                 for leaf in ("kv", "kv8", "kv4"):
                     if leaf in state["cross_kv"]:
-                        upd = jax.lax.dynamic_slice_in_dim(cross[leaf], i, 1, axis=2)
+                        upd = jnp.repeat(
+                            jax.lax.dynamic_slice_in_dim(cross[leaf], i, 1, axis=2),
+                            K, axis=2,
+                        )
                         state["cross_kv"][leaf] = jax.lax.dynamic_update_slice_in_dim(
-                            state["cross_kv"][leaf], upd, b, axis=2
+                            state["cross_kv"][leaf], upd, row0, axis=2
                         )
                 if state["cross_kv"].get("scale") is not None:
-                    upd = jax.lax.dynamic_slice_in_dim(cross["scale"], i, 1, axis=2)
+                    upd = jnp.repeat(
+                        jax.lax.dynamic_slice_in_dim(cross["scale"], i, 1, axis=2),
+                        K, axis=2,
+                    )
                     state["cross_kv"]["scale"] = jax.lax.dynamic_update_slice_in_dim(
-                        state["cross_kv"]["scale"], upd, b, axis=2
+                        state["cross_kv"]["scale"], upd, row0, axis=2
                     )
                 state["logits"] = jax.lax.dynamic_update_slice_in_dim(
-                    state["logits"], last_logits[i][None], b, axis=0
+                    state["logits"],
+                    jnp.repeat(last_logits[i][None], K, axis=0),
+                    row0, axis=0,
                 )
 
                 def set1(name, val, dtype=None):
@@ -429,7 +481,8 @@ class ContinuousEngine:
                     if dtype is not None:
                         v = v.astype(dtype)
                     state[name] = jax.lax.dynamic_update_slice_in_dim(
-                        state[name], v[None], b, axis=0
+                        state[name], jnp.broadcast_to(v[None], (K,)), row0,
+                        axis=0,
                     )
 
                 set1("prompt_len", prompt_len[i])
@@ -446,19 +499,33 @@ class ContinuousEngine:
                 set1("temperature", temps[i])
                 set1("ts_enabled", ts_en[i])
                 set1("rep_penalty", rep[i])
+                set1("length_penalty", length_pen[i])
                 set1("max_new", max_new[i])
                 set1("cross_len", jnp.asarray(t_here, jnp.int32))
             state["status"] = _pack_status(state)
             return state, lang_probs
 
         def _pack_status(state):
+            """Per-SLOT status [n_slots, 6]: (active, all-lanes-finished,
+            gen_len of the winning lane, its sum_logprob, ns_prob, winner
+            lane index). Winner = best length-penalized cumulative score
+            (CTranslate2 convention, sum / len^penalty) — for K=1 this
+            reduces to the slot's own row."""
+            fin = state["finished"].reshape(n_slots, K)
+            gen = state["gen_len"].reshape(n_slots, K).astype(jnp.float32)
+            slp = state["sum_logprob"].reshape(n_slots, K)
+            pen = state["length_penalty"].reshape(n_slots, K)
+            score = slp / jnp.maximum(gen, 1.0) ** pen
+            winner = jnp.argmax(score, axis=1)  # [S]
+            rows = jnp.arange(n_slots)
             return jnp.stack(
                 [
-                    state["active"].astype(jnp.float32),
-                    state["finished"].astype(jnp.float32),
-                    state["gen_len"].astype(jnp.float32),
-                    state["sum_logprob"],
-                    state["ns_prob"],
+                    state["active"].reshape(n_slots, K)[:, 0].astype(jnp.float32),
+                    jnp.all(fin, axis=1).astype(jnp.float32),
+                    gen[rows, winner],
+                    slp[rows, winner],
+                    state["ns_prob"].reshape(n_slots, K)[:, 0],
+                    winner.astype(jnp.float32),
                 ],
                 axis=1,
             )
@@ -469,7 +536,6 @@ class ContinuousEngine:
 
             def one(_, st):
                 gstep = st["gstep"]
-                write = st["active"] & ~st["finished"]
                 valid = _ring_valid(gstep, st["join_step"], ring)
                 filtered = apply_logit_rules_ring(
                     spec, st["logits"], st["sampled"], gstep, st["gen_len"],
@@ -480,8 +546,84 @@ class ContinuousEngine:
                     filtered, st["sampled"], valid, st["rep_penalty"]
                 )
                 key, sub = jax.random.split(st["key"])
-                next_tok, lp = dec.sample_next(filtered, st["temperature"], sub)
-                tok = jnp.where(write, next_tok, spec.eot).astype(jnp.int32)
+
+                if K == 1:
+                    write = st["active"] & ~st["finished"]
+                    next_tok, lp = dec.sample_next(
+                        filtered, st["temperature"], sub
+                    )
+                    tok = jnp.where(write, next_tok, spec.eot).astype(jnp.int32)
+                    new_sum = st["sum_logprob"] + jnp.where(write, lp, 0.0)
+                else:
+                    # A slot steps while ANY of its lanes is live.
+                    act = st["active"].reshape(n_slots, K)[:, 0]
+                    fin = st["finished"].reshape(n_slots, K)
+                    slot_step = act & ~jnp.all(fin, axis=1)  # [S]
+                    step_rows = jnp.repeat(slot_step, K)  # [R]
+
+                    # Coupled beam expansion (T=0 slots): top-K over the
+                    # K*V candidate continuations with a per-step parent
+                    # gather — _decode_beam semantics (engine.py) on the
+                    # ring state. Finished lanes freeze: they propose only
+                    # EOT at unchanged score. The step-0 lane collapse
+                    # (all lanes identical after insert) suppresses lanes
+                    # > 0 so the first expansion picks K distinct tokens
+                    # from lane 0.
+                    v = filtered.shape[1]
+                    lp_all = jax.nn.log_softmax(filtered, axis=-1)
+                    eot_only = jnp.full(
+                        (n_rows, v), dec.NEG_INF
+                    ).at[:, spec.eot].set(0.0)
+                    lp_b = jnp.where(
+                        st["finished"][:, None], eot_only, lp_all
+                    )
+                    cand = st["sum_logprob"][:, None] + lp_b
+                    lane_rank = jnp.tile(jnp.arange(K), n_slots)
+                    first_expand = (st["gen_len"] == 0) & (lane_rank > 0)
+                    cand = jnp.where(
+                        first_expand[:, None], dec.NEG_INF, cand
+                    )
+                    top_scores, top_idx = jax.lax.top_k(
+                        cand.reshape(n_slots, K * v), K
+                    )
+                    beam_parent = (
+                        top_idx // v + (jnp.arange(n_slots) * K)[:, None]
+                    ).reshape(n_rows)
+                    beam_tok = (top_idx % v).reshape(n_rows).astype(jnp.int32)
+                    beam_sum = top_scores.reshape(n_rows)
+
+                    # Independent sampling lanes (T>0 fallback retries):
+                    # faster-whisper's best_of — K samples, harvest keeps
+                    # the best-scoring lane.
+                    samp_tok, samp_lp = dec.sample_next(
+                        filtered, st["temperature"], sub
+                    )
+
+                    use_beam = (st["temperature"] == 0.0) & step_rows
+                    ident = jnp.arange(n_rows)
+                    parent = jnp.where(use_beam, beam_parent, ident)
+                    for name in (
+                        "sampled", "gen_len", "last_ts", "finished",
+                        "sum_logprob", "has_prefix", "pfx_last_ts",
+                        "pfx_penult_ts",
+                    ):
+                        st[name] = st[name][parent]
+                    st["self_kv"] = jnp.take(st["self_kv"], parent, axis=2)
+                    valid = valid[parent]
+
+                    write = step_rows & ~st["finished"]
+                    tok = jnp.where(
+                        write, jnp.where(use_beam, beam_tok, samp_tok),
+                        spec.eot,
+                    ).astype(jnp.int32)
+                    # beam rows: beam_sum is the absolute cumulative score
+                    # (frozen-lane rows inherit the parent's unchanged
+                    # score); sampling rows accumulate their own logprob
+                    new_sum = jnp.where(
+                        use_beam,
+                        beam_sum,
+                        st["sum_logprob"] + jnp.where(write, samp_lp, 0.0),
+                    )
 
                 col = jnp.mod(gstep, ring)
                 st["sampled"] = jax.lax.dynamic_update_slice_in_dim(
@@ -489,7 +631,7 @@ class ContinuousEngine:
                 )
                 is_ts = (tok >= spec.timestamp_begin) & write
                 st["last_ts"] = jnp.where(is_ts, tok, st["last_ts"])
-                st["sum_logprob"] = st["sum_logprob"] + jnp.where(write, lp, 0.0)
+                st["sum_logprob"] = new_sum
                 gen_after = st["gen_len"] + write.astype(jnp.int32)
                 st["gen_len"] = gen_after
                 newly_done = write & (
@@ -505,7 +647,7 @@ class ContinuousEngine:
                 jmask = jnp.arange(self.cache_len)[None, :]
                 prompt_mask = jmask < st["prompt_len"][:, None]
                 ring_mask = jnp.concatenate(
-                    [jnp.zeros((n_slots, prompt_pad), bool), valid], axis=1
+                    [jnp.zeros((n_rows, prompt_pad), bool), valid], axis=1
                 )
                 mask = prompt_mask | ring_mask
                 logits, st["self_kv"] = wmod.decode_step_masked(
@@ -531,11 +673,60 @@ class ContinuousEngine:
             state["status"] = _pack_status(state)
             return state
 
-        self._init_fn = jax.jit(_init_state)
+        init_out = None
+        if self.dp_sharded:
+            init_out = self._state_sharding_tree(bits)
+        self._init_fn = jax.jit(_init_state, out_shardings=init_out)
         self._insert_fn = jax.jit(_insert, donate_argnums=(1,))
         self._step_fn = jax.jit(_step_chunk, static_argnums=(2,), donate_argnums=(1,))
         self._release_fn = jax.jit(_release, donate_argnums=(0,))
         self.state = None
+
+    def _state_sharding_tree(self, bits: int):
+        """NamedShardings for the slot state: row axis over "data", head
+        axes over "model" (matching EngineShardings.kv_sharding); scalars
+        and the host-fetched status replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.shardings.mesh
+
+        def ns(*spec):
+            return NamedSharding(mesh, P(*spec))
+
+        row = ns("data")
+        rep = ns()
+        if bits == 8:
+            cross = {
+                "kv8": ns(None, None, "data", "model", None, None),
+                "scale": ns(None, None, "data", None, "model", None),
+            }
+        elif bits == 4:
+            cross = {
+                "kv4": ns(None, None, "data", "model", None, None),
+                "scale": ns(None, None, "data", None, "model", None),
+            }
+        else:
+            cross = {
+                "kv": ns(None, None, "data", None, "model", None),
+                "scale": None,
+            }
+        tree = {
+            "self_kv": ns(None, None, "data", None, "model", None),
+            "cross_kv": cross,
+            "sampled": ns("data", None),
+            "logits": ns("data", None),
+            "gstep": rep,
+            "key": rep,
+            "status": rep,
+        }
+        for name in (
+            "prompt_len", "join_step", "gen_len", "last_ts", "active",
+            "finished", "has_prefix", "pfx_last_ts", "pfx_penult_ts",
+            "sum_logprob", "ns_prob", "temperature", "ts_enabled",
+            "rep_penalty", "length_penalty", "max_new", "cross_len",
+        ):
+            tree[name] = row
+        return tree
 
     # ------------------------------------------------------------------
 
@@ -559,6 +750,7 @@ class ContinuousEngine:
         pfx_last_ts: Optional[list[bool]] = None,
         pfx_penult_ts: Optional[list[bool]] = None,
         enc_ctx: Optional[int] = None,
+        length_penalty: Optional[list[float]] = None,
     ) -> Optional[np.ndarray]:
         """Insert j requests into the given free slots. Returns lang probs,
         or None when need_langs=False — then the call stays fully async
@@ -624,6 +816,8 @@ class ContinuousEngine:
             pfx_last_ts = [False] * j
         if pfx_penult_ts is None:
             pfx_penult_ts = [False] * j
+        if length_penalty is None:
+            length_penalty = [1.0] * j
 
         with eng._lock:
             self.state, lang_probs = self._insert_fn(
@@ -643,6 +837,7 @@ class ContinuousEngine:
                 jnp.asarray(pad(list(has_prefix))),
                 jnp.asarray(pad(list(pfx_last_ts))),
                 jnp.asarray(pad(list(pfx_penult_ts))),
+                jnp.asarray(pad(list(length_penalty)), jnp.float32),
             )
         if not need_langs:
             return None
@@ -659,8 +854,9 @@ class ContinuousEngine:
     def release(self, slot_ids: list[int]) -> None:
         mask = np.zeros((self.n_slots,), bool)
         mask[list(slot_ids)] = True
+        rows = np.repeat(mask, self.beam_width)  # all K lanes of each slot
         with self.eng._lock:
-            self.state = self._release_fn(self.state, jnp.asarray(mask))
+            self.state = self._release_fn(self.state, jnp.asarray(rows))
 
     def harvest_all(self) -> np.ndarray:
         """Fetch the whole sampled ring in ONE device->host roundtrip
@@ -673,9 +869,14 @@ class ContinuousEngine:
         cols = (join_step + np.arange(gen_len)) % ring
         return row[cols]
 
-    def harvest(self, slot: int, join_step: int, gen_len: int) -> np.ndarray:
-        """Fetch one finished slot's sampled tokens (ring-unrolled)."""
-        row = np.asarray(self.state["sampled"][slot], np.int32)
+    def harvest(
+        self, slot: int, join_step: int, gen_len: int, lane: int = 0
+    ) -> np.ndarray:
+        """Fetch one finished slot's sampled tokens (ring-unrolled). With
+        beam lanes, `lane` selects the winner (status column 5)."""
+        row = np.asarray(
+            self.state["sampled"][slot * self.beam_width + lane], np.int32
+        )
         return self.unroll(row, join_step, gen_len, self.ring)
 
 
@@ -693,17 +894,27 @@ class ContinuousScheduler:
         # carried hypothesis) prefill in one pass; costs ~10% per-step
         # self-KV reads over the bare-prompt 64 and saves ~10x the steps
         prompt_pad: int = 192,
-        ring: int = 256,
+        # the self-KV cache (prompt_pad + ring slots) is fully re-read
+        # every decode step; incremental tails sample ~8-15 tokens, so a
+        # 128-slot ring cuts ~30% of the per-step HBM vs 256 and measured
+        # 32-stream p50 3.3 s -> 1.7 s (BENCH_NOTES round 3). Trade-off:
+        # one window can sample at most ring-1 tokens (real speech decodes
+        # ~4 tok/s, so 127 covers the 12.8 s content cap with margin);
+        # raise it for unusual token-dense workloads.
+        ring: int = 128,
         options: TranscribeOptions | None = None,
         cross_ctx: int | None = None,
         enc_buckets: tuple[int, ...] | None = None,
+        beam_width: int = 1,
     ):
         self.engine = engine
         self.cb = ContinuousEngine(
             engine, n_slots=n_slots, prompt_pad=prompt_pad, ring=ring,
             steps_per_chunk=steps_per_chunk, options=options,
             cross_ctx=cross_ctx, enc_buckets=enc_buckets,
+            beam_width=beam_width,
         )
+        self.beam_width = self.cb.beam_width
         # routing hint for TpuBackend: windows longer than the continuous
         # cross-KV content cap belong on the window scheduler
         self.max_window_s = self.cb.max_window_s
@@ -914,6 +1125,7 @@ class ContinuousScheduler:
         temps, ts_en, rep, max_new, infos = [], [], [], [], []
         last_ts_init, has_prefix = [], []
         pfx_last_ts, pfx_penult_ts = [], []
+        length_pen = []
         for (req, temp_idx), slot in zip(take, free):
             opt = req.options
             a = req.audio[: mel_ops.N_SAMPLES]
@@ -977,6 +1189,7 @@ class ContinuousScheduler:
             temps.append(opt.temperatures[min(temp_idx, len(opt.temperatures) - 1)])
             ts_en.append(not opt.without_timestamps)
             rep.append(opt.repetition_penalty)
+            length_pen.append(opt.length_penalty)
             budget = self.cb.ring - 1
             if opt.max_new_tokens is not None:
                 cap = opt.max_new_tokens
@@ -1025,7 +1238,7 @@ class ContinuousScheduler:
             temps, ts_en, rep, max_new, need_langs=need_langs,
             last_ts=last_ts_init, has_prefix=has_prefix,
             pfx_last_ts=pfx_last_ts, pfx_penult_ts=pfx_penult_ts,
-            enc_ctx=enc_ctx,
+            enc_ctx=enc_ctx, length_penalty=length_pen,
         )
         codes = eng.tokenizer.spec.language_codes
         for i, (info, slot) in enumerate(zip(infos, slot_ids)):
@@ -1051,7 +1264,11 @@ class ContinuousScheduler:
             gen_len = int(status[b, 2])
             sum_lp = float(status[b, 3])
             ns_prob = float(status[b, 4])
-            toks = self.cb.unroll(sampled[b], info.join_step, gen_len, self.cb.ring)
+            # winning beam lane (status col 5; 0 when beam_width == 1)
+            row = b * self.cb.beam_width + int(status[b, 5])
+            toks = self.cb.unroll(
+                sampled[row], info.join_step, gen_len, self.cb.ring
+            )
             if info.prefix:
                 toks = np.concatenate(
                     [np.asarray(info.prefix, np.int32), toks]
@@ -1110,7 +1327,7 @@ class ContinuousScheduler:
                 # the state donation of the next step dispatch — so the
                 # slot can be released immediately) and hand the heavy
                 # part to the assemble thread.
-                idx = jnp.asarray([b])
+                idx = jnp.asarray([b * self.cb.beam_width])  # lanes share cross
                 sub_cross = jax.tree.map(
                     lambda a: jnp.take(a, idx, axis=2),
                     self.cb.state["cross_kv"],

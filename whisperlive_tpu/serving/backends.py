@@ -90,11 +90,12 @@ class TpuBackend:
     ):
         self.scheduler = scheduler
         # Decode-step-level continuous batching (engine/continuous.py):
-        # greedy/temperature requests — including word-timestamps sessions
+        # requests join a running decode instead of waiting for the
+        # previous window batch — including word-timestamps sessions
         # (alignment runs against the slot's device-resident cross-KV at
-        # harvest) — join a running decode instead of waiting for the
-        # previous window batch. Only beam search and no_repeat_ngram
-        # requests fall back to the window scheduler (see _pick_scheduler).
+        # harvest) and beamed requests when the slot pool was built with
+        # matching lockstep lanes. Only no_repeat_ngram and beam-width
+        # mismatches fall back to the window scheduler (_pick_scheduler).
         self.continuous_scheduler = continuous_scheduler
         self.model_name = model_name
         self.beam_size = beam_size
@@ -115,7 +116,11 @@ class TpuBackend:
         # scratch, so a plausible-but-wrong carried hypothesis (one the
         # quality gates keep passing) survives at most N updates even if
         # the stabilization layer never commits. 0 disables the refresh.
-        self.prefix_refresh = int(os.environ.get("WL_PREFIX_REFRESH", "8"))
+        # 16 (from 8) halves the full-re-decode load — the dominant slot-
+        # occupancy term at high stream counts (a full decode is ~100
+        # steps vs ~10 for a prefix window); the quality gates and session
+        # commits still bound lock-in within a few seconds of audio.
+        self.prefix_refresh = int(os.environ.get("WL_PREFIX_REFRESH", "16"))
         self._prefix_streak: dict[str, int] = {}
         # per-request engine deadline; benchmarks raise it to survive cold
         # compiles of rarely-hit shapes without dropping samples
@@ -126,7 +131,15 @@ class TpuBackend:
     ):
         if self.continuous_scheduler is None:
             return self.scheduler
-        if options.beam_size > 1 or options.no_repeat_ngram_size > 0:
+        if options.no_repeat_ngram_size > 0:
+            return self.scheduler
+        # beamed requests ride the continuous path when the slot pool was
+        # built with matching lockstep lanes (--beam_size N); a mismatch
+        # (rare: per-request override) falls back to the window scheduler,
+        # which decodes any beam size
+        if max(options.beam_size, 1) != getattr(
+            self.continuous_scheduler, "beam_width", 1
+        ):
             return self.scheduler
         # Windows longer than the continuous cross-KV content cap (catch-up
         # after stalls; offline tails) go to the window scheduler, which

@@ -106,9 +106,27 @@ def synth_music(rng) -> np.ndarray:
     return sig
 
 
+def synth_babble(rng) -> np.ndarray:
+    """Babble negative: many overlapping weak voices — speech-shaped
+    spectrum but no single syllabic stream; VAD gates should treat it as
+    background (silero does)."""
+    t = np.arange(CLIP) / SR
+    sig = np.zeros(CLIP)
+    for _ in range(rng.integers(6, 12)):
+        f0 = rng.uniform(90, 300)
+        v = np.zeros(CLIP)
+        for k in range(1, rng.integers(3, 8)):
+            v += np.sin(2 * np.pi * f0 * k * t + rng.uniform(0, 6.28)) / k
+        am = 0.5 * (
+            1 + np.sin(2 * np.pi * rng.uniform(2, 8) * t + rng.uniform(0, 6.28))
+        )
+        sig += v * am * rng.uniform(0.2, 0.6)
+    return sig
+
+
 def synth_nonspeech(rng) -> tuple[np.ndarray, np.ndarray]:
     t = np.arange(CLIP) / SR
-    kind = rng.integers(0, 8)
+    kind = rng.integers(0, 9)
     if kind == 0:  # white noise
         sig = rng.standard_normal(CLIP)
     elif kind == 1:  # pink-ish noise
@@ -130,19 +148,35 @@ def synth_nonspeech(rng) -> tuple[np.ndarray, np.ndarray]:
         sig = rng.standard_normal(CLIP) * 1e-4
     elif kind == 6:  # music
         sig = synth_music(rng)
-    else:  # reverberant noise wash
+    elif kind == 7:  # reverberant noise wash
         sig = _reverb(rng, rng.standard_normal(CLIP))
+    else:  # babble (overlapping weak voices)
+        sig = synth_babble(rng)
     amp = rng.uniform(0.05, 0.5) if kind != 5 else 1.0
     sig = sig / (np.abs(sig).max() + 1e-9) * amp
     return sig.astype(np.float32), np.zeros(CLIP_WINDOWS, np.float32)
 
 
-def make_batch(rng, b):
-    feats = np.zeros((b, CLIP_WINDOWS, N_FEATS), np.float32)
+def _silero_feats(sig: np.ndarray) -> np.ndarray:
+    from whisperlive_tpu.audio import silero_vad as sv
+
+    feats, _ = sv.features_for_windows(sig, np.zeros(sv.CONTEXT, np.float32))
+    return feats
+
+
+def make_batch(rng, b, arch: str = "gru"):
+    if arch == "silero":
+        from whisperlive_tpu.audio import silero_vad as sv
+
+        feats = np.zeros(
+            (b, CLIP_WINDOWS, sv.N_FRAMES, sv.N_FREQS), np.float32
+        )
+    else:
+        feats = np.zeros((b, CLIP_WINDOWS, N_FEATS), np.float32)
     labels = np.zeros((b, CLIP_WINDOWS), np.float32)
     for i in range(b):
         sig, lab = synth_speechlike(rng) if i % 2 == 0 else synth_nonspeech(rng)
-        feats[i] = extract_features(sig)
+        feats[i] = _silero_feats(sig) if arch == "silero" else extract_features(sig)
         labels[i] = lab
     return feats, labels
 
@@ -152,10 +186,26 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=800)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--lr", type=float, default=3e-3)
-    parser.add_argument("--out", type=str,
-                        default="whisperlive_tpu/audio/vad_weights.npz")
+    parser.add_argument("--arch", choices=["gru", "silero"], default="gru",
+                        help="gru: 26-feature GRU(32); silero: the "
+                             "reference's exact streaming graph shape "
+                             "(512-sample windows, 64-sample context "
+                             "carry, 2x128 LSTM state) — silero ONNX "
+                             "weights drop in via "
+                             "audio/silero_vad.load_silero_onnx")
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--pool", type=int, default=0,
+                        help="pregenerate this many clips and sample "
+                             "batches from the pool (feature extraction "
+                             "dominates wall time for the silero arch)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
+    if args.out is None:
+        args.out = (
+            "whisperlive_tpu/audio/silero_vad_weights.npz"
+            if args.arch == "silero"
+            else "whisperlive_tpu/audio/vad_weights.npz"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -164,12 +214,26 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")  # tiny model: CPU is fine
 
     rng = np.random.default_rng(args.seed)
-    params = {k: jnp.asarray(v) for k, v in init_vad_params(args.seed).items()}
+    if args.arch == "silero":
+        from whisperlive_tpu.audio.silero_vad import (
+            init_silero_params,
+            silero_forward_jax,
+        )
+
+        params = {
+            k: jnp.asarray(v) for k, v in init_silero_params(args.seed).items()
+        }
+        forward = silero_forward_jax
+    else:
+        params = {
+            k: jnp.asarray(v) for k, v in init_vad_params(args.seed).items()
+        }
+        forward = gru_forward_jax
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
     def loss_fn(p, feats, labels):
-        _, logits = gru_forward_jax(p, feats)
+        _, logits = forward(p, feats)
         return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 
     @jax.jit
@@ -178,8 +242,17 @@ def main() -> None:
         updates, o = opt.update(grads, o)
         return optax.apply_updates(p, updates), o, loss
 
+    pool = None
+    if args.pool:
+        pool = make_batch(rng, args.pool, arch=args.arch)
+        print(f"pregenerated {args.pool}-clip pool")
+
     for i in range(args.steps):
-        feats, labels = make_batch(rng, args.batch)
+        if pool is not None:
+            idx = rng.integers(0, args.pool, args.batch)
+            feats, labels = pool[0][idx], pool[1][idx]
+        else:
+            feats, labels = make_batch(rng, args.batch, arch=args.arch)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(feats),
                                        jnp.asarray(labels))
         if i % 100 == 0 or i == args.steps - 1:
@@ -187,7 +260,9 @@ def main() -> None:
 
     # held-out eval: accuracy + ROC AUC, learned vs the energy heuristic
     np_params = {k: np.asarray(v) for k, v in params.items()}
-    acc, auc_l, auc_e = evaluate(np_params, seed=args.seed + 999, n_clips=128)
+    acc, auc_l, auc_e = evaluate(
+        np_params, seed=args.seed + 999, n_clips=128, arch=args.arch
+    )
     print(f"held-out window accuracy: {acc:.3f}")
     print(f"held-out ROC AUC: learned {auc_l:.3f} vs energy {auc_e:.3f}")
 
@@ -207,14 +282,20 @@ def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
-def evaluate(np_params: dict, seed: int, n_clips: int = 128):
+def evaluate(np_params: dict, seed: int, n_clips: int = 128,
+             arch: str = "gru"):
     """Held-out accuracy + per-window ROC AUC for the learned model and the
     energy heuristic on the same clips (VERDICT r1 item 5)."""
     from whisperlive_tpu.audio.vad import EnergyVAD
     from whisperlive_tpu.audio.vad_model import LearnedVAD
 
     rng = np.random.default_rng(seed)
-    learned = LearnedVAD(np_params)
+    if arch == "silero":
+        from whisperlive_tpu.audio.silero_vad import SileroShapedVAD
+
+        learned = SileroShapedVAD(np_params)
+    else:
+        learned = LearnedVAD(np_params)
     all_labels, all_l, all_e = [], [], []
     for i in range(n_clips):
         sig, lab = synth_speechlike(rng) if i % 2 == 0 else synth_nonspeech(rng)

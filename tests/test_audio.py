@@ -157,10 +157,12 @@ def test_learned_vad_beats_energy_on_tones():
 
 
 def test_vad_detector_uses_learned_by_default():
-    from whisperlive_tpu.audio.vad_model import LearnedVAD
+    from whisperlive_tpu.audio.silero_vad import SileroShapedVAD
 
     vad = vad_mod.VoiceActivityDetector()
-    assert isinstance(vad._model, LearnedVAD)
+    # preference order: silero-shaped (the reference's exact streaming
+    # contract) over the compact GRU, never the energy heuristic
+    assert isinstance(vad._model, SileroShapedVAD)
     # opt-out
     e = vad_mod.VoiceActivityDetector(use_learned=False)
     assert isinstance(e._model, vad_mod.EnergyVAD)
@@ -184,10 +186,10 @@ def test_offline_vad_uses_learned_model():
     when its weights ship (VERDICT r1 weak #4: it used to hard-code the
     energy heuristic)."""
     from whisperlive_tpu.audio import vad as vad_mod
-    from whisperlive_tpu.audio.vad_model import LearnedVAD, weights_available
+    from whisperlive_tpu.audio.silero_vad import SileroShapedVAD, weights_available
 
-    assert weights_available(), "shipped vad_weights.npz missing"
-    assert isinstance(vad_mod._default_model(), LearnedVAD)
+    assert weights_available(), "shipped silero_vad_weights.npz missing"
+    assert isinstance(vad_mod._default_model(), SileroShapedVAD)
     # a loud stationary tone: the learned model rejects it, energy passes it
     t = np.arange(16000 * 3) / 16000
     tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
@@ -212,3 +214,133 @@ def test_learned_vad_beats_energy_on_held_out_set():
     acc, auc_learned, auc_energy = tv.evaluate(params, seed=1234, n_clips=48)
     assert auc_learned > 0.9, auc_learned
     assert auc_learned > auc_energy + 0.1, (auc_learned, auc_energy)
+
+
+# ---------------------------------------------------------------------------
+# Silero-shaped streaming VAD (audio/silero_vad.py)
+# ---------------------------------------------------------------------------
+
+
+def _rand_silero_params(seed=0):
+    from whisperlive_tpu.audio.silero_vad import init_silero_params
+
+    return init_silero_params(seed)
+
+
+def test_silero_shaped_contract():
+    """The reference's exact streaming contract: 512-sample windows,
+    64-sample context carry, (2, 128) recurrent state."""
+    from whisperlive_tpu.audio import silero_vad as sv
+
+    assert sv.WINDOW == 512 and sv.CONTEXT == 64 and sv.HIDDEN == 128
+    m = sv.SileroShapedVAD(_rand_silero_params())
+    assert m.state.shape == (2, 128)
+    rng = np.random.default_rng(0)
+    probs = m.update(rng.standard_normal(512 * 5).astype(np.float32))
+    assert probs.shape == (5,)
+    assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_silero_shaped_chunking_invariance():
+    """Streaming in arbitrary chunk sizes must equal one whole-signal pass:
+    the 64-sample context carry and LSTM state round-trip exactly."""
+    from whisperlive_tpu.audio import silero_vad as sv
+
+    rng = np.random.default_rng(1)
+    sig = (rng.standard_normal(512 * 12) * 0.3).astype(np.float32)
+    params = _rand_silero_params(1)
+    whole = sv.SileroShapedVAD(params).update(sig)
+    m = sv.SileroShapedVAD(params)
+    parts = []
+    for n_win in (1, 3, 2, 6):
+        take, sig = sig[: n_win * 512], sig[n_win * 512:]
+        parts.append(m.update(take))
+    np.testing.assert_allclose(np.concatenate(parts), whole, atol=1e-6)
+
+
+def _write_onnx(path, tensors):
+    """Minimal ONNX writer: ModelProto{graph{initializer...}} with the
+    fields read_onnx_initializers parses (dims/data_type/name/raw_data)."""
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def field(num, wt, payload):
+        if wt == 0:
+            return varint((num << 3) | 0) + varint(payload)
+        return varint((num << 3) | 2) + varint(len(payload)) + payload
+
+    inits = b""
+    for name, arr in tensors:
+        t = b""
+        for d in arr.shape:
+            t += field(1, 0, d)
+        t += field(2, 0, 1)  # float32
+        t += field(8, 2, name.encode())
+        t += field(9, 2, np.ascontiguousarray(arr, np.float32).tobytes())
+        inits += field(5, 2, t)
+    with open(path, "wb") as f:
+        f.write(field(7, 2, inits))  # graph
+
+
+def test_silero_onnx_loader_roundtrip(tmp_path):
+    """load_silero_onnx must reconstruct the model from ONNX-layout
+    tensors (conv [C_out,C_in,k], LSTM W/R [1,4H,C] with concatenated
+    Wb|Rb bias, conv head [1,1,H]) — the ingestion path for real silero
+    weights if a file is ever present."""
+    from whisperlive_tpu.audio import silero_vad as sv
+
+    p = _rand_silero_params(2)
+    h4 = 4 * sv.HIDDEN
+    rngb = np.random.default_rng(3)
+    rb = rngb.standard_normal(h4).astype(np.float32) * 0.1
+    tensors = []
+    for i, _ in enumerate(sv.ENC_CHANNELS):
+        tensors.append((f"enc.{i}.weight",
+                        np.transpose(p[f"enc{i}_w"], (2, 1, 0))))
+        tensors.append((f"enc.{i}.bias", p[f"enc{i}_b"]))
+    tensors += [
+        ("lstm.W", p["lstm_wx"].T.reshape(1, h4, -1)),
+        ("lstm.R", p["lstm_wh"].T.reshape(1, h4, sv.HIDDEN)),
+        ("lstm.B", np.concatenate([p["lstm_b"] - rb, rb]).reshape(1, -1)),
+        ("head.weight", p["out_w"].reshape(1, 1, sv.HIDDEN)),
+        ("head.bias", p["out_b"]),
+    ]
+    path = str(tmp_path / "silero.onnx")
+    _write_onnx(path, tensors)
+    loaded = sv.load_silero_onnx(path)
+    for k in p:
+        np.testing.assert_allclose(loaded[k], p[k], atol=1e-6, err_msg=k)
+
+    # and the loaded model streams identically
+    sig = (np.random.default_rng(4).standard_normal(512 * 4) * 0.2).astype(
+        np.float32
+    )
+    a = sv.SileroShapedVAD(p).update(sig)
+    b = sv.SileroShapedVAD(loaded).update(sig)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_silero_shaped_roc_beats_energy():
+    """The shipped silero-shaped weights must separate synthetic speech
+    from music/babble/tones far better than the energy heuristic (held-out
+    seed; ROC published by scripts/train_vad.py --arch silero)."""
+    from whisperlive_tpu.audio import silero_vad as sv
+
+    if not sv.weights_available():
+        import pytest
+
+        pytest.skip("silero-shaped weights not trained yet")
+    import scripts.train_vad as tv
+
+    data = np.load(sv.WEIGHTS_PATH)
+    params = {k: data[k] for k in data.files}
+    acc, auc_l, auc_e = tv.evaluate(params, seed=4321, n_clips=48,
+                                    arch="silero")
+    assert auc_l > 0.9, auc_l
+    assert auc_l > auc_e + 0.1, (auc_l, auc_e)

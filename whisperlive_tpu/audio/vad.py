@@ -93,17 +93,34 @@ class EnergyVAD:
 
 
 def _default_model(use_learned: Optional[bool] = None):
-    """Learned GRU VAD when its weight file ships, else the energy model.
+    """Learned VAD when a weight file ships, else the energy model.
 
-    The learned model (audio/vad_model.py, trained by scripts/train_vad.py
-    on synthetic speech-vs-noise) rejects amplitude-matched tones/chirps the
-    energy heuristic cannot; set use_learned=False (or WL_VAD=energy) to
-    force the heuristic.
+    Preference order (override with WL_VAD=silero|gru|energy):
+      1. the silero-SHAPED streaming model (audio/silero_vad.py — the
+         reference's exact contract: 512-sample windows, 64-sample context
+         carry, 2x128 LSTM state; real silero ONNX weights drop in via
+         load_silero_onnx, or WL_SILERO_ONNX=<path> at startup);
+      2. the compact GRU model (audio/vad_model.py);
+      3. the adaptive energy heuristic.
+    Both learned models are trained by scripts/train_vad.py on synthetic
+    speech vs noise/tones/chirps/clicks/music/babble.
     """
     import os
 
+    choice = os.environ.get("WL_VAD", "")
     if use_learned is None:
-        use_learned = os.environ.get("WL_VAD", "") != "energy"
+        use_learned = choice != "energy"
+    if use_learned and choice != "gru":
+        try:
+            from whisperlive_tpu.audio import silero_vad as sv
+
+            onnx_path = os.environ.get("WL_SILERO_ONNX")
+            if onnx_path and os.path.exists(onnx_path):
+                return sv.SileroShapedVAD(sv.load_silero_onnx(onnx_path))
+            if sv.weights_available():
+                return sv.SileroShapedVAD()
+        except Exception:  # corrupt/missing weights: fall through
+            pass
     if use_learned:
         try:
             from whisperlive_tpu.audio.vad_model import LearnedVAD, weights_available

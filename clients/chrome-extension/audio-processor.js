@@ -9,7 +9,8 @@ class PCM16kProcessor extends AudioWorkletProcessor {
     this.acc = [];
     this.accLen = 0;
     this.blockSamples = 4096; // ~0.25 s at 16 kHz
-    this.phase = 0;
+    this.phase = 0; // block-relative position, may sit in [-1, 0) at a seam
+    this.prev = 0; // last sample of the previous block (seam interpolation)
   }
 
   process(inputs) {
@@ -22,16 +23,23 @@ class PCM16kProcessor extends AudioWorkletProcessor {
       const ch = input[c];
       for (let i = 0; i < n; i++) mono[i] += ch[i] / input.length;
     }
-    // linear-interp resample to 16 kHz
+    // Linear-interp resample to 16 kHz over [prev | mono]: at non-integer
+    // ratios (44.1 kHz tabs) the phase crosses block boundaries mid-
+    // interval, so the seam interpolates against the carried last sample
+    // instead of reading mono[-1] or dropping the final interval.
+    const ext = new Float32Array(n + 1);
+    ext[0] = this.prev;
+    ext.set(mono, 1);
     const out = [];
-    let ph = this.phase;
-    while (ph < n - 1) {
-      const i = Math.floor(ph);
-      const frac = ph - i;
-      out.push(mono[i] * (1 - frac) + mono[i + 1] * frac);
-      ph += this.ratio;
+    let ep = this.phase + 1; // position in ext coordinates
+    while (ep < n) {
+      const i = Math.floor(ep);
+      const frac = ep - i;
+      out.push(ext[i] * (1 - frac) + ext[i + 1] * frac);
+      ep += this.ratio;
     }
-    this.phase = ph - n;
+    this.phase = ep - 1 - n;
+    this.prev = mono[n - 1];
     if (out.length) {
       this.acc.push(Float32Array.from(out));
       this.accLen += out.length;

@@ -56,18 +56,27 @@ async function start(tabId) {
   const src = ctx.createMediaStreamSource(stream);
   const proc = ctx.createScriptProcessor(4096, 1, 1);
   const ratio = ctx.sampleRate / 16000;
-  let phase = 0;
+  let phase = 0; // block-relative, may sit in [-1, 0) at a seam
+  let prev = 0; // last sample of the previous block (seam interpolation)
   proc.onaudioprocess = (e) => {
     const input = e.inputBuffer.getChannelData(0);
+    const n = input.length;
+    // resample over [prev | input]: at non-integer ratios (44.1 kHz) the
+    // phase crosses block boundaries mid-interval — interpolate the seam
+    // against the carried last sample instead of reading input[-1]
+    const ext = new Float32Array(n + 1);
+    ext[0] = prev;
+    ext.set(input, 1);
     const out = [];
-    let ph = phase;
-    while (ph < input.length - 1) {
-      const i = Math.floor(ph);
-      const frac = ph - i;
-      out.push(input[i] * (1 - frac) + input[i + 1] * frac);
-      ph += ratio;
+    let ep = phase + 1;
+    while (ep < n) {
+      const i = Math.floor(ep);
+      const frac = ep - i;
+      out.push(ext[i] * (1 - frac) + ext[i + 1] * frac);
+      ep += ratio;
     }
-    phase = ph - input.length;
+    phase = ep - 1 - n;
+    prev = input[n - 1];
     if (ws && ws.readyState === WebSocket.OPEN && out.length) {
       ws.send(Float32Array.from(out).buffer);
     }

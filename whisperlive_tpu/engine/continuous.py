@@ -1002,14 +1002,18 @@ class ContinuousScheduler:
             self.cb.init_state()
         opts = TranscribeOptions()
         prompt, sot = eng.build_prompt(opts, language="en")
+        # compile up to the bucket n_slots ROUNDS UP to, not n_slots
+        # itself: a wave of n_slots=3 inserts pads to the j=4 program
+        max_bucket = _bucket(self.cb.n_slots, INSERT_BUCKETS)
         for enc_ctx in self.cb.enc_buckets:
             for j in INSERT_BUCKETS:
-                if j > self.cb.n_slots:
+                if j > max_bucket:
                     continue
+                slots = [min(i, self.cb.n_slots - 1) for i in range(j)]
                 self.cb.insert(
                     np.zeros((j, mel_ops.N_SAMPLES), np.float32),
                     [prompt] * j, [sot] * j, [True] * j,
-                    list(range(j)), [0.0] * j, [True] * j, [1.0] * j,
+                    slots, [0.0] * j, [True] * j, [1.0] * j,
                     [8] * j, enc_ctx=enc_ctx,
                 )
                 self._gstep = self._gstep  # unchanged by inserts

@@ -77,6 +77,39 @@ def synth_utterance(rng, prof: dict) -> np.ndarray:
     return sig.astype(np.float32)
 
 
+def apply_channel(rng, sig: np.ndarray) -> np.ndarray:
+    """Utterance-level nuisances the embedding must IGNORE: room reverb,
+    additive noise at varied SNR, and channel EQ (mic/telephone coloring).
+    Real speaker verification is dominated by channel mismatch, not voice
+    similarity — training with per-utterance channels forces the embedder
+    onto the speaker traits (f0, formants, tilt) instead of the recording."""
+    out = sig.astype(np.float64)
+    if rng.random() < 0.5:  # room
+        rt = rng.uniform(0.05, 0.35)
+        n = int(rt * SR)
+        rir = rng.standard_normal(n) * np.exp(-np.arange(n) / (rt * SR / 6.9))
+        rir[0] = 1.0
+        out = np.convolve(out, rir)[: len(sig)]
+    if rng.random() < 0.7:  # noise
+        snr_db = rng.uniform(5, 30)
+        noise = rng.standard_normal(len(out))
+        if rng.random() < 0.5:  # pink-ish
+            spec = np.fft.rfft(noise)
+            spec /= np.maximum(np.fft.rfftfreq(len(out), 1 / SR), 20) ** 0.5
+            noise = np.fft.irfft(spec, n=len(out))
+        g = out.std() / (noise.std() + 1e-9) * 10 ** (-snr_db / 20)
+        out = out + g * noise
+    if rng.random() < 0.5:  # channel EQ: random spectral tilt / bandpass
+        spec = np.fft.rfft(out)
+        freqs = np.fft.rfftfreq(len(out), 1 / SR)
+        tilt = (np.maximum(freqs, 50) / 1000.0) ** rng.uniform(-0.4, 0.4)
+        if rng.random() < 0.3:  # telephone-ish band
+            tilt = tilt * (freqs > 250) * (freqs < 3600)
+        out = np.fft.irfft(spec * tilt, n=len(out))
+    out = out / (np.abs(out).max() + 1e-9) * rng.uniform(0.08, 0.4)
+    return out.astype(np.float32)
+
+
 def feats_fixed(audio: np.ndarray) -> np.ndarray:
     f = extract_features(audio)
     if f.shape[0] >= FRAMES:
@@ -92,6 +125,13 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=2e-3)
     parser.add_argument("--scale", type=float, default=12.0,
                         help="cosine-logit scale for the softmax head")
+    parser.add_argument("--margin", type=float, default=0.2,
+                        help="additive angular margin on the target cosine "
+                             "(AAM-softmax, the standard speaker-"
+                             "verification objective) — 0 disables")
+    parser.add_argument("--no_channel", action="store_true",
+                        help="disable per-utterance reverb/noise/EQ "
+                             "augmentation")
     parser.add_argument("--out", type=str,
                         default="whisperlive_tpu/audio/speaker_weights.npz")
     parser.add_argument("--seed", type=int, default=0)
@@ -113,10 +153,16 @@ def main() -> None:
     opt_state = opt.init(params)
     scale = args.scale
 
+    margin = args.margin
+
     def loss_fn(p, feats, labels):
         emb = embed_jax(p, feats)  # [B, E] normalized
         wc = p["wc"] / (jnp.linalg.norm(p["wc"], axis=0, keepdims=True) + 1e-8)
-        logits = scale * (emb @ wc)
+        cos = emb @ wc
+        # AAM: subtract the margin from the TARGET class cosine only, so
+        # same-speaker embeddings must clear other speakers by >= margin
+        onehot = jax.nn.one_hot(labels, cos.shape[1], dtype=cos.dtype)
+        logits = scale * (cos - margin * onehot)
         return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
     @jax.jit
@@ -127,9 +173,10 @@ def main() -> None:
 
     for i in range(args.steps):
         labels = rng.integers(0, args.n_speakers, args.batch)
-        feats = np.stack(
-            [feats_fixed(synth_utterance(rng, profiles[l])) for l in labels]
-        )
+        utts = [synth_utterance(rng, profiles[l]) for l in labels]
+        if not args.no_channel:
+            utts = [apply_channel(rng, u) for u in utts]
+        feats = np.stack([feats_fixed(u) for u in utts])
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(feats), jnp.asarray(labels)
         )
@@ -137,14 +184,24 @@ def main() -> None:
             print(f"step {i}: loss {float(loss):.4f}")
 
     np_params = {k: np.asarray(v) for k, v in params.items()}
-    auc_l, auc_s = evaluate(np_params, seed=args.seed + 7777)
-    print(f"held-out verification AUC: learned {auc_l:.3f} vs spectral {auc_s:.3f}")
+    (auc_l, eer_l), (auc_s, eer_s) = evaluate(
+        np_params, seed=args.seed + 7777, channel=not args.no_channel
+    )
+    print(
+        f"held-out verification (channel-mismatched): learned AUC {auc_l:.3f}"
+        f" EER {eer_l * 100:.1f}% vs spectral AUC {auc_s:.3f}"
+        f" EER {eer_s * 100:.1f}%"
+    )
     np.savez(args.out, **np_params)
     print(f"saved {args.out}")
 
 
-def evaluate(np_params: dict, seed: int, n_speakers: int = 24, n_utt: int = 4):
-    """Same/diff-speaker cosine verification AUC on held-out profiles."""
+def evaluate(np_params: dict, seed: int, n_speakers: int = 24, n_utt: int = 4,
+             channel: bool = True):
+    """Same/diff-speaker cosine verification on held-out profiles, each
+    utterance through an independent random channel (the real-world test:
+    verification must survive recording mismatch). Returns
+    ((auc, eer), (auc, eer)) for the learned and spectral embedders."""
     from whisperlive_tpu.audio.speaker_model import LearnedSpeakerEmbedder
     from whisperlive_tpu.diarization import SpectralEmbedder
 
@@ -156,12 +213,14 @@ def evaluate(np_params: dict, seed: int, n_speakers: int = 24, n_utt: int = 4):
     for si, p in enumerate(profs):
         for _ in range(n_utt):
             a = synth_utterance(rng, p)
+            if channel:
+                a = apply_channel(rng, a)
             embs_l.append(learned(a))
             embs_s.append(spectral(a))
             who.append(si)
     who = np.asarray(who)
 
-    def auc(embs):
+    def auc_eer(embs):
         embs = np.stack(embs)
         sims, labels = [], []
         n = len(embs)
@@ -176,9 +235,19 @@ def evaluate(np_params: dict, seed: int, n_speakers: int = 24, n_utt: int = 4):
         ranks[order] = np.arange(1, len(sims) + 1)
         pos = labels > 0.5
         n_pos, n_neg = int(pos.sum()), int((~pos).sum())
-        return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+        auc = float(
+            (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        )
+        # EER: threshold where false-accept rate == false-reject rate
+        desc = np.argsort(-sims, kind="mergesort")
+        lab = labels[desc]
+        fa = np.cumsum(1 - lab) / max(n_neg, 1)  # accepted impostors
+        fr = 1.0 - np.cumsum(lab) / max(n_pos, 1)  # rejected targets
+        k = int(np.argmin(np.abs(fa - fr)))
+        eer = float((fa[k] + fr[k]) / 2)
+        return auc, eer
 
-    return auc(embs_l), auc(embs_s)
+    return auc_eer(embs_l), auc_eer(embs_s)
 
 
 if __name__ == "__main__":

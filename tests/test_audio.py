@@ -290,24 +290,34 @@ def _write_onnx(path, tensors):
 
 def test_silero_onnx_loader_roundtrip(tmp_path):
     """load_silero_onnx must reconstruct the model from ONNX-layout
-    tensors (conv [C_out,C_in,k], LSTM W/R [1,4H,C] with concatenated
-    Wb|Rb bias, conv head [1,1,H]) — the ingestion path for real silero
-    weights if a file is ever present."""
+    tensors (conv [C_out,C_in,k], LSTM W/R [1,4H,C] in the ONNX op's
+    iofc GATE ORDER with concatenated Wb|Rb bias, conv head [1,1,H]) —
+    the ingestion path for real silero weights if a file is ever
+    present. The loader must permute iofc -> this module's ifgo."""
     from whisperlive_tpu.audio import silero_vad as sv
 
     p = _rand_silero_params(2)
     h4 = 4 * sv.HIDDEN
     rngb = np.random.default_rng(3)
     rb = rngb.standard_normal(h4).astype(np.float32) * 0.1
+
+    def to_iofc(arr_4h_first):
+        # ours (i, f, g, o) -> ONNX LSTM (i, o, f, c)
+        blocks = arr_4h_first.reshape(4, sv.HIDDEN, *arr_4h_first.shape[1:])
+        i, f, g, o = blocks
+        return np.concatenate([i, o, f, g], axis=0)
+
     tensors = []
     for i, _ in enumerate(sv.ENC_CHANNELS):
         tensors.append((f"enc.{i}.weight",
                         np.transpose(p[f"enc{i}_w"], (2, 1, 0))))
         tensors.append((f"enc.{i}.bias", p[f"enc{i}_b"]))
     tensors += [
-        ("lstm.W", p["lstm_wx"].T.reshape(1, h4, -1)),
-        ("lstm.R", p["lstm_wh"].T.reshape(1, h4, sv.HIDDEN)),
-        ("lstm.B", np.concatenate([p["lstm_b"] - rb, rb]).reshape(1, -1)),
+        ("lstm.W", to_iofc(p["lstm_wx"].T).reshape(1, h4, -1)),
+        ("lstm.R", to_iofc(p["lstm_wh"].T).reshape(1, h4, sv.HIDDEN)),
+        ("lstm.B",
+         np.concatenate([to_iofc(p["lstm_b"]) - to_iofc(rb),
+                         to_iofc(rb)]).reshape(1, -1)),
         ("head.weight", p["out_w"].reshape(1, 1, sv.HIDDEN)),
         ("head.bias", p["out_b"]),
     ]

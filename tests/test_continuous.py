@@ -1034,3 +1034,38 @@ def test_continuous_scheduler_dp_x_tp_parity(rng):
         sched.stop()
     assert base == sharded
     assert any(len(t) > 0 for t in base)
+
+
+def test_ring_wrap_preserves_finished_hypothesis(engine, rng):
+    """A slot that decodes to the ring cap and then idles (finished,
+    awaiting harvest) must keep its FULL hypothesis: once gstep wraps,
+    the uniform ring column lands back inside the finished slot's tokens
+    and the write must preserve, not overwrite with EOT. (Live at
+    ring=128 defaults: a token-dense window can hit gen_len = ring-1.)"""
+    ring = 16
+    cb = ContinuousEngine(engine, n_slots=2, prompt_pad=16, ring=ring,
+                          steps_per_chunk=4, cross_ctx=1500)
+    cb.init_state()
+    p, s = engine.build_prompt(OPTS, language="en")
+    a = _audio(rng, 3.0)
+    b = _audio(rng, 2.0)
+    # slot 0: budget ring-1 (hits the cap); slot 1 joins later and keeps
+    # the loop stepping past the wrap while slot 0 idles finished
+    cb.insert(np.stack([a]), [p], [s], [True], [0], [0.0], [True], [1.0],
+              [ring - 1])
+    status = cb.step()
+    cb.insert(np.stack([b]), [p], [s], [True], [1], [0.0], [True], [1.0],
+              [ring - 1])
+    for _ in range(12):  # gstep advances well past ring
+        status = cb.step()
+        if status[0, 1] > 0.5 and status[1, 1] > 0.5:
+            pass  # keep stepping anyway: the wrap is the point
+    assert status[0, 1] > 0.5
+    gen = int(status[0, 2])
+    assert gen == ring - 1
+    toks = [int(t) for t in cb.harvest(0, 0, gen)
+            if t != engine.spec.eot]
+    ref = _lockstep_tokens(engine, a, ring - 1)[: ring - 1]
+    # no EOT holes: the leading tokens survive the ring wrap intact
+    assert toks == [t for t in ref if t != engine.spec.eot][: len(toks)]
+    assert len(toks) >= ring - 2

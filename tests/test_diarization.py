@@ -174,3 +174,29 @@ def test_learned_diarizer_clusters_hard_pair():
     assert len(set(labels_a)) == 1
     assert len(set(labels_b)) == 1
     assert set(labels_a) != set(labels_b)
+
+
+def test_learned_embedder_survives_channel_mismatch():
+    """Same speaker through two DIFFERENT channels (reverb/noise/EQ) must
+    still match above the clustering threshold, and different speakers
+    through the same channel must stay apart — the real-world test
+    (recording mismatch dominates voice similarity). Trained with
+    per-utterance channel augmentation + AAM margin (round 3)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from train_speaker import apply_channel, make_profile, synth_utterance
+
+    from whisperlive_tpu.audio.speaker_model import LearnedSpeakerEmbedder
+
+    rng = np.random.default_rng(5)
+    emb = LearnedSpeakerEmbedder()
+    pa, pb = make_profile(rng), make_profile(rng)
+    a1 = emb(apply_channel(rng, synth_utterance(rng, pa)))
+    a2 = emb(apply_channel(rng, synth_utterance(rng, pa)))
+    b1 = emb(apply_channel(rng, synth_utterance(rng, pb)))
+    same = float(a1 @ a2)
+    diff = max(float(a1 @ b1), float(a2 @ b1))
+    assert same > 0.55, same  # clustering threshold (diarization.py)
+    assert same > diff + 0.1, (same, diff)

@@ -336,14 +336,27 @@ def load_silero_onnx(path: str) -> dict:
         lambda n, t: t.size == h4 * HIDDEN and t.ndim in (2, 3),
         f"LSTM recurrent weights (4H x {HIDDEN})",
     )
-    params["lstm_wx"] = wx.reshape(h4, -1).T.astype(np.float32)
-    params["lstm_wh"] = wh.reshape(h4, HIDDEN).T.astype(np.float32)
     b = take(
         lambda n, t: t.size in (h4, 2 * h4), "LSTM bias (4H or 8H)"
     )
     bb = b.reshape(-1).astype(np.float32)
-    # ONNX LSTM concatenates input and recurrent biases; torch keeps two
-    params["lstm_b"] = bb[:h4] + bb[h4:] if bb.size == 2 * h4 else bb
+    # Gate order: the ONNX LSTM op concatenates gate blocks as [i, o, f, c]
+    # while this module (torch convention) uses [i, f, g(cell), o]. An 8H
+    # concatenated Wb|Rb bias marks an ONNX-LSTM-op export -> permute; a
+    # 4H bias marks torch-convention weights -> already ifgo.
+    onnx_lstm = bb.size == 2 * h4
+
+    def gates(arr_4h_first: np.ndarray) -> np.ndarray:
+        if not onnx_lstm:
+            return arr_4h_first
+        blocks = arr_4h_first.reshape(4, HIDDEN, *arr_4h_first.shape[1:])
+        i, o, f, c = blocks
+        return np.concatenate([i, f, c, o], axis=0)
+
+    params["lstm_wx"] = gates(wx.reshape(h4, -1)).T.astype(np.float32)
+    params["lstm_wh"] = gates(wh.reshape(h4, HIDDEN)).T.astype(np.float32)
+    merged = bb[:h4] + bb[h4:] if onnx_lstm else bb
+    params["lstm_b"] = gates(merged).astype(np.float32)
     head = take(
         lambda n, t: t.size == HIDDEN and t.ndim >= 2,
         f"output head ({HIDDEN} weights, ndim >= 2)",

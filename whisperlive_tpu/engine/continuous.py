@@ -626,8 +626,15 @@ class ContinuousEngine:
                     )
 
                 col = jnp.mod(gstep, ring)
+                # non-writing rows (finished/inactive) must PRESERVE the
+                # ring cell: once gstep wraps past ring, the uniform column
+                # lands back inside a finished slot's hypothesis, and an
+                # unconditional EOT write would eat its leading tokens
+                # before harvest (reachable at gen_len near ring-1)
+                keep = _ring_col(st["sampled"], col)
                 st["sampled"] = jax.lax.dynamic_update_slice_in_dim(
-                    st["sampled"], tok[:, None], col, axis=1
+                    st["sampled"], jnp.where(write, tok, keep)[:, None],
+                    col, axis=1,
                 )
                 is_ts = (tok >= spec.timestamp_begin) & write
                 st["last_ts"] = jnp.where(is_ts, tok, st["last_ts"])
@@ -785,21 +792,27 @@ class ContinuousEngine:
 
         # Defensive boundary clamp: callers (_insert_take, warmup) trim
         # prompts to the continuous prompt region, but a future call site
-        # that misses one trim rule must degrade, not fail the request —
-        # drop the OLDEST conditioning tokens, keep the steering tail, and
-        # shift the sot index accordingly.
+        # that misses one trim rule must degrade, not fail the request.
+        # Drop only HEAD tokens BEFORE the sot index (previous-text
+        # conditioning — a soft prior); never cut into the sot sequence
+        # itself, which would mis-anchor every position. If the steering
+        # tail alone still overflows, truncate its END (forced-prefix
+        # tokens) — shorter prefix, but positions stay consistent.
         prompts = list(prompts)
         sot_idx = list(sot_idx)
         for i, p in enumerate(prompts):
             if len(p) > self.prompt_pad:
-                drop = len(p) - self.prompt_pad
+                over = len(p) - self.prompt_pad
+                drop = min(over, int(sot_idx[i]))
                 logger.warning(
                     "insert prompt (%d) exceeds continuous prompt region "
-                    "(%d); clamping oldest %d tokens",
+                    "(%d); dropping %d conditioning tokens%s",
                     len(p), self.prompt_pad, drop,
+                    "" if drop == over else " and truncating the tail",
                 )
-                prompts[i] = list(p)[drop:]
-                sot_idx[i] = max(int(sot_idx[i]) - drop, 0)
+                p = list(p)[drop:]
+                sot_idx[i] = int(sot_idx[i]) - drop
+                prompts[i] = p[: self.prompt_pad]
 
         parr, plen = eng._pad_prompts(pad(prompts))
         # the engine's prompt BUCKETS may overshoot the region, so clamp
@@ -844,8 +857,10 @@ class ContinuousEngine:
         return np.asarray(lang_probs[:j], np.float32)
 
     def step(self) -> np.ndarray:
-        """Run one chunk of decode steps; returns the packed status [B, 5]:
-        columns (active, finished, gen_len, sum_logprob, ns_prob)."""
+        """Run one chunk of decode steps; returns the packed per-SLOT
+        status [n_slots, 6]: columns (active, all-lanes-finished, gen_len
+        of the winning lane, its sum_logprob, ns_prob, winner lane index).
+        Harvest the winner's ring row at slot * beam_width + winner."""
         eng = self.eng
         with eng._lock:
             self.state = self._step_fn(eng.params, self.state, self.steps_per_chunk)

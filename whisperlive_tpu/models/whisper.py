@@ -298,7 +298,8 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     x = mel.astype(cfg.dtype)
     x = jax.nn.gelu(_conv1d(x, p["conv1"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, p["conv2"], 2), approximate=False)
-    x = x + p["pos"][: x.shape[1]].astype(cfg.dtype)
+    pos = p["pos"] if x.shape[1] == p["pos"].shape[0] else p["pos"][: x.shape[1]]
+    x = x + pos.astype(cfg.dtype)
 
     def block(x, lp):
         h = _layer_norm(x, lp["attn_ln"])

@@ -49,13 +49,19 @@ def pack_int4(values: jax.Array) -> jax.Array:
     ).astype(jnp.int8)
 
 
-def _cross_attn_int4_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _cross_attn_int4_kernel(*refs, scale: float, masked: bool = True):
     """Decode-step cross-attention over int4-packed KV, unpacked in VMEM.
 
     Per grid cell = one (batch, head). Block shapes: q/out [1, H, hd] (the
     head row is selected dynamically — Mosaic requires sublane dims to be 8-
     divisible or whole), k/v [1, 1, T, hd/2] int8 packed head-major. No
-    reshapes inside — Mosaic cannot shape-cast across the lane dimension."""
+    reshapes inside — Mosaic cannot shape-cast across the lane dimension.
+    masked=True adds a [B] SMEM lengths ref as the first operand."""
+    if masked:
+        len_ref, q_ref, k_ref, v_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        len_ref = None
     n_head = q_ref.shape[1]
     hd2 = k_ref.shape[-1]
     dtype = q_ref.dtype
@@ -83,8 +89,11 @@ def _cross_attn_int4_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float
             + jax.lax.dot_general(q[:, hd2:], k_hi, contract,
                                   preferred_element_type=jnp.float32)
         ) * scale  # [1, T]
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < len_ref[pl.program_id(0)], scores, NEG_INF)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(
+                col < len_ref[pl.program_id(0)], scores, NEG_INF
+            )
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
 
         v_lo, v_hi = nibbles(v_ref[0, h])
@@ -110,34 +119,42 @@ def cross_attention_int4(
     Exists because a jnp unpack of loop-invariant KV gets hoisted out of
     the decode while-loop by XLA, materializing a full-precision copy.
     `lengths` masks positions >= lengths[b] (reduced-context windows share
-    the full-size KV region; the tail holds stale data)."""
+    the full-size KV region; the tail holds stale data); None compiles the
+    UNMASKED kernel (zero overhead on the full-context path)."""
     b, h, t, hd2 = k4.shape
     hd = hd2 * 2
-    if lengths is None:
-        lengths = jnp.full((b,), t, jnp.int32)
+    masked = lengths is not None
+    specs = [
+        pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k4, v4]
+    if masked:
+        # whole [B] vector in SMEM (Mosaic requires rank-1 blocks to
+        # cover the array); the kernel indexes it by program_id
+        specs.insert(
+            0, pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+        )
+        args.insert(0, lengths.astype(jnp.int32))
     out = pl.pallas_call(
-        functools.partial(_cross_attn_int4_kernel, scale=hd**-0.5),
+        functools.partial(
+            _cross_attn_int4_kernel, scale=hd**-0.5, masked=masked
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
         grid=(b,),
-        in_specs=[
-            # whole [B] vector in SMEM (Mosaic requires rank-1 blocks to
-            # cover the array); the kernel indexes it by program_id
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), q, k4, v4)
+    )(*args)
     return out
 
 
-def _cross_attn_int8_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _cross_attn_int8_kernel(*refs, scale: float, masked: bool = True):
     """Decode-step cross-attention over int8 KV, dequantized in VMEM.
 
     Per grid cell = one (batch, head-set). Block shapes: q/out [1, H, hd],
@@ -146,7 +163,15 @@ def _cross_attn_int8_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float
     while_loop, so XLA hoists a jnp dequant out of the loop and
     materializes a full bf16 copy in HBM — the int8 storage then saves no
     per-step traffic. Here the int8 bytes stream HBM->VMEM and widen
-    on-core, so each step reads exactly half the bf16 bytes."""
+    on-core, so each step reads exactly half the bf16 bytes. masked=True
+    adds a [B] SMEM lengths ref as the first operand (reduced-context
+    windows); masked=False compiles without it — the full-context serving
+    path pays zero masking overhead."""
+    if masked:
+        len_ref, q_ref, k_ref, v_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        len_ref = None
     n_head = q_ref.shape[1]
     dtype = q_ref.dtype
 
@@ -161,8 +186,11 @@ def _cross_attn_int8_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [1, T]
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < len_ref[pl.program_id(0)], scores, NEG_INF)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(
+                col < len_ref[pl.program_id(0)], scores, NEG_INF
+            )
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
         v = v_ref[0, h].astype(dtype)
         o_ref[0, h] = jax.lax.dot_general(
@@ -183,29 +211,38 @@ def cross_attention_int8(
 
     Returns [B, H, hd] float32 (apply per-channel V scales outside).
     `lengths` masks positions >= lengths[b] (reduced-context windows share
-    the full-size KV region; the tail holds stale data)."""
+    the full-size KV region; the tail holds stale data); None compiles the
+    UNMASKED kernel, so the full-context serving path pays zero masking
+    overhead (measured ~4% of bulk RTFx)."""
     b, h, t, hd = k8.shape
-    if lengths is None:
-        lengths = jnp.full((b,), t, jnp.int32)
+    masked = lengths is not None
+    specs = [
+        pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k8, v8]
+    if masked:
+        # whole [B] vector in SMEM (Mosaic requires rank-1 blocks to
+        # cover the array); the kernel indexes it by program_id
+        specs.insert(
+            0, pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+        )
+        args.insert(0, lengths.astype(jnp.int32))
     out = pl.pallas_call(
-        functools.partial(_cross_attn_int8_kernel, scale=hd**-0.5),
+        functools.partial(
+            _cross_attn_int8_kernel, scale=hd**-0.5, masked=masked
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
         grid=(b,),
-        in_specs=[
-            # whole [B] vector in SMEM (Mosaic requires rank-1 blocks to
-            # cover the array); the kernel indexes it by program_id
-            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), q, k8, v8)
+    )(*args)
     return out
 
 

@@ -152,9 +152,17 @@ def main() -> None:
             if args.tail_cap_s > 0:
                 chunk = chunk[-int(args.tail_cap_s * 16000):]
             result = await super().transcribe(chunk, options, **kw)
-            latencies.append(time.monotonic() - t0)
+            now = time.monotonic()
+            latencies.append(now - t0)
             idx = int(kw.get("uid", "s0")[1:])
             updates_per_stream[idx] += 1
+            # starvation metric: the longest wait any stream endured
+            # between two consecutive updates (fairness at
+            # oversubscription — least-recently-served-uid slot grants)
+            prev = last_update_time[idx]
+            if prev is not None:
+                update_gaps[idx] = max(update_gaps[idx], now - prev)
+            last_update_time[idx] = now
             return result
 
     backend = MeasuringBackend(scheduler, continuous_scheduler=continuous,
@@ -165,6 +173,8 @@ def main() -> None:
 
     latencies: list[float] = []
     updates_per_stream: list[int] = []
+    update_gaps: list[float] = []
+    last_update_time: list = []
 
     async def run(n_streams: int) -> None:
         clients = []
@@ -212,6 +222,8 @@ def main() -> None:
     for n_streams in [int(x) for x in args.streams.split(",")]:
         latencies.clear()
         updates_per_stream[:] = [0] * n_streams
+        update_gaps[:] = [0.0] * n_streams
+        last_update_time[:] = [None] * n_streams
         backend._prefix_cache.clear()  # uids repeat across sweeps
         backend._prefix_streak.clear()
         asyncio.run(run(n_streams))
@@ -229,6 +241,8 @@ def main() -> None:
                 "p95_s": round(float(np.percentile(latencies_np, 95)), 3) if len(latencies_np) else None,
                 "decodes_total": int(len(latencies_np)),
                 "decodes_per_stream_per_s": round(cadence, 2),
+                "max_update_gap_s": round(max(update_gaps), 2) if update_gaps else None,
+                "starved_streams": int(sum(1 for u in updates_per_stream if u == 0)),
                 "sustained_realtime": bool(cadence > 0.2),  # update at least every 5 s
                 "duration_s": args.seconds,
                 "mode": "continuous" if args.continuous else "window",

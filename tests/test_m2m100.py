@@ -95,3 +95,39 @@ def test_greedy_matches_hf_generate(rng, hf_model, converted):
     ref_tail = ref[2:]
     n = min(len(ref_tail), len(ours))
     np.testing.assert_array_equal(ours[:n], ref_tail[:n])
+
+
+def test_beam_matches_hf_generate(rng, hf_model, converted):
+    """generate_beam must reproduce HF generate(num_beams=K,
+    early_stopping=True) token-for-token — the reference translates with
+    M2M100's generation-config defaults (num_beams=5, early_stopping),
+    not greedy (translation_backend.py:92 calls bare generate())."""
+    import torch
+
+    cfg, params = converted
+    tokens = rng.integers(3, cfg.vocab_size, (2, 7)).astype(np.int32)
+    max_new = 16
+    k = 3
+    with torch.no_grad():
+        ref = hf_model.generate(
+            torch.from_numpy(tokens.astype(np.int64)),
+            num_beams=k,
+            early_stopping=True,
+            length_penalty=1.0,
+            max_new_tokens=max_new,
+            forced_bos_token_id=None,
+            do_sample=False,
+        ).numpy()
+    ours = np.asarray(
+        m2m.generate_beam(
+            params, cfg, jnp.asarray(tokens), None, max_new=max_new,
+            beam_size=k,
+        )
+    )
+    pad = cfg.pad_token_id
+    for i in range(tokens.shape[0]):
+        # HF output: [decoder_start, generated..., eos, pad...]; ours is
+        # the generated region only
+        ref_gen = [int(t) for t in ref[i, 1:] if t != pad]
+        our_gen = [int(t) for t in ours[i] if t != pad]
+        assert our_gen == ref_gen, (i, our_gen, ref_gen)

@@ -31,8 +31,11 @@ cross-KV is still device-resident at harvest, so the alignment pass runs
 against it before the slot is released — same align program as the window
 scheduler, specialized to the capped context.
 
-Not routed here (handled by the window scheduler): beam search,
-no_repeat_ngram.
+Beam search rides this path too (beam_width=K gives each slot K
+contiguous lockstep lanes: coupled beam expansion at T=0, independent
+best_of sampling at T>0 retries). Not routed here (handled by the window
+scheduler): no_repeat_ngram, and beam widths that do not match the slot
+pool's lane count.
 """
 
 from __future__ import annotations

@@ -33,6 +33,8 @@ from whisperlive_tpu.models.whisper import (
 
 Params = Any
 
+_NEG = float(np.finfo(np.float32).min) / 4  # headroom for score arithmetic
+
 
 @dataclasses.dataclass(frozen=True)
 class M2M100Config:
@@ -343,3 +345,155 @@ def generate_greedy(
         cond, body, (buf, jnp.int32(1), done, self_kv)
     )
     return buf
+
+
+def generate_beam(
+    params: Params,
+    cfg: M2M100Config,
+    src_tokens: jax.Array,  # [B, T_src]
+    forced_bos: jax.Array | None,  # [B] target-language token id, or None
+    max_new: int = 200,
+    beam_size: int = 5,
+    length_penalty: float = 1.0,
+) -> jax.Array:
+    """KV-cached beam search -> [B, max_new] (eos-terminated, pad-filled).
+
+    Matches Hugging Face `generate()` beam semantics with
+    early_stopping=True — the M2M100/SMALL100 generation-config defaults
+    the reference translates with (translation_backend.py:92 calls bare
+    `generate()`, m2m100 config: num_beams=5, early_stopping=True):
+      * top-2K candidate expansion per step; EOS candidates ranked below
+        K are discarded, ranked within K enter the finished pool scored
+        sum_logprobs / hyp_len**length_penalty (hyp_len EXCLUDING the
+        EOS, INCLUDING the decoder-start prefix);
+      * the K best non-EOS candidates continue (parent gather of the
+        self-KV cache);
+      * an item stops once its pool holds K hypotheses; unfinished beams
+        enter the pool at finalize;
+      * output is the best pooled hypothesis per item.
+    """
+    b = src_tokens.shape[0]
+    k = beam_size
+    bk = b * k
+    eos = cfg.eos_token_id
+    pad = cfg.pad_token_id
+    src_mask = src_tokens != cfg.pad_token_id
+    enc = encode(params, cfg, src_tokens, pad_mask=src_mask)
+    cross_kv_b = _compute_cross_kv(params, cfg, enc)
+
+    cache_len = max_new + 2
+    hd = cfg.d_model // cfg.heads
+    self_kv_b = jnp.zeros(
+        (cfg.decoder_layers, 2, b, cache_len, cfg.heads, hd), enc.dtype
+    )
+    if forced_bos is None:
+        prefix = jnp.full((b, 1), eos, jnp.int32)
+    else:
+        prefix = jnp.stack(
+            [jnp.full((b,), eos, jnp.int32), forced_bos.astype(jnp.int32)],
+            axis=1,
+        )
+    plen = prefix.shape[1]
+    pos01 = jnp.broadcast_to(jnp.arange(plen)[None], (b, plen))
+    logits_b, self_kv_b = _cached_forward(
+        params, cfg, prefix, pos01, jnp.int32(0), self_kv_b, cross_kv_b,
+        src_mask,
+    )
+
+    def tile(x, axis):
+        return jnp.repeat(x, k, axis=axis)
+
+    self_kv = tile(self_kv_b, 2)
+    cross_kv = tile(cross_kv_b, 2)
+    src_mask_bk = tile(src_mask, 0)
+    logits = tile(logits_b[:, plen - 1], 0)  # [BK, V]
+    # lane 0 carries the live score; duplicates start at -inf (HF init)
+    sum_lp = jnp.tile(
+        jnp.concatenate([jnp.zeros(1), jnp.full((k - 1,), _NEG)]), b
+    )
+    buf = jnp.full((bk, max_new), pad, jnp.int32)
+    pool_scores = jnp.full((b, k), _NEG, jnp.float32)
+    pool_toks = jnp.full((b, k, max_new), pad, jnp.int32)
+    item_done = jnp.zeros((b,), bool)
+    v = cfg.vocab_size
+    rows = jnp.arange(b)
+
+    def pool_insert(pool_scores, pool_toks, cand_scores, cand_toks, allow):
+        """Keep the best K of (pool ++ candidates). cand_scores [B, C]
+        (-inf where not allowed), cand_toks [B, C, L]."""
+        cand_scores = jnp.where(allow, cand_scores, _NEG)
+        all_scores = jnp.concatenate([pool_scores, cand_scores], axis=1)
+        all_toks = jnp.concatenate([pool_toks, cand_toks], axis=1)
+        top, idx = jax.lax.top_k(all_scores, k)
+        return top, all_toks[rows[:, None], idx]
+
+    def body(carry):
+        (buf, i, sum_lp, self_kv, logits, pool_scores, pool_toks,
+         item_done) = carry
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        cand = (sum_lp[:, None] + lp).reshape(b, k * v)
+        scores2, idx2 = jax.lax.top_k(cand, 2 * k)  # [B, 2K] desc
+        parent2 = idx2 // v  # local lane
+        tok2 = (idx2 % v).astype(jnp.int32)
+        is_eos2 = tok2 == eos
+
+        # --- finished-pool inserts: EOS candidates ranked within K
+        hyp_len = (plen + i).astype(jnp.float32)
+        cand_pool = scores2 / hyp_len**length_penalty
+        allow = is_eos2 & (jnp.arange(2 * k)[None, :] < k) & ~item_done[:, None]
+        hist2 = buf.reshape(b, k, max_new)[rows[:, None], parent2]  # [B,2K,L]
+        # the finished hypothesis ends with EOS at position i, pad after
+        col = jnp.arange(max_new)[None, None, :]
+        hist2 = jnp.where(col == i, eos, jnp.where(col < i, hist2, pad))
+        pool_scores, pool_toks = pool_insert(
+            pool_scores, pool_toks, cand_pool, hist2, allow
+        )
+        item_done = item_done | (
+            jnp.sum(pool_scores > _NEG / 2, axis=1) >= k
+        )
+
+        # --- continuing beams: best K non-EOS of the 2K
+        cont = jnp.where(is_eos2, _NEG, scores2)
+        top_cont, cont_idx = jax.lax.top_k(cont, k)  # [B, K] -> idx into 2K
+        parent_k = parent2[rows[:, None], cont_idx] + (rows * k)[:, None]
+        tok_k = tok2[rows[:, None], cont_idx]
+        done_rows = jnp.repeat(item_done, k)
+        ident = jnp.arange(bk)
+        parent = jnp.where(done_rows, ident, parent_k.reshape(bk))
+        tok = jnp.where(done_rows, pad, tok_k.reshape(bk))
+        sum_lp = jnp.where(done_rows, sum_lp, top_cont.reshape(bk))
+        gathered = buf[parent]
+        # done rows gathered pad here anyway (tok is pad for them too)
+        buf = gathered.at[:, i].set(tok)
+        self_kv = jnp.take(self_kv, parent, axis=2)
+
+        pos = jnp.full((bk, 1), i + plen, jnp.int32)
+        logits, self_kv = _cached_forward(
+            params, cfg, tok[:, None], pos, i + plen, self_kv, cross_kv,
+            src_mask_bk,
+        )
+        return (buf, i + 1, sum_lp, self_kv, logits[:, 0], pool_scores,
+                pool_toks, item_done)
+
+    def cond(carry):
+        _, i, _, _, _, _, _, item_done = carry
+        return (i < max_new) & ~jnp.all(item_done)
+
+    (buf, i_fin, sum_lp, _, _, pool_scores, pool_toks, item_done) = (
+        jax.lax.while_loop(
+            cond, body,
+            (buf, jnp.int32(0), sum_lp, self_kv, logits, pool_scores,
+             pool_toks, item_done),
+        )
+    )
+
+    # finalize: live beams of unfinished items enter the pool (HF
+    # finalize semantics: scored at the final length)
+    live_len = (plen + i_fin).astype(jnp.float32)
+    live_scores = (sum_lp / live_len**length_penalty).reshape(b, k)
+    live_toks = buf.reshape(b, k, max_new)
+    pool_scores, pool_toks = pool_insert(
+        pool_scores, pool_toks, live_scores, live_toks, ~item_done[:, None]
+    )
+    best = jnp.argmax(pool_scores, axis=1)
+    return pool_toks[rows, best]

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import queue as queue_mod
 import threading
 from typing import Optional, Protocol
@@ -101,7 +102,8 @@ class JAXTranslator:
 
     SRC_BUCKETS = (16, 32, 64, 128, 256)
 
-    def __init__(self, model_dir: str, max_new: int = 200):
+    def __init__(self, model_dir: str, max_new: int = 200,
+                 beam_size: int | None = None):
         import json
         import os
 
@@ -128,20 +130,29 @@ class JAXTranslator:
         self.tokenizer = load_checkpoint_tokenizer(model_dir)
         self.is_small100 = isinstance(self.tokenizer, SMALL100Tokenizer)
         self.max_new = max_new
+        # The reference translates with M2M100's generation-config
+        # defaults — beam 5 with early stopping (translation_backend.py
+        # calls bare generate()) — so beam is the parity default here;
+        # WL_TRANSLATE_BEAM=1 restores greedy for latency-constrained
+        # deployments. generate_beam is HF-parity-tested token-for-token.
+        if beam_size is None:
+            beam_size = int(os.environ.get("WL_TRANSLATE_BEAM", "5"))
+        self.beam_size = max(beam_size, 1)
+
+        def gen(p, src, bos):
+            if self.beam_size > 1:
+                return m2m.generate_beam(
+                    p, self.cfg, src, bos, max_new=max_new,
+                    beam_size=self.beam_size,
+                )
+            return m2m.generate_greedy(p, self.cfg, src, bos, max_new=max_new)
+
         if self.is_small100:
             # SMALL100: no forced decoder bos — the target language token
             # is part of the SOURCE sequence
-            self._generate = jax.jit(
-                lambda p, src: m2m.generate_greedy(
-                    p, self.cfg, src, None, max_new=max_new
-                )
-            )
+            self._generate = jax.jit(lambda p, src: gen(p, src, None))
         else:
-            self._generate = jax.jit(
-                lambda p, src, bos: m2m.generate_greedy(
-                    p, self.cfg, src, bos, max_new=max_new
-                )
-            )
+            self._generate = jax.jit(gen)
         self._lang_lock = threading.Lock()
 
     @classmethod

@@ -332,3 +332,27 @@ def test_batched_transcriber_vad_filter(engine, rng):
     assert segs_b == []
     for s in segs_a:
         assert s.start >= 1.0  # restored into the original timeline
+
+
+def test_batched_single_file_consistent_with_sequential(engine, rng):
+    """BatchedTranscriber on one file must advance through the audio the
+    same way the sequential Transcriber does (same segment boundaries and
+    token streams): the two seek loops are independent code, so this pins
+    their shared behavioral contract."""
+    from whisperlive_tpu.engine.transcribe import BatchedTranscriber, Transcriber
+
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=16, condition_on_previous_text=False,
+    )
+    audio = (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32)
+    seq_segments, seq_info = Transcriber(engine).transcribe(audio, opts)
+    ((bat_segments, bat_info),) = BatchedTranscriber(engine).transcribe(
+        [audio], opts
+    )
+    assert bat_info.duration == pytest.approx(seq_info.duration)
+    # same number of segments with the same token streams; start/end can
+    # differ at the window edge (sequential uses full-clip mel features,
+    # batched re-pads per window) but the decoded content must agree
+    assert [s.tokens for s in bat_segments] == [s.tokens for s in seq_segments]

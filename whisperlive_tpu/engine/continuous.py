@@ -377,7 +377,7 @@ class ContinuousEngine:
                 "cross_len": jnp.full((b,), self.cross_ctx, jnp.int32),
                 "gstep": jnp.zeros((), jnp.int32),
                 "key": key,
-                "status": jnp.zeros((n_slots, 6), jnp.float32),
+                "status": jnp.zeros((n_rows, 6 + ring), jnp.float32),
             }
 
         # ---------------- insert ----------------
@@ -509,11 +509,17 @@ class ContinuousEngine:
             return state, lang_probs
 
         def _pack_status(state):
-            """Per-SLOT status [n_slots, 6]: (active, all-lanes-finished,
-            gen_len of the winning lane, its sum_logprob, ns_prob, winner
-            lane index). Winner = best length-penalized cumulative score
-            (CTranslate2 convention, sum / len^penalty) — for K=1 this
-            reduces to the slot's own row."""
+            """Per-ROW packed status+tokens [n_rows, 6 + ring].
+
+            Columns 0..5 (the slot's status, repeated on each of its K
+            lane rows): active, all-lanes-finished, gen_len of the
+            winning lane, its sum_logprob, ns_prob, winner lane index
+            (best length-penalized cumulative score — CTranslate2's
+            sum / len^penalty; for K=1 the slot's own row). Columns 6..
+            carry THIS row's sampled ring as float32 (token ids < 2^24
+            round-trip exactly), so one status fetch per tick also
+            delivers every finished hypothesis — on the axon relay each
+            extra device->host fetch costs a full ~30 ms round trip."""
             fin = state["finished"].reshape(n_slots, K)
             gen = state["gen_len"].reshape(n_slots, K).astype(jnp.float32)
             slp = state["sum_logprob"].reshape(n_slots, K)
@@ -521,7 +527,7 @@ class ContinuousEngine:
             score = slp / jnp.maximum(gen, 1.0) ** pen
             winner = jnp.argmax(score, axis=1)  # [S]
             rows = jnp.arange(n_slots)
-            return jnp.stack(
+            slot_status = jnp.stack(
                 [
                     state["active"].reshape(n_slots, K)[:, 0].astype(jnp.float32),
                     jnp.all(fin, axis=1).astype(jnp.float32),
@@ -529,6 +535,13 @@ class ContinuousEngine:
                     slp[rows, winner],
                     state["ns_prob"].reshape(n_slots, K)[:, 0],
                     winner.astype(jnp.float32),
+                ],
+                axis=1,
+            )  # [S, 6]
+            return jnp.concatenate(
+                [
+                    jnp.repeat(slot_status, K, axis=0),
+                    state["sampled"].astype(jnp.float32),
                 ],
                 axis=1,
             )
@@ -860,10 +873,16 @@ class ContinuousEngine:
         return np.asarray(lang_probs[:j], np.float32)
 
     def step(self) -> np.ndarray:
-        """Run one chunk of decode steps; returns the packed per-SLOT
-        status [n_slots, 6]: columns (active, all-lanes-finished, gen_len
-        of the winning lane, its sum_logprob, ns_prob, winner lane index).
-        Harvest the winner's ring row at slot * beam_width + winner."""
+        """Run one chunk of decode steps; returns the packed per-ROW
+        status+tokens array [n_rows, 6 + ring]. Columns 0..5 repeat the
+        owning SLOT's status on each lane row: (active, all-lanes-
+        finished, gen_len of the winning lane, its sum_logprob, ns_prob,
+        winner lane index); columns 6.. are the row's sampled ring as
+        float32 (exact for token ids < 2^24). One fetch delivers both
+        scheduling state AND finished hypotheses — unroll the winner's
+        tokens from row slot * beam_width + winner without a second
+        device round trip. Slot s's status lives at row s * beam_width
+        (any of its lane rows carries the same 6 columns)."""
         eng = self.eng
         with eng._lock:
             self.state = self._step_fn(eng.params, self.state, self.steps_per_chunk)
@@ -1273,23 +1292,29 @@ class ContinuousScheduler:
             self._slots[slot] = info
 
     def _harvest(self, status: np.ndarray) -> None:
+        """status: the packed [n_rows, 6+ring] array from step() — slot
+        fields at row slot*K, the winner's tokens in its own row's tail
+        columns. NO device fetch happens here: everything a harvest needs
+        rode the one status fetch (each extra fetch costs a full relay
+        round trip)."""
         eng = self.engine
+        K = self.cb.beam_width
         done_slots = [
             b for b, info in list(self._slots.items())
-            if status[b, 0] > 0.5 and status[b, 1] > 0.5
+            if status[b * K, 0] > 0.5 and status[b * K, 1] > 0.5
         ]
         if not done_slots:
             return
-        sampled = self.cb.harvest_all()  # one fetch for all finished slots
         for b in done_slots:
             info = self._slots.pop(b)
-            gen_len = int(status[b, 2])
-            sum_lp = float(status[b, 3])
-            ns_prob = float(status[b, 4])
+            gen_len = int(status[b * K, 2])
+            sum_lp = float(status[b * K, 3])
+            ns_prob = float(status[b * K, 4])
             # winning beam lane (status col 5; 0 when beam_width == 1)
-            row = b * self.cb.beam_width + int(status[b, 5])
+            row = b * K + int(status[b * K, 5])
             toks = self.cb.unroll(
-                sampled[row], info.join_step, gen_len, self.cb.ring
+                status[row, 6:].astype(np.int32), info.join_step, gen_len,
+                self.cb.ring,
             )
             if info.prefix:
                 toks = np.concatenate(

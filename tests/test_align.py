@@ -117,3 +117,24 @@ def test_engine_align_single_word(tiny_engine, rng):
     )
     assert len(timings) == 1
     assert timings[0].word == " hi"
+
+
+def test_merge_punctuations_custom_sets():
+    """prepend/append_punctuations are per-request options (reference
+    transcribe() args): symbols outside the configured sets must stay
+    separate words, and custom symbols must merge."""
+    W = align_mod.WordTiming
+
+    def mk():
+        return [
+            W(" ~", [1], 0.0, 0.2, 0.9),
+            W(" hi", [2], 0.2, 0.5, 0.9),
+            W(",", [3], 0.5, 0.6, 0.9),
+        ]
+
+    # default sets: "~" is not prepend punctuation -> stays; "," merges
+    merged = align_mod.merge_punctuations(mk())
+    assert [w.word for w in merged] == [" ~", " hi,"]
+    # custom prepend including "~", empty append: "~" merges, "," stays
+    merged = align_mod.merge_punctuations(mk(), prepend="~", append="")
+    assert [w.word for w in merged] == [" ~ hi", ","]

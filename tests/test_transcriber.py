@@ -356,3 +356,133 @@ def test_batched_single_file_consistent_with_sequential(engine, rng):
     # differ at the window edge (sequential uses full-clip mel features,
     # batched re-pads per window) but the decoded content must agree
     assert [s.tokens for s in bat_segments] == [s.tokens for s in seq_segments]
+
+
+def test_best_of_sampling_exact_parity(rng):
+    """best_of=K at T>0 tiles the item K times inside one decode program
+    and keeps the best hypothesis by avg_logprob (faster-whisper best_of=5
+    via CTranslate2 num_hypotheses, transcriber defaults). Parity is exact:
+    manually tiling the batch K times with best_of disabled and reducing by
+    max avg_logprob must reproduce the same tokens and score, because the
+    tiled program is identical (same bucket, same padding, same PRNG)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisperlive_tpu.models.whisper import init_params
+    from whisperlive_tpu.ops import mel as mel_ops
+
+    cfg = WhisperConfig(
+        n_mels=80, n_vocab=51865, n_audio_ctx=1500, n_audio_state=64,
+        n_audio_head=4, n_audio_layer=2, n_text_ctx=448, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    eng = WhisperEngine(
+        cfg, init_params(cfg, 0), compute_dtype=jnp.float32,
+        batch_buckets=(1, 2, 4, 8),
+    )
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    padded = mel_ops.pad_or_trim(audio)[None]
+    _, cross = eng.prepare(padded)
+    base = dict(
+        language="en", temperatures=(0.5,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=12,
+    )
+    p, s = eng.build_prompt(TranscribeOptions(**base))
+
+    k = 5
+    (res_bo,) = eng.decode_batch(
+        cross, [p], [s], TranscribeOptions(**base, best_of=k),
+        temperatures=[0.5], seed=3,
+    )
+
+    # manual tiling: same gather the engine performs internally
+    # (bucket(1*5)=8, item 0 repeated 5x, zero-padded)
+    gather = jnp.zeros((8,), jnp.int32)
+    cross8 = jax.tree.map(lambda a: jnp.take(a, gather, axis=2), cross)
+    manual = eng.decode_batch(
+        cross8, [p] * k, [s] * k, TranscribeOptions(**base, best_of=1),
+        temperatures=[0.5] * k, seed=3,
+    )
+    assert len(manual) == k
+    best = max(manual, key=lambda r: r.avg_logprob)
+    np.testing.assert_array_equal(res_bo.tokens, best.tokens)
+    assert res_bo.avg_logprob == pytest.approx(best.avg_logprob)
+    # the K lanes must actually differ (independent draws per row)
+    assert len({tuple(int(t) for t in r.tokens) for r in manual}) > 1
+
+    # T=0: best_of is a no-op (greedy); result equals the best_of=1 decode
+    g = dict(base, temperatures=(0.0,))
+    (r_a,) = eng.decode_batch(
+        cross, [p], [s], TranscribeOptions(**g, best_of=k),
+        temperatures=[0.0], seed=3,
+    )
+    (r_b,) = eng.decode_batch(
+        cross, [p], [s], TranscribeOptions(**g, best_of=1),
+        temperatures=[0.0], seed=3,
+    )
+    np.testing.assert_array_equal(r_a.tokens, r_b.tokens)
+
+
+def test_multilingual_per_window_detection(engine, rng):
+    """options.multilingual re-runs language detection on every window even
+    when the session language is pinned, splicing the detected token into
+    that window's prompt (faster-whisper `multilingual`,
+    transcriber_faster_whisper.py:214-222)."""
+    t = Transcriber(engine)
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    base = dict(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=8,
+    )
+    calls = []
+    orig = engine.detect_language_from_cross
+
+    def spy(cross_kv):
+        out = orig(cross_kv)
+        calls.append(out[0][0])
+        return out
+
+    engine.detect_language_from_cross = spy
+    try:
+        # pinned language, multilingual off -> no detection at all
+        t.transcribe(audio, TranscribeOptions(**base))
+        assert calls == []
+        # multilingual on -> one detection per window (1 window here)
+        _, info = t.transcribe(
+            audio, TranscribeOptions(**base, multilingual=True)
+        )
+    finally:
+        engine.detect_language_from_cross = orig
+    assert len(calls) == 1
+    assert info.language == "en"  # info keeps the session language
+
+
+def test_beam_patience_widens_lanes(engine, rng):
+    """patience=1.0 compiles the exact same beam program (identical
+    results); patience>1 widens the lane pool and must return a valid,
+    at-least-as-good length-penalized hypothesis."""
+    from whisperlive_tpu.ops import mel as mel_ops
+
+    audio = (rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)
+    padded = mel_ops.pad_or_trim(audio)[None]
+    _, cross = engine.prepare(padded)
+    base = dict(
+        language="en", beam_size=3, temperatures=(0.0,),
+        log_prob_threshold=None, no_speech_threshold=None,
+        compression_ratio_threshold=None, max_new_tokens=10,
+    )
+    p, s = engine.build_prompt(TranscribeOptions(**base))
+    (r1,) = engine.decode_batch(
+        cross, [p], [s], TranscribeOptions(**base, patience=1.0)
+    )
+    (r_default,) = engine.decode_batch(
+        cross, [p], [s], TranscribeOptions(**base)
+    )
+    np.testing.assert_array_equal(r1.tokens, r_default.tokens)
+    (r2,) = engine.decode_batch(
+        cross, [p], [s], TranscribeOptions(**base, patience=2.0)
+    )
+    assert len(r2.tokens) <= 10
+    assert np.isfinite(r2.avg_logprob)

@@ -163,15 +163,21 @@ _PREPEND_PUNCT = "\"'“¿([{-"
 _APPEND_PUNCT = "\"'.。,，!！?？:：”)]}、"
 
 
-def merge_punctuations(words: list[WordTiming]) -> list[WordTiming]:
+def merge_punctuations(
+    words: list[WordTiming],
+    prepend: str = _PREPEND_PUNCT,
+    append: str = _APPEND_PUNCT,
+) -> list[WordTiming]:
     """Merge leading/trailing punctuation into neighbors
-    (transcriber_faster_whisper.py merge_punctuations semantics)."""
+    (transcriber_faster_whisper.py merge_punctuations semantics; the
+    punctuation sets are per-request options upstream —
+    prepend/append_punctuations, defaults identical to the reference)."""
     # prepend punctuation attaches to the following word
     i = len(words) - 2
     j = len(words) - 1
     while i >= 0:
         prev, cur = words[i], words[j]
-        if prev.word.startswith(" ") and prev.word.strip() in _PREPEND_PUNCT:
+        if prev.word.startswith(" ") and prev.word.strip() in prepend:
             cur.word = prev.word + cur.word
             cur.tokens = prev.tokens + cur.tokens
             cur.start = prev.start
@@ -183,7 +189,7 @@ def merge_punctuations(words: list[WordTiming]) -> list[WordTiming]:
     i, j = 0, 1
     while j < len(words):
         prev, cur = words[i], words[j]
-        if not prev.word.endswith(" ") and cur.word in _APPEND_PUNCT:
+        if not prev.word.endswith(" ") and cur.word in append:
             prev.word = prev.word + cur.word
             prev.tokens = prev.tokens + cur.tokens
             prev.end = cur.end

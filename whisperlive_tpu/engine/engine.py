@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import os
 import threading
 import zlib
@@ -75,8 +76,30 @@ class TranscribeOptions:
     repetition_penalty: float = 1.0
     max_new_tokens: int | None = None
     beam_size: int = 1  # >1 runs the batched beam-search program (T=0)
+    # independent sampling candidates at T>0 (faster-whisper best_of=5):
+    # fallback retries draw best_of hypotheses per item and keep the best
+    # by average log-probability (the continuous path's lanes implement
+    # the same; here the sub-batch is tiled)
+    best_of: int = 5
     length_penalty: float = 1.0
+    # beam patience (CTranslate2 semantics: keep searching until
+    # beam_size*patience hypotheses finish). The lockstep beam keeps
+    # finished hypotheses frozen in their lanes, so patience widens the
+    # lane pool to ceil(beam_size*patience) — the lane-frozen analogue of
+    # the collect-k*p-finished rule. patience=1.0 compiles to the exact
+    # unwidened program. Window path only (continuous lanes are fixed at
+    # pool construction).
+    patience: float = 1.0
     no_repeat_ngram_size: int = 0
+    # re-detect the language on EVERY window of the seek loop and splice
+    # the detected token into that window's prompt (faster-whisper
+    # `multilingual`, transcriber_faster_whisper.py:214-222 — per-segment
+    # detection for code-switched audio). Ignored by English-only models.
+    multilingual: bool = False
+    # with word_timestamps: punctuation sets merged into neighboring words
+    # (prepend attaches to the following word, append to the preceding)
+    prepend_punctuations: str = "\"'“¿([{-"
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、"
     # with word_timestamps: drop anomalous (hallucination-suspect) segments
     # (streaming) / skip silence around them in the seek loop (offline,
     # transcriber_faster_whisper.py:1240-1287)
@@ -710,8 +733,47 @@ class WhisperEngine:
         )
         if temperatures is None:
             temperatures = [options.temperatures[0]] * n_real
+
+        # best_of sampling (T>0 only): tile each item K times so the
+        # sampling loop draws K independent hypotheses per item in one
+        # program, then keep the best by avg logprob — faster-whisper's
+        # best_of via CTranslate2 num_hypotheses. Only when the tiled
+        # batch still fits a batch bucket (fallback sub-batches are
+        # small); the continuous path's lanes implement the same policy.
+        k_bo = 1
+        if (
+            options.best_of > 1
+            and n_real > 0
+            and all(t > 0 for t in temperatures[:n_real])
+            and n_real * options.best_of <= self.batch_buckets[-1]
+        ):
+            k_bo = options.best_of
+            idx = jnp.asarray(np.repeat(np.arange(n_real), k_bo), np.int32)
+            bucket = _bucket(n_real * k_bo, self.batch_buckets)
+            gather = jnp.concatenate(
+                [idx, jnp.zeros((bucket - n_real * k_bo,), jnp.int32)]
+            )
+            cross_kv = jax.tree.map(
+                lambda a: jnp.take(a, gather, axis=2), cross_kv
+            )
+            kv_arr = cross_kv.get("kv", cross_kv.get("kv8", cross_kv.get("kv4")))
+            b = kv_arr.shape[2]
+            prompts = [
+                prompts[i] for i in range(n_real) for _ in range(k_bo)
+            ] + [[self.spec.eot + 1]] * (b - n_real * k_bo)
+            sot_idx = np.asarray(
+                [sot_indices[i] for i in range(n_real) for _ in range(k_bo)]
+                + [0] * (b - n_real * k_bo),
+                np.int32,
+            )
+            temperatures = [
+                temperatures[i] for i in range(n_real) for _ in range(k_bo)
+            ]
+            n_tiled = n_real * k_bo
+        else:
+            n_tiled = n_real
         temps = np.asarray(
-            list(temperatures) + [0.0] * (b - n_real), np.float32
+            list(temperatures) + [0.0] * (b - n_tiled), np.float32
         )
         prompt_arr, prompt_len = self._pad_prompts(prompts)
         prompt_pad = prompt_arr.shape[1]
@@ -739,13 +801,20 @@ class WhisperEngine:
         # Beam search runs at T=0 only; fallback re-decodes at T>0 switch to
         # sampling (same policy as whisper's beam->sampling escalation).
         use_beam = options.beam_size > 1 and all(t == 0.0 for t in temps)
+        # patience widens the lockstep lane pool to ceil(k*patience) — the
+        # frozen-lane analogue of CTranslate2's "collect k*patience finished
+        # hypotheses" rule; patience=1.0 is the exact unwidened program.
+        beam_lanes = max(
+            options.beam_size,
+            int(math.ceil(options.beam_size * max(options.patience, 1.0))),
+        )
         with self._lock:
             if use_beam:
                 tokens, gen_len, sum_lp, ns_prob = self._decode_beam_fn(
                     *common_args,
                     jnp.full((b,), options.repetition_penalty, np.float32),
                     max_new,
-                    options.beam_size,
+                    beam_lanes,
                     jnp.float32(options.length_penalty),
                     cache_len,
                     options.no_repeat_ngram_size,
@@ -760,7 +829,19 @@ class WhisperEngine:
                     cache_len,
                     options.no_repeat_ngram_size,
                 )
-        return self._extract_results(tokens, gen_len, sum_lp, ns_prob, temps, n_real)
+        results = self._extract_results(
+            tokens, gen_len, sum_lp, ns_prob, temps, n_tiled
+        )
+        if k_bo == 1:
+            return results
+        # best_of reduction: keep each item's best hypothesis by average
+        # log-probability (CTranslate2 returns sampled hypotheses sorted
+        # by score and faster-whisper keeps [0])
+        return [
+            max(results[i * k_bo : (i + 1) * k_bo],
+                key=lambda r: r.avg_logprob)
+            for i in range(n_real)
+        ]
 
     def _extract_results(
         self, tokens, gen_len, sum_lp, ns_prob, temps, n_real
@@ -860,6 +941,8 @@ class WhisperEngine:
         num_frames: int,
         merge: bool = True,
         cross_len: int | None = None,
+        prepend_punctuations: str = "\"'“¿([{-",
+        append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     ):
         """Word timings for one decoded window item (cross-attention DTW).
 
@@ -916,7 +999,9 @@ class WhisperEngine:
         )
         if not merge:
             return timings
-        return align_mod.merge_punctuations(timings)
+        return align_mod.merge_punctuations(
+            timings, prepend_punctuations, append_punctuations
+        )
 
     def decode_with_fallback(
         self,

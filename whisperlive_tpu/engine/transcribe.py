@@ -216,6 +216,8 @@ def add_word_timestamps(
     segment_size: int,
     time_offset: float,
     last_speech_timestamp: float,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
 ) -> None:
     """Attach word-level timings to this window's segment dicts, mutating
     their start/end like the reference (add_word_timestamps,
@@ -247,7 +249,9 @@ def add_word_timestamps(
     if len(word_durations) > 0:
         _cap_sentence_boundary_words(alignment, max_duration)
 
-    alignment = align_mod.merge_punctuations(alignment)
+    alignment = align_mod.merge_punctuations(
+        alignment, prepend_punctuations, append_punctuations
+    )
 
     word_index = 0
     for piece, piece_tokens in zip(pieces, tokens_per_piece):
@@ -485,13 +489,21 @@ def generate_segments(
             else:
                 language = "en"
 
+        # multilingual: re-detect on EVERY window and splice that token into
+        # the prompt (code-switched audio; faster-whisper `multilingual`,
+        # transcriber_faster_whisper.py:214-222). info.language stays the
+        # first detection.
+        window_language = language
+        if options.multilingual and eng.tokenizer.spec.multilingual:
+            (window_language, _), = eng.detect_language_from_cross(cross_kv)
+
         win_options = options if seek == 0 else dataclasses.replace(
             options, prefix=None
         )
         prompt, sot_idx = eng.build_prompt(
             win_options,
             previous_tokens=all_tokens[prompt_reset_since:],
-            language=language,
+            language=window_language,
         )
         (result,) = eng.decode_with_fallback(
             cross_kv, [prompt], [sot_idx], options, seed=seed
@@ -526,6 +538,7 @@ def generate_segments(
             add_word_timestamps(
                 eng, cross_kv, 0, pieces, segment_size, time_offset,
                 last_speech_timestamp,
+                options.prepend_punctuations, options.append_punctuations,
             )
             if not single_timestamp_ending:
                 last_word_end = _get_end(pieces)
@@ -732,9 +745,17 @@ class BatchedTranscriber:
                 batch[j] = w
             _, cross = eng.prepare(batch)
 
-            if any(languages[i] is None for i in active):
+            window_langs = {}
+            detect_all = options.multilingual and eng.tokenizer.spec.multilingual
+            if detect_all or any(languages[i] is None for i in active):
                 detected = eng.detect_language_from_cross(cross)
                 for j, i in enumerate(active):
+                    if detect_all:
+                        # per-window re-detection (faster-whisper
+                        # `multilingual`): splice the detected token into
+                        # THIS window's prompt; info.language keeps the
+                        # first detection.
+                        window_langs[i] = detected[j][0]
                     if languages[i] is None:
                         languages[i], language_probs[i] = detected[j]
 
@@ -742,7 +763,7 @@ class BatchedTranscriber:
             for i in active:
                 p, s = eng.build_prompt(
                     options, previous_tokens=all_tokens[i][-224:],
-                    language=languages[i],
+                    language=window_langs.get(i, languages[i]),
                 )
                 prompts.append(p)
                 sots.append(s)
@@ -783,6 +804,8 @@ class BatchedTranscriber:
                     add_word_timestamps(
                         eng, cross, j, pieces, segment_size, time_offset,
                         last_speech_ts[i],
+                        options.prepend_punctuations,
+                        options.append_punctuations,
                     )
                     if not single_ts_ending:
                         last_word_end = _get_end(pieces)

@@ -122,7 +122,7 @@ def _run_ours(eng, feats, suppressed):
         suppress_tokens=suppressed,
         suppress_blank=True,
     )
-    segments, lang, _ = generate_segments(eng, feats, opts)
+    segments, lang, _, _ = generate_segments(eng, feats, opts)
     assert lang == "en"
     return segments
 

@@ -93,7 +93,7 @@ def test_word_seek_adjustment_rewinds_to_last_word_end():
     ]
     eng = FakeEngine([w1, w2], [align1, align2])
     opts = TranscribeOptions(**{**OPTS.__dict__, "word_timestamps": True})
-    segments, _, _ = generate_segments(eng, _features(9.0), opts)
+    segments, _, _, _ = generate_segments(eng, _features(9.0), opts)
     # the second window starts at the adjusted seek: 6.0 s, not 8.0 s
     assert segments[0].words[0].end == pytest.approx(6.0)
     assert segments[1].seek == 600
@@ -121,7 +121,7 @@ def test_hallucination_skip_leading_silence():
         **OPTS.__dict__, "word_timestamps": True,
         "hallucination_silence_threshold": 2.0,
     })
-    segments, _, _ = generate_segments(eng, _features(6.5), opts)
+    segments, _, _, _ = generate_segments(eng, _features(6.5), opts)
     texts = [s.text for s in segments]
     assert all("w5" not in t and "w6" not in t for t in texts), texts
     # the surviving segment came from the re-seeked window at 4 s
@@ -153,7 +153,7 @@ def test_hallucination_surrounded_by_silence_truncates_window():
         **OPTS.__dict__, "word_timestamps": True,
         "hallucination_silence_threshold": 2.0,
     })
-    segments, _, _ = generate_segments(eng, _features(15.0), opts)
+    segments, _, _, _ = generate_segments(eng, _features(15.0), opts)
     texts = [s.text for s in segments]
     assert any("w5" in t for t in texts)
     assert all("w6" not in t and "w7" not in t for t in texts), texts
@@ -167,7 +167,7 @@ def test_clip_timestamps_restricts_decoding():
     w1 = _res([ts(0.0), 5, ts(4.0)])  # lone trailing ts: window consumed
     eng = FakeEngine([w1])
     opts = TranscribeOptions(**{**OPTS.__dict__, "clip_timestamps": "2,6"})
-    segments, _, _ = generate_segments(eng, _features(30.0), opts)
+    segments, _, _, _ = generate_segments(eng, _features(30.0), opts)
     assert len(eng.decodes) == 0  # exactly one window decoded
     assert segments[0].seek == 200  # clip start
     assert segments[0].start == pytest.approx(2.0)

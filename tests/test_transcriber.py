@@ -486,3 +486,129 @@ def test_beam_patience_widens_lanes(engine, rng):
     )
     assert len(r2.tokens) <= 10
     assert np.isfinite(r2.avg_logprob)
+
+
+def test_detect_language_segments_and_threshold(engine, rng):
+    """Transcriber.detect_language (reference detect_language,
+    transcriber_faster_whisper.py:1716-1789): threshold early-exit vs
+    multi-segment majority vote. Random weights give near-uniform language
+    probabilities (~1/99), so threshold=0.5 never clears and the majority
+    path runs; threshold=None accepts the first window."""
+    t = Transcriber(engine)
+    audio = (rng.standard_normal(16000 * 70) * 0.1).astype(np.float32)
+
+    lang, prob, all_probs = t.detect_language(
+        audio=audio, language_detection_segments=3,
+        language_detection_threshold=0.5,
+    )
+    codes = engine.tokenizer.spec.language_codes
+    assert lang in codes
+    assert 0.0 < prob < 0.5  # majority path: nothing cleared the bar
+    assert len(all_probs) == len(codes)
+    probs = [p for _, p in all_probs]
+    assert probs == sorted(probs, reverse=True)
+    assert sum(probs) == pytest.approx(1.0, abs=1e-3)
+
+    # threshold=None: first window decides; must equal a fresh
+    # single-segment probe
+    lang1, prob1, _ = t.detect_language(
+        audio=audio, language_detection_threshold=None
+    )
+    lang2, prob2, _ = t.detect_language(
+        audio=audio, language_detection_segments=1,
+        language_detection_threshold=0.0,
+    )
+    assert (lang1, prob1) == (lang2, prob2)
+
+    with pytest.raises(ValueError):
+        t.detect_language()
+
+
+def test_transcribe_reports_all_language_probs(engine, rng):
+    """info.all_language_probs is populated when the language was
+    auto-detected (reference TranscriptionInfo.all_language_probs) and
+    stays None when the session language is pinned."""
+    t = Transcriber(engine)
+    audio = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    base = dict(
+        temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=8,
+    )
+    _, info = t.transcribe(audio, TranscribeOptions(**base))
+    assert info.all_language_probs is not None
+    assert info.all_language_probs[0][0] == info.language
+    assert info.all_language_probs[0][1] == pytest.approx(
+        info.language_probability
+    )
+    _, info2 = t.transcribe(audio, TranscribeOptions(**base, language="en"))
+    assert info2.all_language_probs is None
+
+
+def test_chunk_length_shortens_seek_windows(engine, rng):
+    """chunk_length caps every seek window (faster-whisper chunk_length):
+    a 10 s clip at chunk_length=4 decodes 3 windows where the default
+    decodes 1. without_timestamps makes each window consume exactly its
+    segment_size, so the count is deterministic with random weights."""
+    t = Transcriber(engine)
+    audio = (rng.standard_normal(16000 * 10) * 0.1).astype(np.float32)
+    base = dict(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=8, without_timestamps=True,
+    )
+    calls = []
+    orig = engine.decode_with_fallback
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    engine.decode_with_fallback = spy
+    try:
+        t.transcribe(audio, TranscribeOptions(**base))
+        default_windows = len(calls)
+        calls.clear()
+        segs, _ = t.transcribe(
+            audio, TranscribeOptions(**base, chunk_length=4),
+            log_progress=True,  # smoke the tqdm path too
+        )
+        chunked_windows = len(calls)
+    finally:
+        engine.decode_with_fallback = orig
+    assert default_windows == 1
+    assert chunked_windows == 3
+    # timestamps stay absolute: later windows offset by the 4 s stride
+    assert all(s.start < 10.0 + 4.0 for s in segs)
+
+    with pytest.raises(ValueError):
+        t.transcribe(audio, TranscribeOptions(**base, chunk_length=31))
+
+
+def test_batched_chunk_length(engine, rng):
+    """BatchedTranscriber honors chunk_length: per-file seek cursors
+    advance by the shortened window."""
+    from whisperlive_tpu.engine.transcribe import BatchedTranscriber
+
+    bt = BatchedTranscriber(engine)
+    audio = (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32)
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=8, without_timestamps=True, chunk_length=4,
+    )
+    calls = []
+    orig = engine.decode_with_fallback
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    engine.decode_with_fallback = spy
+    try:
+        (result,) = bt.transcribe([audio], opts)
+    finally:
+        engine.decode_with_fallback = orig
+    assert len(calls) == 2  # 8 s / 4 s windows
+    segments, info = result
+    assert info.duration == pytest.approx(8.0)

@@ -96,6 +96,16 @@ class TranscribeOptions:
     # `multilingual`, transcriber_faster_whisper.py:214-222 — per-segment
     # detection for code-switched audio). Ignored by English-only models.
     multilingual: bool = False
+    # initial language detection (language=None): detect on up to
+    # `language_detection_segments` 30 s windows, stopping early when the
+    # top probability clears `language_detection_threshold`; otherwise the
+    # language seen most often wins (faster-whisper detect_language,
+    # transcriber_faster_whisper.py:1716-1789)
+    language_detection_threshold: float | None = 0.5
+    language_detection_segments: int = 1
+    # seek-loop window length in seconds (< 30 shortens every window; the
+    # encoder still sees a padded window — faster-whisper `chunk_length`)
+    chunk_length: int | None = None
     # with word_timestamps: punctuation sets merged into neighboring words
     # (prepend attaches to the following word, append to the preceding)
     prepend_punctuations: str = "\"'“¿([{-"
@@ -703,14 +713,18 @@ class WhisperEngine:
             return self._prepare_mel_fn(self.params, jnp.asarray(melspec))
 
     def detect_language_from_cross(self, cross_kv) -> list[tuple[str, float]]:
-        with self._lock:
-            probs = np.asarray(self._detect_fn(self.params, cross_kv))
         codes = self.tokenizer.spec.language_codes
         out = []
-        for row in probs:
+        for row in self.detect_language_probs_from_cross(cross_kv):
             i = int(np.argmax(row))
             out.append((codes[i], float(row[i])))
         return out
+
+    def detect_language_probs_from_cross(self, cross_kv) -> np.ndarray:
+        """Full per-language probability rows, aligned with
+        tokenizer.spec.language_codes (one row per batch item)."""
+        with self._lock:
+            return np.asarray(self._detect_fn(self.params, cross_kv))
 
     def decode_batch(
         self,

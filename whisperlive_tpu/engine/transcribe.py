@@ -33,6 +33,53 @@ TOKENS_PER_SECOND = 50
 TIME_PRECISION = 0.02
 
 
+def detect_language_from_features(
+    eng: WhisperEngine,
+    features: np.ndarray,
+    threshold: float | None = 0.5,
+    segments: int = 1,
+) -> tuple[str, float, list[tuple[str, float]]]:
+    """Multi-segment language detection (faster-whisper detect_language,
+    transcriber_faster_whisper.py:1716-1789): probe up to `segments` 30 s
+    windows left to right, accept the first whose top probability clears
+    `threshold`; if none does, the language detected most often wins and
+    reports its best probability.
+
+    Returns (language, probability, all_language_probs) where the prob
+    list comes from the deciding window, sorted descending.
+    """
+    codes = eng.tokenizer.spec.language_codes
+    content_frames = max(features.shape[0] - 1, 1)
+    n_windows = max(1, min(int(segments), -(-content_frames // mel_ops.N_FRAMES)))
+    votes: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    row = None
+    language = None
+    for w in range(n_windows):
+        window = mel_ops.pad_or_trim_frames(
+            features[w * mel_ops.N_FRAMES : (w + 1) * mel_ops.N_FRAMES]
+        )
+        _, cross_kv = eng.prepare_mel(window[None])
+        (row,) = eng.detect_language_probs_from_cross(cross_kv)
+        top = int(np.argmax(row))
+        language, prob = codes[top], float(row[top])
+        if threshold is None or prob > threshold:
+            break
+        counts[language] = counts.get(language, 0) + 1
+        votes[language] = max(votes.get(language, 0.0), prob)
+    else:
+        # nothing cleared the bar: plurality of per-window winners, best
+        # observed probability for that language
+        language = max(counts, key=lambda k: counts[k])
+        prob = votes[language]
+    all_probs = sorted(
+        ((codes[i], float(p)) for i, p in enumerate(row)),
+        key=lambda kv: kv[1],
+        reverse=True,
+    )
+    return language, prob, all_probs
+
+
 @dataclasses.dataclass
 class Word:
     start: float
@@ -424,18 +471,31 @@ def generate_segments(
     features: np.ndarray,  # [T, n_mels] full-clip log-mel (log_mel_full)
     options: TranscribeOptions,
     seed: int = 0,
-) -> tuple[list[Segment], Optional[str], float]:
+    log_progress: bool = False,
+) -> tuple[list[Segment], Optional[str], float, Optional[list[tuple[str, float]]]]:
     """The offline seek loop — behavioral port of generate_segments
     (transcriber_faster_whisper.py:1049-1337) over the full-clip feature
     array: clip ranges, windowed decode with temperature fallback, the
     no-speech skip, timestamp segmentation, word-timestamp seek adjustment
     and the hallucination_silence_threshold silence-gap re-seek.
 
-    Returns (segments, language, language_probability).
+    Returns (segments, language, language_probability, all_language_probs).
     """
     spec = eng.spec
     content_frames = features.shape[0] - 1
     content_duration = float(content_frames / FRAMES_PER_SECOND)
+
+    # chunk_length shortens every seek window (faster-whisper's
+    # `chunk_length`: the feature extractor emits shorter windows, the
+    # encoder still sees a padded full-context window — here the pad
+    # happens in pad_or_trim_frames, so only the stride changes)
+    window_frames = mel_ops.N_FRAMES
+    if options.chunk_length is not None:
+        if not 0 < options.chunk_length <= mel_ops.N_FRAMES // FRAMES_PER_SECOND:
+            raise ValueError(
+                f"chunk_length must be in (0, 30] seconds, got {options.chunk_length}"
+            )
+        window_frames = round(options.chunk_length * FRAMES_PER_SECOND)
 
     clip_ts = options.clip_timestamps
     if isinstance(clip_ts, str):
@@ -449,6 +509,22 @@ def generate_segments(
 
     language = options.language
     language_prob = 1.0
+    all_language_probs: Optional[list[tuple[str, float]]] = None
+    # multi-window initial detection runs up front; the default
+    # single-segment probe stays lazy and reuses the first seek window's
+    # encoder output (the inline branch below)
+    if (
+        language is None
+        and eng.tokenizer.spec.multilingual
+        and options.language_detection_segments > 1
+    ):
+        language, language_prob, all_language_probs = detect_language_from_features(
+            eng,
+            features,
+            options.language_detection_threshold,
+            options.language_detection_segments,
+        )
+        logger.info("detected language %s (p=%.2f)", language, language_prob)
     clip_idx = 0
     seek = seek_clips[0][0]
     all_segments: list[Segment] = []
@@ -462,7 +538,18 @@ def generate_segments(
     if options.initial_prompt is not None:
         all_tokens.extend(eng.tokenizer.encode(" " + options.initial_prompt.strip()))
 
+    pbar = None
+    if log_progress:
+        from tqdm import tqdm  # noqa: PLC0415 — optional UI dependency
+
+        pbar = tqdm(
+            total=round(content_duration, 2), unit="seconds", dynamic_ncols=True
+        )
+
     while clip_idx < len(seek_clips):
+        if pbar is not None:
+            pbar.n = min(round(seek / FRAMES_PER_SECOND, 2), pbar.total)
+            pbar.refresh()
         seek_clip_start, seek_clip_end = seek_clips[clip_idx]
         seek_clip_end = min(seek_clip_end, content_frames)
         seek = max(seek, seek_clip_start)
@@ -472,9 +559,9 @@ def generate_segments(
                 seek = seek_clips[clip_idx][0]
             continue
         time_offset = seek / FRAMES_PER_SECOND
-        window_end_time = float((seek + mel_ops.N_FRAMES) / FRAMES_PER_SECOND)
+        window_end_time = float((seek + window_frames) / FRAMES_PER_SECOND)
         segment_size = min(
-            mel_ops.N_FRAMES, content_frames - seek, seek_clip_end - seek
+            window_frames, content_frames - seek, seek_clip_end - seek
         )
         segment_duration = segment_size / FRAMES_PER_SECOND
         window = mel_ops.pad_or_trim_frames(features[seek : seek + segment_size])
@@ -482,7 +569,15 @@ def generate_segments(
         _, cross_kv = eng.prepare_mel(window[None])
         if language is None:
             if eng.tokenizer.spec.multilingual:
-                (language, language_prob), = eng.detect_language_from_cross(cross_kv)
+                codes = eng.tokenizer.spec.language_codes
+                (row,) = eng.detect_language_probs_from_cross(cross_kv)
+                top = int(np.argmax(row))
+                language, language_prob = codes[top], float(row[top])
+                all_language_probs = sorted(
+                    ((codes[i], float(p)) for i, p in enumerate(row)),
+                    key=lambda kv: kv[1],
+                    reverse=True,
+                )
                 logger.info(
                     "detected language %s (p=%.2f)", language, language_prob
                 )
@@ -602,7 +697,11 @@ def generate_segments(
         ):
             prompt_reset_since = len(all_tokens)
 
-    return all_segments, language, language_prob
+    if pbar is not None:
+        pbar.n = pbar.total
+        pbar.refresh()
+        pbar.close()
+    return all_segments, language, language_prob, all_language_probs
 
 
 class Transcriber:
@@ -622,6 +721,7 @@ class Transcriber:
         seed: int = 0,
         vad_filter: bool = False,
         vad_parameters: Optional[dict] = None,
+        log_progress: bool = False,
     ) -> tuple[list[Segment], TranscriptionInfo]:
         """audio: float32 mono 16 kHz. Returns (segments, info).
 
@@ -650,7 +750,8 @@ class Transcriber:
                 )
             ts_map = SpeechTimestampsMap(chunks)
             segments, info = self.transcribe(
-                collect_chunks(audio, chunks), options, seed=seed
+                collect_chunks(audio, chunks), options, seed=seed,
+                log_progress=log_progress,
             )
             for s in segments:
                 idx = ts_map.get_chunk_index(s.start)
@@ -666,16 +767,56 @@ class Transcriber:
         eng = self.engine
         duration = len(audio) / mel_ops.SAMPLE_RATE
         features = mel_ops.log_mel_full(audio, n_mels=eng.cfg.n_mels)
-        segments, language, language_prob = generate_segments(
-            eng, features, options, seed=seed
+        segments, language, language_prob, all_probs = generate_segments(
+            eng, features, options, seed=seed, log_progress=log_progress
         )
         info = TranscriptionInfo(
             language=language or "en",
             language_probability=language_prob,
             duration=duration,
             transcription_options=options,
+            all_language_probs=all_probs,
         )
         return segments, info
+
+    def detect_language(
+        self,
+        audio: Optional[np.ndarray] = None,
+        features: Optional[np.ndarray] = None,
+        vad_filter: bool = False,
+        vad_parameters: Optional[dict] = None,
+        language_detection_segments: int = 1,
+        language_detection_threshold: float = 0.5,
+    ) -> tuple[str, float, list[tuple[str, float]]]:
+        """Standalone language probe (reference detect_language,
+        transcriber_faster_whisper.py:1716-1789): returns (language,
+        probability, all_language_probs). Provide `audio` (float32 mono
+        16 kHz) or precomputed full-clip `features`; with vad_filter the
+        probe runs on silence-collapsed audio."""
+        if audio is None and features is None:
+            raise ValueError("either audio or features must be provided")
+        if audio is not None:
+            if vad_filter:
+                from whisperlive_tpu.audio.vad import (
+                    VadOptions,
+                    collect_chunks,
+                    get_speech_timestamps,
+                )
+
+                opts = VadOptions(**(vad_parameters or {}))
+                chunks = get_speech_timestamps(audio, opts)
+                if chunks:
+                    audio = collect_chunks(audio, chunks)
+            audio = audio[
+                : language_detection_segments * mel_ops.N_SAMPLES
+            ]
+            features = mel_ops.log_mel_full(audio, n_mels=self.engine.cfg.n_mels)
+        return detect_language_from_features(
+            self.engine,
+            features,
+            language_detection_threshold,
+            language_detection_segments,
+        )
 
 
 class BatchedTranscriber:
@@ -711,6 +852,17 @@ class BatchedTranscriber:
                 audios, options, seed=seed, vad_parameters=vad_parameters
             )
 
+        # chunk_length shortens each file's seek windows (reference batched
+        # pipeline shares WhisperModel's chunk_length feature extractor)
+        window_frames = mel_ops.N_FRAMES
+        if options.chunk_length is not None:
+            if not 0 < options.chunk_length <= mel_ops.N_FRAMES // FRAMES_PER_SECOND:
+                raise ValueError(
+                    f"chunk_length must be in (0, 30] seconds, got {options.chunk_length}"
+                )
+            window_frames = round(options.chunk_length * FRAMES_PER_SECOND)
+        window_samples = window_frames * mel_ops.HOP_LENGTH
+
         n = len(audios)
         seeks = [0] * n
         all_segments: list[list[Segment]] = [[] for _ in range(n)]
@@ -734,7 +886,7 @@ class BatchedTranscriber:
             for i in active:
                 windows.append(
                     mel_ops.pad_or_trim(
-                        audios[i][seeks[i] * mel_ops.HOP_LENGTH :][: mel_ops.N_SAMPLES]
+                        audios[i][seeks[i] * mel_ops.HOP_LENGTH :][:window_samples]
                     )
                 )
             from whisperlive_tpu.engine.engine import _bucket
@@ -774,7 +926,7 @@ class BatchedTranscriber:
             for j, i in enumerate(active):
                 res = results[j]
                 content_frames = int(len(audios[i]) / mel_ops.HOP_LENGTH)
-                segment_size = min(mel_ops.N_FRAMES, content_frames - seeks[i])
+                segment_size = min(window_frames, content_frames - seeks[i])
                 time_offset = seeks[i] * mel_ops.HOP_LENGTH / mel_ops.SAMPLE_RATE
                 window_duration = segment_size * mel_ops.HOP_LENGTH / mel_ops.SAMPLE_RATE
                 skip = (

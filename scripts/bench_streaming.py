@@ -150,10 +150,23 @@ def main() -> None:
         async def transcribe(self, chunk, options, **kw):
             t0 = time.monotonic()
             if args.tail_cap_s > 0:
-                chunk = chunk[-int(args.tail_cap_s * 16000):]
+                cap = int(args.tail_cap_s * 16000)
+                chunk = chunk[-cap:]
+                inner = kw.get("refresh_audio")
+                if inner is not None:
+                    # the late-bound refresh must emulate the same
+                    # steady-state tail cap as the snapshot
+                    kw["refresh_audio"] = lambda: (
+                        lambda f: None if f is None else f[-cap:]
+                    )(inner())
             result = await super().transcribe(chunk, options, **kw)
             now = time.monotonic()
             latencies.append(now - t0)
+            if result is not None and result.audio_bound_at > 0:
+                # honest content-age: how stale the newest decoded audio
+                # was when the partial came back (late-bound refresh makes
+                # this < round-trip once requests queue)
+                staleness.append(now - result.audio_bound_at)
             idx = int(kw.get("uid", "s0")[1:])
             updates_per_stream[idx] += 1
             # starvation metric: the longest wait any stream endured
@@ -172,6 +185,7 @@ def main() -> None:
     chunk_samples = int(16000 * args.chunk_ms / 1000)
 
     latencies: list[float] = []
+    staleness: list[float] = []
     updates_per_stream: list[int] = []
     update_gaps: list[float] = []
     last_update_time: list = []
@@ -221,6 +235,7 @@ def main() -> None:
 
     for n_streams in [int(x) for x in args.streams.split(",")]:
         latencies.clear()
+        staleness.clear()
         updates_per_stream[:] = [0] * n_streams
         update_gaps[:] = [0.0] * n_streams
         last_update_time[:] = [None] * n_streams
@@ -239,6 +254,8 @@ def main() -> None:
                 "streams": n_streams,
                 "model": args.model,
                 "p95_s": round(float(np.percentile(latencies_np, 95)), 3) if len(latencies_np) else None,
+                "p50_content_age_s": round(float(np.percentile(staleness, 50)), 3) if staleness else None,
+                "p95_content_age_s": round(float(np.percentile(staleness, 95)), 3) if staleness else None,
                 "decodes_total": int(len(latencies_np)),
                 "decodes_per_stream_per_s": round(cadence, 2),
                 "max_update_gap_s": round(max(update_gaps), 2) if update_gaps else None,

@@ -1069,3 +1069,88 @@ def test_ring_wrap_preserves_finished_hypothesis(engine, rng):
     # no EOT holes: the leading tokens survive the ring wrap intact
     assert toks == [t for t in ref if t != engine.spec.eot][: len(toks)]
     assert len(toks) >= ring - 2
+
+
+def test_late_bound_audio_refresh(engine, rng):
+    """A request that queues behind a full slot pool decodes its stream's
+    CURRENT tail — re-snapshotted once at slot-grant time via
+    req.refresh_audio — not the stale submit-time snapshot; the result's
+    duration and audio_bound_at reflect the refreshed window."""
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    sched.start()
+    try:
+        f0 = sched.submit(
+            BatchRequest(audio=_audio(rng, 2.0), options=OPTS, uid="a")
+        )
+        stale, fresh = _audio(rng, 1.0), _audio(rng, 3.0)
+        calls = []
+
+        def refresh():
+            calls.append(time.monotonic())
+            return fresh
+
+        req = BatchRequest(audio=stale, options=OPTS, uid="b",
+                           refresh_audio=refresh)
+        t_submit = req.submitted_at
+        f1 = sched.submit(req)
+        f0.result(timeout=180)
+        r = f1.result(timeout=180)
+        assert calls and len(calls) == 1
+        assert req.audio_rebound
+        assert r.duration == pytest.approx(len(fresh) / 16000)
+        assert r.audio_bound_at >= t_submit
+    finally:
+        sched.stop()
+
+
+def test_refresh_one_shot_across_gate_retries(engine, rng):
+    """Gate-retry re-inserts must re-decode the SAME window their first
+    attempt decoded (temperature-ladder semantics): the audio refresh
+    fires once, and the retried result keeps the refreshed-once window."""
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0, 0.9),
+        log_prob_threshold=0.0,  # unreachable: every decode "fails"
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=8,
+    )
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    sched.start()
+    try:
+        fresh = _audio(rng, 2.5)
+        calls = []
+
+        def refresh():
+            calls.append(1)
+            return fresh
+
+        req = BatchRequest(audio=_audio(rng, 1.0), options=opts,
+                           uid="retry", refresh_audio=refresh)
+        r = sched.submit(req).result(timeout=180)
+        assert len(calls) == 1
+        assert r.duration == pytest.approx(len(fresh) / 16000)
+        if r.segments:
+            assert r.segments[0].temperature == pytest.approx(0.9)
+    finally:
+        sched.stop()
+
+
+def test_refresh_shorter_or_none_keeps_snapshot(engine, rng):
+    """A refresh returning None (anchor moved) or a shorter array keeps
+    the submit-time snapshot."""
+    sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    sched.start()
+    try:
+        snap = _audio(rng, 2.0)
+        req = BatchRequest(audio=snap, options=OPTS, uid="n",
+                           refresh_audio=lambda: None)
+        r = sched.submit(req).result(timeout=180)
+        assert r.duration == pytest.approx(len(snap) / 16000)
+        req2 = BatchRequest(audio=snap, options=OPTS, uid="s",
+                            refresh_audio=lambda: snap[:8000])
+        r2 = sched.submit(req2).result(timeout=180)
+        assert r2.duration == pytest.approx(len(snap) / 16000)
+    finally:
+        sched.stop()

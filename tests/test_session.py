@@ -266,3 +266,21 @@ def test_word_timestamps_are_strings():
     )
     w = sess.transcript[0]["words"][0]
     assert w == {"word": " hi", "start": "1.500", "end": "1.750", "probability": 0.9877}
+
+
+def test_peek_tail_read_only_and_anchor_guard():
+    """peek_tail returns the un-committed tail only while the cursor sits
+    at the caller's anchor, and never moves the cursor (unlike
+    get_audio_chunk_for_processing's clip path)."""
+    sess = StreamingSession(SessionOptions(clip_audio=True))
+    sess.add_frames(np.ones(16000 * 30, np.float32))
+    anchor = sess.timestamp_offset
+    tail = sess.peek_tail(anchor)
+    assert tail is not None and len(tail) == 16000 * 30
+    assert sess.timestamp_offset == anchor  # no clip, no cursor motion
+    assert sess.peek_tail(anchor + 1.0) is None  # anchor moved -> refuse
+    sess.timestamp_offset += 2.0
+    tail2 = sess.peek_tail(anchor)
+    assert tail2 is None
+    tail3 = sess.peek_tail(sess.timestamp_offset)
+    assert tail3 is not None and len(tail3) == 16000 * 28

@@ -1121,6 +1121,7 @@ class ContinuousScheduler:
         for req, _ in take:
             self._uid_seq[req.uid] = self._insert_seq
         self._insert_seq += 1
+        self._rebind_audio(take)
         if len(self._uid_seq) > 4096:  # bound stale-uid growth
             cut = sorted(self._uid_seq.values())[len(self._uid_seq) // 2]
             self._uid_seq = {
@@ -1145,6 +1146,36 @@ class ContinuousScheduler:
                 for req, _ in group:
                     if not req.future.done():
                         req.future.set_exception(e)
+
+    def _rebind_audio(self, take) -> None:
+        """Late-bind queued requests to their stream's CURRENT tail.
+
+        At oversubscription a request waits in _pending for seconds; its
+        submit-time audio snapshot is that stale by grant time, and the
+        published partial would lag real time by queue-wait + decode. The
+        session loop is blocked awaiting this request (the anchor cannot
+        move), so swapping in the freshly buffered tail — same window
+        start, more audio — yields a strictly fresher result for the same
+        device work. Runs BEFORE encoder-bucket grouping so the refreshed
+        length picks the right reduced-context bucket; the fresh tail is
+        clamped to the continuous content cap (max_window_s) the request
+        was routed under. First-attempt only: gate-retry re-inserts keep
+        the audio their previous attempts decoded (a retry must re-decode
+        the SAME window or the temperature ladder semantics break)."""
+        cap = int(self.max_window_s * mel_ops.SAMPLE_RATE)
+        for req, temp_idx in take:
+            if req.refresh_audio is None or temp_idx > 0 or req.audio_rebound:
+                continue
+            req.audio_rebound = True
+            try:
+                fresh = req.refresh_audio()
+            except Exception:
+                logger.exception("refresh_audio failed; keeping snapshot")
+                continue
+            if fresh is None or len(fresh) < len(req.audio):
+                continue
+            req.audio = np.asarray(fresh, np.float32)[:cap]
+            req.audio_bound_at = time.monotonic()
 
     def _enc_bucket_for(self, req: BatchRequest) -> int:
         """Smallest encoder-context bucket holding the request's window."""

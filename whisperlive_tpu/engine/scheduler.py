@@ -30,7 +30,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
@@ -63,6 +63,17 @@ class BatchRequest:
     # the new tail is sampled. Timestamp tokens included; ignored by the
     # window scheduler and whenever options.prefix (user text) is set.
     prefix_tokens: Sequence[int] = ()
+    # Late-bound audio (continuous scheduler only): called once at
+    # slot-grant time to swap in the stream's CURRENT un-committed tail —
+    # at oversubscription a request queues for seconds, and decoding the
+    # submit-time snapshot would publish already-stale audio. Returns the
+    # fresh tail (same anchor) or None to keep the snapshot. Ignored by
+    # the window scheduler.
+    refresh_audio: Optional[Callable[[], Optional[np.ndarray]]] = None
+    audio_rebound: bool = False  # set by the scheduler after the one refresh
+    # when the decoded window's audio was captured (refresh updates it);
+    # the honest "newest content age" origin for latency metrics
+    audio_bound_at: float = dataclasses.field(default_factory=time.monotonic)
     future: Future = dataclasses.field(default_factory=Future)
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
 
@@ -90,6 +101,10 @@ class BatchResult:
     # Full decoded token stream (timestamps included) — the next window's
     # incremental prefix candidate (TpuBackend prefix cache).
     raw_tokens: tuple = ()
+    # monotonic time the decoded window's audio was captured (the late-bound
+    # refresh updates it at slot grant); `now - audio_bound_at` is the honest
+    # staleness of the newest content in this result
+    audio_bound_at: float = 0.0
 
 
 def assemble_result(
@@ -183,6 +198,7 @@ def assemble_result(
             () if (skip or not prefix_ok)
             else tuple(int(t) for t in res.tokens)
         ),
+        audio_bound_at=req.audio_bound_at,
     )
 
 

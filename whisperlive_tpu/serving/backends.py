@@ -195,6 +195,7 @@ class TpuBackend:
         uid: str = "",
         include_unfinished: bool = True,
         window_anchor_s: Optional[float] = None,
+        refresh_audio=None,
     ) -> Optional[BatchResult]:
         if options.use_vad:
             vad = self._vad_for(uid, options)
@@ -220,6 +221,12 @@ class TpuBackend:
         )
         scheduler = self._pick_scheduler(topts, len(chunk) / 16000.0)
         on_continuous = scheduler is self.continuous_scheduler
+        if on_continuous:
+            # Late-bound audio: if the request queues behind a full slot
+            # pool, the scheduler re-snapshots the stream's current tail at
+            # slot-grant time (continuous.py::_rebind_audio) instead of
+            # decoding the stale submit-time snapshot.
+            req.refresh_audio = refresh_audio
         use_prefix = (
             self.incremental
             and on_continuous
@@ -279,6 +286,7 @@ class FakeBackend:
         uid: str = "",
         include_unfinished: bool = True,
         window_anchor_s: Optional[float] = None,
+        refresh_audio=None,
     ) -> BatchResult:
         if self.latency_s:
             await asyncio.sleep(self.latency_s)

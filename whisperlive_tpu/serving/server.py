@@ -22,6 +22,7 @@ Wire protocol (byte-compatible, SURVEY §2 "WebSocket wire protocol"):
 from __future__ import annotations
 
 import asyncio
+import functools
 import json
 import logging
 import time
@@ -200,6 +201,11 @@ class ServeClient:
                     # successive windows extend the same audio, enabling
                     # the backend's incremental-prefix decode
                     window_anchor_s=self.session.timestamp_offset,
+                    # late-bound audio: if the request queues, decode the
+                    # tail as buffered at slot-grant time, not at submit
+                    refresh_audio=functools.partial(
+                        self.session.peek_tail, self.session.timestamp_offset
+                    ),
                 )
                 wl_metrics.track_transcription_latency(time.monotonic() - t0)
             except asyncio.CancelledError:

@@ -177,6 +177,22 @@ class StreamingSession:
         duration = input_bytes.shape[0] / SAMPLE_RATE
         return input_bytes, duration
 
+    def peek_tail(self, anchor_s: float):
+        """Current un-committed tail IF the cursor still sits at anchor_s,
+        else None. Read-only (never clips/moves the cursor) and
+        thread-safe — the continuous scheduler's late-bound audio refresh
+        calls this from its worker thread at slot-grant time to decode the
+        freshest buffered audio instead of the submit-time snapshot."""
+        with self.lock:
+            if self.frames_np is None or abs(
+                self.timestamp_offset - anchor_s
+            ) > 1e-6:
+                return None
+            samples_take = max(
+                0, int((self.timestamp_offset - self.frames_offset) * SAMPLE_RATE)
+            )
+            return self.frames_np[samples_take:].copy()
+
     # ------------------------------------------------------------------
     # stabilization (base.py:383-483)
     # ------------------------------------------------------------------

@@ -117,8 +117,21 @@ def feats_fixed(audio: np.ndarray) -> np.ndarray:
     return np.pad(f, [(0, FRAMES - f.shape[0]), (0, 0)])
 
 
+def feats_fbank_fixed(audio: np.ndarray, frames: int = 158) -> np.ndarray:
+    from whisperlive_tpu.audio.wespeaker import fbank
+
+    f = fbank(audio)
+    if f.shape[0] >= frames:
+        return f[:frames]
+    return np.pad(f, [(0, frames - f.shape[0]), (0, 0)])
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--arch", choices=("mlp", "resnet"), default="mlp",
+                        help="mlp: audio/speaker_model.py; resnet: the "
+                             "WeSpeaker-ResNet-shaped graph "
+                             "(audio/wespeaker.py, LITE config)")
     parser.add_argument("--steps", type=int, default=1200)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--n_speakers", type=int, default=256)
@@ -132,10 +145,14 @@ def main() -> None:
     parser.add_argument("--no_channel", action="store_true",
                         help="disable per-utterance reverb/noise/EQ "
                              "augmentation")
-    parser.add_argument("--out", type=str,
-                        default="whisperlive_tpu/audio/speaker_weights.npz")
+    parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
+    out = args.out or (
+        "whisperlive_tpu/audio/wespeaker_weights.npz"
+        if args.arch == "resnet"
+        else "whisperlive_tpu/audio/speaker_weights.npz"
+    )
 
     import jax
     import jax.numpy as jnp
@@ -145,10 +162,34 @@ def main() -> None:
 
     rng = np.random.default_rng(args.seed)
     profiles = [make_profile(rng) for _ in range(args.n_speakers)]
-    params = {
-        k: jnp.asarray(v)
-        for k, v in init_speaker_params(args.seed, args.n_speakers).items()
-    }
+    if args.arch == "resnet":
+        from whisperlive_tpu.audio.wespeaker import (
+            LITE,
+            embed_jax as ws_embed_jax,
+            init_wespeaker_params,
+        )
+
+        base = init_wespeaker_params(LITE, args.seed)
+        lim = np.sqrt(6.0 / (LITE.emb_dim + args.n_speakers))
+        base["wc"] = np.random.default_rng(args.seed + 1).uniform(
+            -lim, lim, (LITE.emb_dim, args.n_speakers)
+        ).astype(np.float32)
+        params = {k: jnp.asarray(v) for k, v in base.items()}
+
+        def forward(p, feats):
+            return ws_embed_jax(p, feats, train=True)
+
+        featurize = feats_fbank_fixed
+    else:
+        params = {
+            k: jnp.asarray(v)
+            for k, v in init_speaker_params(args.seed, args.n_speakers).items()
+        }
+
+        def forward(p, feats):
+            return embed_jax(p, feats), {}
+
+        featurize = feats_fixed
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
     scale = args.scale
@@ -156,48 +197,56 @@ def main() -> None:
     margin = args.margin
 
     def loss_fn(p, feats, labels):
-        emb = embed_jax(p, feats)  # [B, E] normalized
+        emb, bn_stats = forward(p, feats)  # [B, E] normalized
         wc = p["wc"] / (jnp.linalg.norm(p["wc"], axis=0, keepdims=True) + 1e-8)
         cos = emb @ wc
         # AAM: subtract the margin from the TARGET class cosine only, so
         # same-speaker embeddings must clear other speakers by >= margin
         onehot = jax.nn.one_hot(labels, cos.shape[1], dtype=cos.dtype)
         logits = scale * (cos - margin * onehot)
-        return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        return loss, bn_stats
 
     @jax.jit
     def step(p, o, feats, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(p, feats, labels)
+        (loss, bn_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, feats, labels
+        )
         updates, o = opt.update(grads, o)
-        return optax.apply_updates(p, updates), o, loss
+        p = optax.apply_updates(p, updates)
+        # BN running stats are EMA-tracked, not optimized
+        p = {**p, **bn_stats}
+        return p, o, loss
 
     for i in range(args.steps):
         labels = rng.integers(0, args.n_speakers, args.batch)
         utts = [synth_utterance(rng, profiles[l]) for l in labels]
         if not args.no_channel:
             utts = [apply_channel(rng, u) for u in utts]
-        feats = np.stack([feats_fixed(u) for u in utts])
+        feats = np.stack([featurize(u) for u in utts])
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(feats), jnp.asarray(labels)
         )
         if i % 100 == 0 or i == args.steps - 1:
-            print(f"step {i}: loss {float(loss):.4f}")
+            print(f"step {i}: loss {float(loss):.4f}", flush=True)
 
     np_params = {k: np.asarray(v) for k, v in params.items()}
+    np_params.pop("wc", None)  # classifier head is training-only
     (auc_l, eer_l), (auc_s, eer_s) = evaluate(
-        np_params, seed=args.seed + 7777, channel=not args.no_channel
+        np_params, seed=args.seed + 7777, channel=not args.no_channel,
+        arch=args.arch,
     )
     print(
         f"held-out verification (channel-mismatched): learned AUC {auc_l:.3f}"
         f" EER {eer_l * 100:.1f}% vs spectral AUC {auc_s:.3f}"
         f" EER {eer_s * 100:.1f}%"
     )
-    np.savez(args.out, **np_params)
-    print(f"saved {args.out}")
+    np.savez(out, **np_params)
+    print(f"saved {out}")
 
 
 def evaluate(np_params: dict, seed: int, n_speakers: int = 24, n_utt: int = 4,
-             channel: bool = True):
+             channel: bool = True, arch: str = "mlp"):
     """Same/diff-speaker cosine verification on held-out profiles, each
     utterance through an independent random channel (the real-world test:
     verification must survive recording mismatch). Returns
@@ -207,7 +256,12 @@ def evaluate(np_params: dict, seed: int, n_speakers: int = 24, n_utt: int = 4,
 
     rng = np.random.default_rng(seed)
     profs = [make_profile(rng) for _ in range(n_speakers)]
-    learned = LearnedSpeakerEmbedder(np_params)
+    if arch == "resnet":
+        from whisperlive_tpu.audio.wespeaker import WeSpeakerEmbedder
+
+        learned = WeSpeakerEmbedder(np_params)
+    else:
+        learned = LearnedSpeakerEmbedder(np_params)
     spectral = SpectralEmbedder()
     embs_l, embs_s, who = [], [], []
     for si, p in enumerate(profs):

@@ -258,36 +258,6 @@ def test_silero_shaped_chunking_invariance():
     np.testing.assert_allclose(np.concatenate(parts), whole, atol=1e-6)
 
 
-def _write_onnx(path, tensors):
-    """Minimal ONNX writer: ModelProto{graph{initializer...}} with the
-    fields read_onnx_initializers parses (dims/data_type/name/raw_data)."""
-    def varint(v):
-        out = b""
-        while True:
-            b7 = v & 0x7F
-            v >>= 7
-            out += bytes([b7 | (0x80 if v else 0)])
-            if not v:
-                return out
-
-    def field(num, wt, payload):
-        if wt == 0:
-            return varint((num << 3) | 0) + varint(payload)
-        return varint((num << 3) | 2) + varint(len(payload)) + payload
-
-    inits = b""
-    for name, arr in tensors:
-        t = b""
-        for d in arr.shape:
-            t += field(1, 0, d)
-        t += field(2, 0, 1)  # float32
-        t += field(8, 2, name.encode())
-        t += field(9, 2, np.ascontiguousarray(arr, np.float32).tobytes())
-        inits += field(5, 2, t)
-    with open(path, "wb") as f:
-        f.write(field(7, 2, inits))  # graph
-
-
 def test_silero_onnx_loader_roundtrip(tmp_path):
     """load_silero_onnx must reconstruct the model from ONNX-layout
     tensors (conv [C_out,C_in,k], LSTM W/R [1,4H,C] in the ONNX op's
@@ -322,7 +292,8 @@ def test_silero_onnx_loader_roundtrip(tmp_path):
         ("head.bias", p["out_b"]),
     ]
     path = str(tmp_path / "silero.onnx")
-    _write_onnx(path, tensors)
+    from conftest import write_onnx_file
+    write_onnx_file(path, tensors)
     loaded = sv.load_silero_onnx(path)
     for k in p:
         np.testing.assert_allclose(loaded[k], p[k], atol=1e-6, err_msg=k)

@@ -77,21 +77,45 @@ class SpectralEmbedder:
         return vec / norm if norm > 0 else vec
 
 
-def _default_embedder():
-    """Learned embedder when its weight file ships, else spectral."""
+def _default_embedder(quality: bool = False):
+    """Pick the best available embedder for the call site.
+
+    quality=True (offline/REST, latency-tolerant) prefers the
+    WeSpeaker-ResNet-shaped model (audio/wespeaker.py — the reference's
+    embedding-model family, ~0.2 s/segment on this host's single core);
+    quality=False (streaming) prefers the cheap learned MLP
+    (audio/speaker_model.py, ~1 ms/segment). WL_SPEAKER forces one of
+    wespeaker|mlp|spectral on every path; missing weights fall through
+    wespeaker -> mlp -> spectral.
+    """
     import os
 
-    if os.environ.get("WL_SPEAKER", "") != "spectral":
+    forced = os.environ.get("WL_SPEAKER", "")
+    if forced == "spectral":
+        return SpectralEmbedder()
+    if forced == "wespeaker" or (not forced and quality):
         try:
-            from whisperlive_tpu.audio.speaker_model import (
-                LearnedSpeakerEmbedder,
+            from whisperlive_tpu.audio.wespeaker import (
+                WeSpeakerEmbedder,
                 weights_available,
             )
 
             if weights_available():
-                return LearnedSpeakerEmbedder()
+                return WeSpeakerEmbedder()
         except Exception:  # corrupt/missing weights: fall through
             pass
+        if forced:
+            logger.warning("WL_SPEAKER=wespeaker but no weights; using mlp")
+    try:
+        from whisperlive_tpu.audio.speaker_model import (
+            LearnedSpeakerEmbedder,
+            weights_available,
+        )
+
+        if weights_available():
+            return LearnedSpeakerEmbedder()
+    except Exception:  # corrupt/missing weights: fall through
+        pass
     return SpectralEmbedder()
 
 
@@ -103,10 +127,11 @@ class SpeakerDiarizer:
         max_speakers: int = 4,
         similarity_threshold: float = SIMILARITY_THRESHOLD,
         embedder: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        quality: bool = False,
     ):
         self.max_speakers = max_speakers
         self.similarity_threshold = similarity_threshold
-        self._embedder = embedder or _default_embedder()
+        self._embedder = embedder or _default_embedder(quality)
         self._lock = threading.Lock()
         self.speakers: list[np.ndarray] = []
         self.speaker_names: list[str] = []

@@ -324,7 +324,11 @@ async def start_rest_server(
         if known_speakers:
             from whisperlive_tpu.diarization import SpeakerDiarizer
 
-            diarizer = SpeakerDiarizer(max_speakers=max(len(known_speakers), 4))
+            # REST is offline/batch: the quality embedder's ~0.2 s/segment
+            # is fine here (streaming sessions keep the cheap MLP)
+            diarizer = SpeakerDiarizer(
+                max_speakers=max(len(known_speakers), 4), quality=True
+            )
             for i, (fname, raw) in enumerate(known_speakers):
                 name = speaker_names[i] if i < len(speaker_names) else fname
                 try:

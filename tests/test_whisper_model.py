@@ -128,6 +128,75 @@ def test_decoder_prefill_and_step_parity(rng, hf_model, converted):
             )
 
 
+def test_catalog_matches_reference_serving_list():
+    """The model-size catalog must cover every name the reference's
+    serving backend accepts (faster_whisper_backend.py:74-79), including
+    the distil family and the turbo alias."""
+    reference_names = [
+        "tiny", "tiny.en", "base", "base.en", "small", "small.en",
+        "medium", "medium.en", "large-v2", "large-v3", "distil-small.en",
+        "distil-medium.en", "distil-large-v2", "distil-large-v3",
+        "large-v3-turbo", "turbo",
+    ]
+    for name in reference_names:
+        assert name in wmod.WHISPER_CONFIGS, name
+    assert wmod.WHISPER_CONFIGS["turbo"] is wmod.WHISPER_CONFIGS["large-v3-turbo"]
+    # distil = teacher encoder + shallow decoder (public model-card facts)
+    for name, dec_layers in [
+        ("distil-small.en", 4), ("distil-medium.en", 2),
+        ("distil-large-v2", 2), ("distil-large-v3", 2),
+    ]:
+        cfg = wmod.WHISPER_CONFIGS[name]
+        assert cfg.n_text_layer == dec_layers, name
+        teacher = wmod.WHISPER_CONFIGS[name.removeprefix("distil-")]
+        assert cfg.n_audio_layer == teacher.n_audio_layer, name
+        assert cfg.n_audio_state == teacher.n_audio_state, name
+
+
+def test_distil_shaped_decoder_parity(rng):
+    """Asymmetric depth (distil family: deep encoder, shallow decoder) must
+    ride the same graph — prefill + cached-step logits vs an HF oracle
+    built with encoder_layers != decoder_layers."""
+    import torch
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    hf_kw = dict(TINY, encoder_layers=3, decoder_layers=1)
+    torch.manual_seed(1)
+    model = WhisperForConditionalGeneration(HFConfig(**hf_kw)).eval()
+    cfg = convert_mod.config_from_hf(hf_kw)
+    assert cfg.n_audio_layer == 3 and cfg.n_text_layer == 1
+    params = convert_mod.params_from_state_dict(model.state_dict(), cfg)
+
+    b = 2
+    mel = _rand_mel(rng, cfg, b)
+    tokens = rng.integers(0, cfg.n_vocab, (b, 6)).astype(np.int32)
+    with torch.no_grad():
+        ref_logits = model(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            decoder_input_ids=torch.from_numpy(tokens.astype(np.int64)),
+        ).logits.numpy()
+
+    enc = wmod.encode(params, cfg, jnp.asarray(mel))
+    cross_kv = wmod.compute_cross_kv(params, cfg, enc)
+    self_kv = wmod.init_self_kv(cfg, b)
+    pmax = 4
+    prompt_lens = jnp.asarray([4, 4])
+    last_logits, self_kv = wmod.decode_prefill(
+        params, cfg, jnp.asarray(tokens[:, :pmax]), prompt_lens, self_kv, cross_kv
+    )
+    np.testing.assert_allclose(
+        np.asarray(last_logits), ref_logits[:, pmax - 1], atol=2e-3, rtol=1e-3
+    )
+    logits, self_kv = wmod.decode_step(
+        params, cfg, jnp.asarray(tokens[:, pmax]), jnp.asarray([pmax, pmax]),
+        jnp.int32(pmax), prompt_lens, pmax, self_kv, cross_kv,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits[:, pmax], atol=2e-3, rtol=1e-3
+    )
+
+
 def test_cross_attn_shapes(rng, converted):
     cfg, params = converted
     mel = _rand_mel(rng, cfg, 1)

@@ -23,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["tpu", "faster_whisper", "tensorrt", "openvino"],
                         help="Backend name (legacy values map to 'tpu').")
     parser.add_argument("--model", "-m", type=str, default="small",
-                        help="Whisper model size (tiny..large-v3) for random/converted init.")
+                        help="Whisper model size (tiny..large-v3, distil-*, "
+                             "turbo) for random/converted init.")
     parser.add_argument("--tpu_model_path", "-tpu", type=str, default=None,
                         help="Path to a converted checkpoint dir or HF checkpoint dir.")
     parser.add_argument("--faster_whisper_custom_model_path", "-fw", type=str,

@@ -77,8 +77,16 @@ WHISPER_CONFIGS: dict[str, WhisperConfig] = {
     "large-v2": WhisperConfig(80, 51865, 1500, 1280, 20, 32, 448, 1280, 20, 32),
     "large-v3": WhisperConfig(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 32),
     "large-v3-turbo": WhisperConfig(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 4),
+    # Distil-Whisper family: the teacher's encoder with a shallow decoder
+    # (distil-whisper model cards; in the reference's serving catalog,
+    # faster_whisper_backend.py:74-79).
+    "distil-small.en": WhisperConfig(80, 51864, 1500, 768, 12, 12, 448, 768, 12, 4),
+    "distil-medium.en": WhisperConfig(80, 51864, 1500, 1024, 16, 24, 448, 1024, 16, 2),
+    "distil-large-v2": WhisperConfig(80, 51865, 1500, 1280, 20, 32, 448, 1280, 20, 2),
     "distil-large-v3": WhisperConfig(128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 2),
 }
+# The reference accepts "turbo" as shorthand for large-v3-turbo.
+WHISPER_CONFIGS["turbo"] = WHISPER_CONFIGS["large-v3-turbo"]
 
 
 def sinusoids(length: int, channels: int) -> np.ndarray:

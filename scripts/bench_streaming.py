@@ -241,6 +241,7 @@ def main() -> None:
         last_update_time[:] = [None] * n_streams
         backend._prefix_cache.clear()  # uids repeat across sweeps
         backend._prefix_streak.clear()
+        backend._rt_ema.clear()
         asyncio.run(run(n_streams))
 
         latencies_np = np.asarray(latencies)

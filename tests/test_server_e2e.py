@@ -277,3 +277,90 @@ def test_vad_gated_session_does_not_starve_event_loop():
             await client.cleanup()
 
     asyncio.run(drive())
+
+
+def test_cadence_spacing_policy():
+    """Adaptive cadence: spacing engages only under sustained pool
+    saturation, scales with the stream's round-trip EMA, and can be
+    disabled (WL_ADAPTIVE_CADENCE=0)."""
+    from whisperlive_tpu.serving.backends import TpuBackend
+
+    class StubContinuous:
+        beam_width = 1
+
+        def __init__(self, load):
+            self._load = load
+
+        def load_factor(self):
+            return self._load
+
+    backend = TpuBackend(scheduler=None,
+                         continuous_scheduler=StubContinuous(3.0))
+    backend.cadence_alpha = 0.7
+    backend._rt_ema["u1"] = 2.0
+    assert backend.cadence_spacing_s("u1") == pytest.approx(1.4)
+    assert backend.cadence_spacing_s("unknown-uid") == 0.0  # no history yet
+
+    backend.continuous_scheduler._load = 1.0  # pool keeping up
+    assert backend.cadence_spacing_s("u1") == 0.0
+
+    backend.continuous_scheduler._load = 3.0
+    backend.adaptive_cadence = False
+    assert backend.cadence_spacing_s("u1") == 0.0
+
+    # window-scheduler-only backends never space
+    assert TpuBackend(scheduler=None).cadence_spacing_s("u1") == 0.0
+
+
+def test_session_loop_honors_cadence_spacing():
+    """When the backend's policy asks for spacing, the session loop holds
+    the next submission (buffering audio meanwhile); with zero spacing it
+    submits back-to-back."""
+    import asyncio
+
+    import numpy as np
+
+    from whisperlive_tpu.serving.server import ServeClient
+    from whisperlive_tpu.serving.session import SessionOptions
+
+    class SpacedBackend:
+        def __init__(self, spacing):
+            self.spacing = spacing
+            self.calls = 0
+
+        def cadence_spacing_s(self, uid):
+            return self.spacing
+
+        async def transcribe(self, chunk, options, **kw):
+            self.calls += 1
+            # the real backend awaits the scheduler future; without a yield
+            # here the zero-spacing loop would never cede the event loop
+            await asyncio.sleep(0.01)
+            from types import SimpleNamespace
+
+            return SimpleNamespace(
+                segments=[], language="en", language_prob=1.0,
+                duration=len(chunk) / 16000.0, advance_s=0.0,
+            )
+
+    async def drive(spacing):
+        backend = SpacedBackend(spacing)
+        client = ServeClient(
+            websocket=None, uid="cadence",
+            options=SessionOptions(language="en", use_vad=False),
+            backend=backend,
+            send_json=None,
+        )
+        client.add_frames(np.zeros(32000, np.float32))
+        client.start()
+        try:
+            await asyncio.sleep(1.0)
+        finally:
+            await client.cleanup()
+        return backend.calls
+
+    spaced = asyncio.run(drive(0.4))
+    free = asyncio.run(drive(0.0))
+    # 1 s / 0.4 s spacing => ~2-3 submissions; unspaced runs far more
+    assert spaced <= 4, spaced
+    assert free > 3 * spaced, (free, spaced)

@@ -1032,6 +1032,11 @@ class ContinuousScheduler:
             len(self._pending) * self._service_ema / max(self.cb.n_slots, 1)
         )
 
+    def load_factor(self) -> float:
+        """Sustained (resident + queued) / slots. >1 means requests queue;
+        the serving layer's adaptive-cadence policy keys off this."""
+        return self._load_ema
+
     def warmup(self) -> None:
         """Compile the insert buckets and the step program."""
         eng = self.engine

@@ -19,6 +19,7 @@ from __future__ import annotations
 import asyncio
 import os
 import logging
+import time
 from types import SimpleNamespace
 from typing import Optional, Sequence
 
@@ -125,6 +126,31 @@ class TpuBackend:
         # per-request engine deadline; benchmarks raise it to survive cold
         # compiles of rarely-hit shapes without dropping samples
         self.request_timeout_s = 60.0
+        # Adaptive cadence at oversubscription: when the continuous pool is
+        # saturated, each stream spaces its submissions by a fraction of
+        # its own observed round-trip, so requests spend the wait in the
+        # session (where new audio keeps accruing) instead of in the
+        # scheduler queue. Round-trip p50 drops; throughput is unchanged
+        # (the queue stays non-empty — alpha < 1 keeps slots fed) and
+        # content freshness was already handled by late-bound audio.
+        self.adaptive_cadence = os.environ.get("WL_ADAPTIVE_CADENCE", "1") != "0"
+        self.cadence_alpha = float(os.environ.get("WL_CADENCE_ALPHA", "0.7"))
+        self._rt_ema: dict[str, float] = {}
+
+    def cadence_spacing_s(self, uid: str) -> float:
+        """Seconds the session should wait between submissions for `uid`.
+
+        0 unless adaptive cadence is on AND the continuous pool has been
+        saturated for a while (load EMA > 1.2). The spacing is
+        alpha x the stream's round-trip EMA: at steady state the stream
+        still submits about as often as the pool can serve it, but with
+        most of the former queue wait spent buffering audio instead."""
+        if not self.adaptive_cadence or self.continuous_scheduler is None:
+            return 0.0
+        load = getattr(self.continuous_scheduler, "load_factor", lambda: 0.0)()
+        if load <= 1.2:
+            return 0.0
+        return self.cadence_alpha * self._rt_ema.get(uid, 0.0)
 
     def _pick_scheduler(
         self, options: TranscribeOptions, duration_s: float | None = None
@@ -163,6 +189,7 @@ class TpuBackend:
         self._vads.pop(uid, None)
         self._prefix_cache.pop(uid, None)
         self._prefix_streak.pop(uid, None)
+        self._rt_ema.pop(uid, None)
 
     def _adjust_options(
         self, topts: TranscribeOptions, chunk: np.ndarray
@@ -248,10 +275,15 @@ class TpuBackend:
             else:
                 del self._prefix_cache[uid]  # commit moved the tail start
                 self._prefix_streak.pop(uid, None)
+        t_submit = time.monotonic()
         scheduler.submit(req)
         result = await asyncio.wait_for(
             asyncio.wrap_future(req.future), timeout=self.request_timeout_s
         )
+        if on_continuous:
+            rt = time.monotonic() - t_submit
+            prev = self._rt_ema.get(uid, rt)
+            self._rt_ema[uid] = prev + 0.3 * (rt - prev)
         if use_prefix and result is not None:
             if result.raw_tokens:
                 self._prefix_cache[uid] = (window_anchor_s, result.raw_tokens)

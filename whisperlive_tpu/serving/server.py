@@ -170,7 +170,18 @@ class ServeClient:
 
     async def speech_to_text(self) -> None:
         """The per-stream hot loop (async port of base.py:88-137)."""
+        last_submit = 0.0
         while not self.exit:
+            # Adaptive cadence (backend policy): when the decode pool is
+            # saturated, space submissions so the wait happens HERE (new
+            # audio keeps buffering) instead of in the scheduler queue —
+            # the next window then covers more audio and returns fast.
+            spacing_fn = getattr(self.backend, "cadence_spacing_s", None)
+            if spacing_fn is not None and not self.eos:
+                hold = spacing_fn(self.uid) - (time.monotonic() - last_submit)
+                if hold > 0:
+                    await asyncio.sleep(min(hold, 1.0))
+                    continue
             duration = self.session.buffered_duration()
             if duration < MIN_CHUNK_S and not (self.eos and duration > 0):
                 self._new_audio.clear()
@@ -191,6 +202,7 @@ class ServeClient:
 
             try:
                 t0 = time.monotonic()
+                last_submit = t0
                 result = await self.backend.transcribe(
                     chunk,
                     self.options,

@@ -472,6 +472,7 @@ def generate_segments(
     options: TranscribeOptions,
     seed: int = 0,
     log_progress: bool = False,
+    spec_decoder=None,  # SpeculativeDecoder — draft-accelerated T=0 decodes
 ) -> tuple[list[Segment], Optional[str], float, Optional[list[tuple[str, float]]]]:
     """The offline seek loop — behavioral port of generate_segments
     (transcriber_faster_whisper.py:1049-1337) over the full-clip feature
@@ -566,7 +567,12 @@ def generate_segments(
         segment_duration = segment_size / FRAMES_PER_SECOND
         window = mel_ops.pad_or_trim_frames(features[seek : seek + segment_size])
 
-        _, cross_kv = eng.prepare_mel(window[None])
+        enc, cross_kv = eng.prepare_mel(window[None])
+        # Speculative serving: the draft shares the teacher's encoder, so
+        # its cross-KV is one extra projection of the SAME encoder output.
+        cross_d = (
+            spec_decoder.cross_from_enc(enc) if spec_decoder is not None else None
+        )
         if language is None:
             if eng.tokenizer.spec.multilingual:
                 codes = eng.tokenizer.spec.language_codes
@@ -600,9 +606,14 @@ def generate_segments(
             previous_tokens=all_tokens[prompt_reset_since:],
             language=window_language,
         )
-        (result,) = eng.decode_with_fallback(
-            cross_kv, [prompt], [sot_idx], options, seed=seed
-        )
+        if spec_decoder is not None and options.beam_size == 1:
+            (result,) = spec_decoder.decode_with_fallback(
+                cross_kv, cross_d, prompt, sot_idx, options, seed=seed
+            )
+        else:
+            (result,) = eng.decode_with_fallback(
+                cross_kv, [prompt], [sot_idx], options, seed=seed
+            )
 
         # No-speech skip (transcriber_faster_whisper.py:1162-1182): skip on
         # high no-speech prob unless the logprob clears the threshold.
@@ -711,8 +722,11 @@ class Transcriber:
     provides the REST/offline path and the behavioral reference for tests.
     """
 
-    def __init__(self, engine: WhisperEngine):
+    def __init__(self, engine: WhisperEngine, spec_decoder=None):
+        """spec_decoder: optional engine.speculative.SpeculativeDecoder —
+        T=0 window decodes then run draft-accelerated (token-exact)."""
         self.engine = engine
+        self.spec_decoder = spec_decoder
 
     def transcribe(
         self,
@@ -768,7 +782,8 @@ class Transcriber:
         duration = len(audio) / mel_ops.SAMPLE_RATE
         features = mel_ops.log_mel_full(audio, n_mels=eng.cfg.n_mels)
         segments, language, language_prob, all_probs = generate_segments(
-            eng, features, options, seed=seed, log_progress=log_progress
+            eng, features, options, seed=seed, log_progress=log_progress,
+            spec_decoder=self.spec_decoder,
         )
         info = TranscriptionInfo(
             language=language or "en",

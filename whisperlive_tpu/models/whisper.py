@@ -624,6 +624,46 @@ def decode_prefill(
     return last_logits, _project_logits(params, sot_hidden), new_kv
 
 
+def decode_window(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jax.Array,  # [B, K] window tokens (e.g. [cur, d1..dk] in verify)
+    pos_idx: jax.Array,  # [B, K] logical positions of each window token
+    slot_start,  # scalar int32: cache slot of tokens[:, 0]
+    prompt_len: jax.Array,  # [B] true prompt lengths
+    prompt_pad: int,  # static: padded prompt length (gen slots start here)
+    self_kv: jax.Array,
+    cross_kv: jax.Array,
+):
+    """Multi-token decode pass: K tokens written at cache slots
+    [slot_start, slot_start + K), logits returned for ALL K positions.
+
+    This is the speculative-decoding verify primitive: the target model
+    scores every draft position in ONE MXU pass, paying the per-step HBM
+    cost (cross-KV + weight reads) once per K tokens instead of once per
+    token. Window query i may attend the prompt, every previously ACCEPTED
+    generation slot (j < slot_start — slot validity is purely mask-based,
+    so rejected speculative slots from an earlier round need no rollback:
+    they sit at j >= slot_start and are overwritten by this window), and
+    the window itself causally (j <= slot_start + i; the window's K/V are
+    in the cache copy before attention — see _decoder_block_step).
+
+    Returns (logits [B, K, V] f32, new self_kv).
+    """
+    b, kwin = tokens.shape
+    c = self_kv.shape[3]
+    j = jnp.arange(c)[None, None, :]  # [1, 1, C]
+    i = jnp.arange(kwin)[None, :, None]  # [1, K, 1]
+    mask = (j < prompt_len[:, None, None]) | (
+        (j >= prompt_pad) & (j <= slot_start + i)
+    )  # [B, K, C]
+    x, new_kv, _ = _decoder_forward(
+        params, cfg, tokens, pos_idx, slot_start, mask[:, None],
+        self_kv, cross_kv,
+    )
+    return _project_logits(params, x), new_kv
+
+
 def decode_step(
     params: Params,
     cfg: WhisperConfig,

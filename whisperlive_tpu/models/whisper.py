@@ -425,6 +425,26 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
             )
             out = out[:, None].astype(dtype) * scale[1][:, 0][:, None].astype(dtype)
             return out, None
+        if (
+            1 < qc.shape[1] <= 8
+            and not collect_probs
+            and jax.default_backend() in ("tpu", "axon")
+        ):
+            # speculative verify windows (decode_window): stream the int8
+            # KV HBM->VMEM once for the whole Tq window instead of
+            # materializing a bf16 dequant copy per layer. Capped at 8 so
+            # prompt-bucket prefills (Tq=16/64/256) keep the measured
+            # astype path; widen once the window kernel is benched there.
+            from whisperlive_tpu.ops.attention import cross_attention_int8_window
+
+            out = cross_attention_int8_window(
+                jnp.swapaxes(q_eff, 1, 2), ckv["kv8"][0], ckv["kv8"][1],
+                lengths=cross_len,
+            )
+            out = jnp.swapaxes(out, 1, 2).astype(dtype) * scale[1][:, 0][
+                :, None
+            ].astype(dtype)
+            return out, None
         # fallback (CPU tests, prefill/align): head-major [2, B, H, T, hd]
         # -> [B, T, H, hd]
         k = jnp.swapaxes(ckv["kv8"][0], 1, 2).astype(dtype)

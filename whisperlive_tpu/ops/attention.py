@@ -246,6 +246,82 @@ def cross_attention_int8(
     return out
 
 
+def _cross_attn_int8_window_kernel(*refs, scale: float, masked: bool):
+    """Multi-query variant of _cross_attn_int8_kernel: Tq query tokens
+    attend the same int8 KV, which streams HBM->VMEM ONCE for the whole
+    window — the speculative-verify pass reads the dominant decode HBM
+    term once per k+1 tokens instead of once per token."""
+    if masked:
+        len_ref, q_ref, k_ref, v_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        len_ref = None
+    n_head = q_ref.shape[1]
+    dtype = q_ref.dtype
+
+    for h in range(n_head):  # heads unrolled: keeps the KV DMAs large
+        q = q_ref[0, h]  # [Tq, hd]
+        k = k_ref[0, h].astype(dtype)  # [T, hd]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Tq, T]
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(
+                col < len_ref[pl.program_id(0)], scores, NEG_INF
+            )
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        v = v_ref[0, h].astype(dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            probs, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def cross_attention_int8_window(
+    q: jax.Array,  # [B, H, Tq, hd] compute dtype, K-scales already folded in
+    k8: jax.Array,  # [B, H, T, hd] int8 (HEAD-MAJOR)
+    v8: jax.Array,  # [B, H, T, hd] int8
+    lengths: jax.Array | None = None,  # [B] int32 valid positions
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed (Tq-token) cross-attention over int8 KV — the speculative
+    decode_window path. Same contract as cross_attention_int8 with a query
+    window axis; returns [B, H, Tq, hd] float32."""
+    b, h, t, hd = k8.shape
+    tq = q.shape[2]
+    masked = lengths is not None
+    specs = [
+        pl.BlockSpec((1, h, tq, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k8, v8]
+    if masked:
+        specs.insert(
+            0, pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+        )
+        args.insert(0, lengths.astype(jnp.int32))
+    out = pl.pallas_call(
+        functools.partial(
+            _cross_attn_int8_window_kernel, scale=hd**-0.5, masked=masked
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, hd), jnp.float32),
+        grid=(b,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, h, tq, hd), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
     q = q_ref[0]  # [BLOCK_Q, hd]
     k = k_ref[0]  # [T_pad, hd]

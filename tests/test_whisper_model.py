@@ -362,3 +362,76 @@ def test_encoder_reduced_context_parity(rng, hf_model, converted):
     ours = np.asarray(wmod.encode(params, cfg, jnp.asarray(mel)))
     assert ours.shape == (mel.shape[0], t_short, cfg.n_audio_state)
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_decode_window_parity(rng, hf_model, converted):
+    """decode_window (the speculative verify primitive) must match HF
+    teacher-forced logits at EVERY window position, with mixed per-item
+    prompt lengths — and a second window that starts mid-way through the
+    first one's slots must still match, proving the mask-based
+    no-rollback semantics (stale rejected K/V is overwritten/masked)."""
+    import torch
+
+    cfg, params = converted
+    b = 2
+    mel = _rand_mel(rng, cfg, b)
+    prompt_lens = np.array([3, 5], np.int32)
+    total_len = 16
+    tokens = rng.integers(0, cfg.n_vocab, (b, total_len)).astype(np.int32)
+
+    with torch.no_grad():
+        ref_logits = hf_model(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            decoder_input_ids=torch.from_numpy(tokens.astype(np.int64)),
+        ).logits.numpy()
+
+    enc = wmod.encode(params, cfg, jnp.asarray(mel))
+    cross_kv = wmod.compute_cross_kv(params, cfg, enc)
+    self_kv = wmod.init_self_kv(cfg, b)
+
+    pmax = 6
+    prompts = np.zeros((b, pmax), np.int32)
+    for i, pl in enumerate(prompt_lens):
+        prompts[i, :pl] = tokens[i, :pl]
+    prompt_len_j = jnp.asarray(prompt_lens)
+    _, self_kv = wmod.decode_prefill(
+        params, cfg, jnp.asarray(prompts), prompt_len_j, self_kv, cross_kv
+    )
+
+    # Window 1: K tokens at logical positions prompt_len..prompt_len+K-1.
+    # Positions 0..a keep the ground-truth tokens ("accepted"); positions
+    # a+1.. carry GARBAGE ("rejected drafts") whose K/V lands in the cache.
+    K, a = 4, 1
+    idx = np.arange(b)[:, None]
+    pos1 = prompt_lens[:, None] + np.arange(K)
+    win1 = tokens[idx, pos1].copy()
+    win1[:, a + 1:] = 1 + (win1[:, a + 1:] % (cfg.n_vocab - 1))  # corrupt
+    logits1, self_kv = wmod.decode_window(
+        params, cfg, jnp.asarray(win1), jnp.asarray(pos1), jnp.int32(pmax),
+        prompt_len_j, pmax, self_kv, cross_kv,
+    )
+    # positions up to the corruption see only clean history -> must match
+    for i in range(b):
+        # logits index j is emitted after consuming window token j, so
+        # only indices up to the last clean token (j <= a) match the oracle
+        for j in range(a + 1):
+            np.testing.assert_allclose(
+                np.asarray(logits1)[i, j], ref_logits[i, pos1[i, j]],
+                atol=2e-3, rtol=1e-3,
+            )
+
+    # Window 2 starts at slot pmax+a+1 (the speculative continuation
+    # pattern): the garbage K/V from window 1 sits at slots >= slot_start
+    # and must be overwritten/masked away.
+    pos2 = prompt_lens[:, None] + (a + 1) + np.arange(K)
+    win2 = tokens[idx, pos2]
+    logits2, self_kv = wmod.decode_window(
+        params, cfg, jnp.asarray(win2), jnp.asarray(pos2),
+        jnp.int32(pmax + a + 1), prompt_len_j, pmax, self_kv, cross_kv,
+    )
+    for i in range(b):
+        for j in range(K):
+            np.testing.assert_allclose(
+                np.asarray(logits2)[i, j], ref_logits[i, pos2[i, j]],
+                atol=2e-3, rtol=1e-3,
+            )

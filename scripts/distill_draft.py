@@ -1,0 +1,189 @@
+"""Distill a speculative draft from a Whisper teacher.
+
+Pipeline (distil-whisper recipe on this framework's training stack):
+  1. pseudo-label a pool of audio with the TEACHER's greedy decode,
+  2. initialize the student = shared encoder + maximally-spaced teacher
+     decoder layers (whisperlive_tpu/distill.py),
+  3. minimize KL(teacher||student) + CE(pseudo-labels) with the teacher
+     frozen — the CE term is literally the speculative acceptance
+     criterion, so the objective directly optimizes draft agreement,
+  4. save a converted-checkpoint dir ready for
+     `whisperlive-tpu-transcribe --draft_path <out>` /
+     SpeculativeDecoder.
+
+With no real checkpoint/audio in the environment this runs on random
+weights + synthetic audio and reports teacher-forced agreement before and
+after (the quality bar needs real weights; the pipeline does not).
+
+Usage:
+  python scripts/distill_draft.py --model tiny [-tpu <teacher-ckpt>]
+      [--layers 2] [--steps 300] [--batch 4] [--pool 64]
+      [--audio_dir <dir-of-wav-flac>] --out /tmp/draft-ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import time
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("distill_draft")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("-tpu", "--tpu_model_path", default=None)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--pool", type=int, default=64,
+                    help="Pseudo-labeled training clips.")
+    ap.add_argument("--seq", type=int, default=48,
+                    help="Teacher-forced sequence length.")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--audio_dir", default=None,
+                    help="Directory of wav/flac clips (synthetic if unset).")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from whisperlive_tpu import distill
+    from whisperlive_tpu.cli.transcribe import _load_engine
+    from whisperlive_tpu.engine.engine import TranscribeOptions
+    from whisperlive_tpu.models import convert as convert_mod
+    from whisperlive_tpu.ops import mel as mel_ops
+    from whisperlive_tpu.training import make_optimizer
+
+    rng = np.random.default_rng(args.seed)
+    teacher_eng = _load_engine(args.model, args.tpu_model_path, None)
+    cfg_t = teacher_eng.cfg
+    cfg_s = distill.student_config(cfg_t, n_text_layer=args.layers)
+
+    # ---- 1. audio pool ------------------------------------------------------
+    def synth_clip() -> np.ndarray:
+        """Speech-like synthetic audio: harmonics + syllabic AM + noise."""
+        t = np.arange(mel_ops.N_SAMPLES) / 16000.0
+        f0 = rng.uniform(90, 240)
+        sig = sum(
+            rng.uniform(0.1, 0.4) * np.sin(2 * np.pi * f0 * (h + 1) * t)
+            for h in range(4)
+        )
+        am = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(2.5, 5.0) * t)
+        return (sig * am * 0.2 + rng.normal(0, 0.01, t.shape)).astype(
+            np.float32
+        )
+
+    clips: list[np.ndarray] = []
+    if args.audio_dir:
+        from whisperlive_tpu.audio.io import load_audio
+
+        for path in sorted(
+            glob.glob(os.path.join(args.audio_dir, "*"))
+        )[: args.pool]:
+            try:
+                a = load_audio(path)
+            except Exception:
+                continue
+            a = a[: mel_ops.N_SAMPLES]
+            if len(a) < mel_ops.N_SAMPLES:
+                a = np.pad(a, (0, mel_ops.N_SAMPLES - len(a)))
+            clips.append(a.astype(np.float32))
+    while len(clips) < args.pool:
+        clips.append(synth_clip())
+    audio = np.stack(clips)  # [P, N_SAMPLES]
+
+    # ---- 2. teacher pseudo-labels ------------------------------------------
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=args.seq - 8,
+    )
+    prompt, sot = teacher_eng.build_prompt(opts, language="en")
+    logger.info("pseudo-labeling %d clips with the teacher...", len(audio))
+    seqs = []
+    bs = max(b for b in teacher_eng.batch_buckets if b <= 8)
+    for i in range(0, len(audio), bs):
+        chunk = audio[i : i + bs]
+        pad = np.zeros((bs - len(chunk), audio.shape[1]), np.float32)
+        _, cross = teacher_eng.prepare(np.concatenate([chunk, pad]))
+        results = teacher_eng.decode_batch(
+            cross, [prompt] * bs, [sot] * bs, opts,
+            temperatures=[0.0] * bs,
+        )
+        for r in results[: len(chunk)]:
+            seqs.append(prompt + [int(x) for x in r.tokens])
+
+    # teacher-forced batch arrays: inputs are [prompt + pseudo tokens],
+    # loss masked to the generated region (the prompt is given, not
+    # predicted — and acceptance only ever runs past the prompt)
+    T = args.seq
+    tokens_in = np.zeros((len(seqs), T), np.int32)
+    loss_mask = np.zeros((len(seqs), T), np.float32)
+    for i, s in enumerate(seqs):
+        s = s[:T]
+        tokens_in[i, : len(s)] = s
+        loss_mask[i, len(prompt) - 1 : max(len(s) - 1, len(prompt) - 1)] = 1.0
+
+    mels = np.asarray(
+        mel_ops.log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg_t.n_mels)
+    )
+
+    # ---- 3. KD training ------------------------------------------------------
+    teacher_params = teacher_eng.params
+    opt = make_optimizer(
+        learning_rate=args.lr, warmup_steps=min(20, args.steps // 10 + 1),
+        total_steps=args.steps,
+    )
+    state = distill.init_distill_state(teacher_params, opt, args.layers)
+    step = jax.jit(distill.make_distill_step(cfg_s, cfg_t, opt))
+
+    n_train = int(len(seqs) * 0.9)
+    hold = slice(n_train, len(seqs))
+
+    def acceptance(st) -> float:
+        return distill.measure_acceptance(
+            teacher_params, distill.student_params(teacher_params, st),
+            cfg_t, cfg_s, mels[hold], tokens_in[hold], loss_mask[hold],
+        )
+
+    acc0 = acceptance(state)
+    logger.info("held-out teacher-forced agreement BEFORE: %.3f", acc0)
+    t0 = time.monotonic()
+    for i in range(args.steps):
+        idx = rng.integers(0, n_train, args.batch)
+        batch = {
+            "mel": jnp.asarray(mels[idx]),
+            "tokens_in": jnp.asarray(tokens_in[idx]),
+            "loss_mask": jnp.asarray(loss_mask[idx]),
+        }
+        state, loss = step(state, teacher_params, batch)
+        if i % 25 == 0 or i == args.steps - 1:
+            logger.info("step %4d  loss %.4f  (%.1fs)", i, float(loss),
+                        time.monotonic() - t0)
+    acc1 = acceptance(state)
+    logger.info("held-out teacher-forced agreement AFTER: %.3f (was %.3f)",
+                acc1, acc0)
+
+    # ---- 4. save a draft checkpoint ------------------------------------------
+    draft = distill.student_params(teacher_params, state)
+    draft = jax.tree.map(lambda x: np.asarray(x, np.float32), draft)
+    convert_mod.save_converted(args.out, cfg_s, draft)
+    logger.info(
+        "draft saved to %s — serve with: whisperlive-tpu-transcribe "
+        "--draft_path %s, or SpeculativeDecoder(target, draft_engine)",
+        args.out, args.out,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

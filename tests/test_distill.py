@@ -1,0 +1,112 @@
+"""Draft distillation: identity init, KD objective, acceptance metric."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisperlive_tpu import distill
+from whisperlive_tpu.models import whisper as wmod
+from whisperlive_tpu.training import decoder_forward_train, make_optimizer
+
+CFG_T = wmod.WhisperConfig(
+    n_mels=80, n_vocab=512, n_audio_ctx=96, n_audio_state=64,
+    n_audio_head=4, n_audio_layer=2, n_text_ctx=48, n_text_state=64,
+    n_text_head=4, n_text_layer=4,
+)
+
+
+@pytest.fixture(scope="module")
+def teacher():
+    return wmod.init_params(CFG_T, 0)
+
+
+def _batch(rng, b=2, t=12):
+    mel = rng.standard_normal((b, 2 * CFG_T.n_audio_ctx, CFG_T.n_mels)).astype(
+        np.float32
+    )
+    tokens = rng.integers(0, CFG_T.n_vocab, (b, t)).astype(np.int32)
+    mask = np.ones((b, t), np.float32)
+    return {
+        "mel": jnp.asarray(mel),
+        "tokens_in": jnp.asarray(tokens),
+        "loss_mask": jnp.asarray(mask),
+    }
+
+
+def test_layer_indices():
+    assert distill.student_layer_indices(32, 2) == [0, 31]
+    assert distill.student_layer_indices(4, 4) == [0, 1, 2, 3]
+    assert distill.student_layer_indices(4, 1) == [3]
+    assert distill.student_layer_indices(12, 4) == [0, 4, 7, 11]
+
+
+def test_identity_init_matches_teacher(teacher, rng):
+    """A student keeping ALL teacher layers is the teacher — logits equal."""
+    student = distill.init_student_from_teacher(
+        teacher, n_text_layer=CFG_T.n_text_layer
+    )
+    batch = _batch(rng)
+    enc = wmod.encode(teacher, CFG_T, batch["mel"])
+    t_logits = decoder_forward_train(teacher, CFG_T, batch["tokens_in"], enc)
+    s_logits = decoder_forward_train(student, CFG_T, batch["tokens_in"], enc)
+    np.testing.assert_allclose(
+        np.asarray(s_logits), np.asarray(t_logits), atol=1e-5
+    )
+
+
+def test_student_init_copies_spaced_layers(teacher):
+    student = distill.init_student_from_teacher(teacher, n_text_layer=2)
+    t_layers = teacher["decoder"]["layers"]
+    s_layers = student["decoder"]["layers"]
+    leaf_t = np.asarray(
+        t_layers["attn"]["q"]["w"] if isinstance(t_layers, dict) else t_layers
+    )
+    leaf_s = np.asarray(
+        s_layers["attn"]["q"]["w"] if isinstance(s_layers, dict) else s_layers
+    )
+    np.testing.assert_array_equal(leaf_s[0], leaf_t[0])
+    np.testing.assert_array_equal(leaf_s[-1], leaf_t[-1])
+
+
+def test_distill_loss_decreases_and_acceptance_rises(teacher, rng):
+    import jax
+
+    cfg_s = distill.student_config(CFG_T, n_text_layer=2)
+    opt = make_optimizer(learning_rate=3e-4, warmup_steps=2, total_steps=40)
+    state = distill.init_distill_state(teacher, opt, n_text_layer=2)
+    step = jax.jit(distill.make_distill_step(cfg_s, CFG_T, opt))
+
+    batch = _batch(rng, b=4, t=16)
+    acc0 = distill.measure_acceptance(
+        teacher, distill.student_params(teacher, state), CFG_T, cfg_s,
+        batch["mel"], batch["tokens_in"], batch["loss_mask"],
+    )
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, teacher, batch)
+        losses.append(float(loss))
+    acc1 = distill.measure_acceptance(
+        teacher, distill.student_params(teacher, state), CFG_T, cfg_s,
+        batch["mel"], batch["tokens_in"], batch["loss_mask"],
+    )
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+    assert acc1 >= acc0, (acc0, acc1)
+
+
+def test_distilled_student_is_a_valid_speculative_draft(teacher):
+    """The assembled student params build a draft engine the speculative
+    decoder accepts (shared encoder geometry + vocab by construction)."""
+    import jax.numpy as jnp
+
+    from whisperlive_tpu.engine.engine import WhisperEngine
+    from whisperlive_tpu.engine.speculative import SpeculativeDecoder
+
+    cfg_s = distill.student_config(CFG_T, n_text_layer=2)
+    student = distill.init_student_from_teacher(teacher, n_text_layer=2)
+    # full-size vocab not needed for the constructor checks; engines built
+    # on the tiny test config directly
+    t_eng = WhisperEngine(CFG_T, teacher, compute_dtype=jnp.float32)
+    d_eng = WhisperEngine(cfg_s, student, compute_dtype=jnp.float32)
+    spec = SpeculativeDecoder(t_eng, d_eng, k=3)
+    assert spec.k == 3

@@ -157,3 +157,13 @@ def test_transcriber_seek_loop_with_draft_matches_plain(target, draft, rng):
         assert a.tokens == b.tokens
         assert a.start == pytest.approx(b.start)
         assert a.end == pytest.approx(b.end)
+
+
+def test_random_draft_exact_with_no_repeat_ngram(target, draft, rng):
+    """no_repeat_ngram_size is a static program arg — the replay must
+    plumb it through both the draft scan and the verify scan."""
+    spec = SpeculativeDecoder(target, draft, k=4)
+    audio = (rng.standard_normal((1, 480000)) * 0.1).astype(np.float32)
+    opts = _opts(no_repeat_ngram_size=2, max_new_tokens=16)
+    r_spec, r_plain = _decode_pair(target, spec, audio, opts)
+    np.testing.assert_array_equal(r_spec.tokens, r_plain.tokens)

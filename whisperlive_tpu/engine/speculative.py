@@ -250,6 +250,13 @@ class SpeculativeDecoder:
     ) -> DecodeResult:
         """One speculative greedy decode. cross_* batch dims must be 1."""
         target = self.target
+        kv = cross_t.get("kv", cross_t.get("kv8", cross_t.get("kv4")))
+        if kv.shape[2] != 1:
+            raise ValueError(
+                "speculative decode is single-request (per-round acceptance "
+                f"is scalar); got cross-KV batch {kv.shape[2]} — use "
+                "engine.decode_batch for batched windows"
+            )
         prompt_arr, prompt_len = target._pad_prompts([prompt])
         prompt_pad = prompt_arr.shape[1]
         requested = (

@@ -117,6 +117,11 @@ if __name__ == "__main__":
           f"({w_cost/t_step:.2f}x one step)")
 
     # ---- e2e: full speculative decode on-chip, exactness vs plain ----------
+    # warm both programs first: cold XLA compiles take minutes here and the
+    # persistent cache does not work cross-process — unwarmed timings would
+    # be compile-dominated and meaningless
+    spec.decode(cross_t, cross_d, prompt, sot, opts)
+    target.decode_batch(cross_t, [prompt], [sot], opts, temperatures=[0.0])
     t0 = time.monotonic()
     r_spec = spec.decode(cross_t, cross_d, prompt, sot, opts)
     spec_s = time.monotonic() - t0  # decode() fetches via _extract_results

@@ -57,14 +57,18 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from whisperlive_tpu import distill
-    from whisperlive_tpu.cli.transcribe import _load_engine
     from whisperlive_tpu.engine.engine import TranscribeOptions
+    from whisperlive_tpu.loader import load_engine
     from whisperlive_tpu.models import convert as convert_mod
     from whisperlive_tpu.ops import mel as mel_ops
     from whisperlive_tpu.training import make_optimizer
 
     rng = np.random.default_rng(args.seed)
-    teacher_eng = _load_engine(args.model, args.tpu_model_path, None)
+    # decoder_int8=False: training differentiates the raw decoder weights;
+    # the serving default would quantize them away (embed -> embed8/w8)
+    teacher_eng = load_engine(
+        args.model, args.tpu_model_path, decoder_int8=False
+    )
     cfg_t = teacher_eng.cfg
     cfg_s = distill.student_config(cfg_t, n_text_layer=args.layers)
 

@@ -127,42 +127,10 @@ def create_backend(args):
 
     from whisperlive_tpu.engine.engine import WhisperEngine
     from whisperlive_tpu.engine.scheduler import BatchScheduler
-    from whisperlive_tpu.models import convert as convert_mod
-    from whisperlive_tpu.models.whisper import WHISPER_CONFIGS, init_params
+    from whisperlive_tpu.loader import resolve_model
 
     ckpt = args.tpu_model_path or args.faster_whisper_custom_model_path or args.trt_model_path
-    tokenizer = None
-    if ckpt:
-        ckpt = os.path.expanduser(ckpt)
-        if os.path.exists(os.path.join(ckpt, "model.safetensors")) or os.path.exists(
-            os.path.join(ckpt, "model.safetensors.index.json")
-        ):
-            cfg, params = convert_mod.load_hf_checkpoint(ckpt)
-        else:
-            cfg, params = convert_mod.load_converted(ckpt)
-        tok_file = os.path.join(ckpt, "tokenizer.json")
-        if os.path.exists(tok_file):
-            from whisperlive_tpu.engine.tokenizer import WhisperTokenizer
-
-            tokenizer = WhisperTokenizer.from_files(
-                cfg.n_vocab, tok_file, multilingual=cfg.n_vocab >= 51865
-            )
-    else:
-        if args.model not in WHISPER_CONFIGS:
-            raise SystemExit(f"unknown model size {args.model!r}")
-        cfg = WHISPER_CONFIGS[args.model]
-        logging.warning(
-            "no checkpoint path given — initializing RANDOM %s weights "
-            "(pass -tpu <dir> with a converted/HF checkpoint for real output)",
-            args.model,
-        )
-        import jax.numpy as jnp
-
-        params = init_params(
-            cfg,
-            dtype=jnp.bfloat16 if jax.default_backend() in ("tpu", "axon")
-            else jnp.float32,
-        )
+    cfg, params, tokenizer = resolve_model(args.model, ckpt)
 
     compute_dtype = None
     if args.compute_dtype:

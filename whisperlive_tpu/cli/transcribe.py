@@ -59,44 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _load_engine(size: str, ckpt: str | None, compute_dtype):
-    from whisperlive_tpu.engine.engine import WhisperEngine
-    from whisperlive_tpu.models import convert as convert_mod
-    from whisperlive_tpu.models.whisper import WHISPER_CONFIGS, init_params
+    from whisperlive_tpu.loader import load_engine
 
-    tokenizer = None
-    if ckpt:
-        ckpt = os.path.expanduser(ckpt)
-        if os.path.exists(os.path.join(ckpt, "model.safetensors")) or os.path.exists(
-            os.path.join(ckpt, "model.safetensors.index.json")
-        ):
-            cfg, params = convert_mod.load_hf_checkpoint(ckpt)
-        else:
-            cfg, params = convert_mod.load_converted(ckpt)
-        tok_file = os.path.join(ckpt, "tokenizer.json")
-        if os.path.exists(tok_file):
-            from whisperlive_tpu.engine.tokenizer import WhisperTokenizer
-
-            tokenizer = WhisperTokenizer.from_files(
-                cfg.n_vocab, tok_file, multilingual=cfg.n_vocab >= 51865
-            )
-    else:
-        import jax
-        import jax.numpy as jnp
-
-        if size not in WHISPER_CONFIGS:
-            raise SystemExit(f"unknown model size {size!r}")
-        cfg = WHISPER_CONFIGS[size]
-        logger.warning(
-            "no checkpoint for %s — RANDOM weights (pass a converted/HF "
-            "checkpoint dir for real output)", size,
-        )
-        params = init_params(
-            cfg,
-            dtype=jnp.bfloat16 if jax.default_backend() in ("tpu", "axon")
-            else jnp.float32,
-        )
-    return WhisperEngine(cfg, params, tokenizer=tokenizer,
-                         compute_dtype=compute_dtype)
+    return load_engine(size, ckpt, compute_dtype=compute_dtype)
 
 
 def _format(segments, info, fmt: str) -> str:

@@ -165,6 +165,24 @@ def _pcm16(audio: np.ndarray) -> np.ndarray:
         )
 
 
+def best_failed_attempt(
+    options: TranscribeOptions, attempts: list[DecodeResult]
+) -> DecodeResult:
+    """Every temperature failed the gates: keep the BEST attempt, not the
+    last — highest avg_logprob among below-compression-ratio results, else
+    among all — stamped with the final temperature (so
+    prompt_reset_on_temperature still fires), mirroring
+    transcriber_faster_whisper.py:1464-1477. Single source of the policy
+    for both the batched loop and the speculative single-item loop."""
+    below_cr = [
+        a for a in attempts
+        if options.compression_ratio_threshold is None
+        or a.compression_ratio <= options.compression_ratio_threshold
+    ]
+    best = max(below_cr or attempts, key=lambda a: a.avg_logprob)
+    return dataclasses.replace(best, temperature=attempts[-1].temperature)
+
+
 def fails_quality_gates(options: TranscribeOptions, r: DecodeResult) -> bool:
     """Temperature-fallback gate (generate_with_fallback semantics,
     transcriber_faster_whisper.py:1350-1478): re-decode when the output
@@ -1065,20 +1083,6 @@ class WhisperEngine:
             sub_prompts = [prompts[item] for item in pending]
             sub_sot = [sot_indices[item] for item in pending]
 
-        # Items that failed at EVERY temperature keep the best attempt, not
-        # the last: highest avg_logprob among below-compression-ratio
-        # results, else among all — with the final temperature stamped on
-        # (for prompt_reset_on_temperature), mirroring
-        # transcriber_faster_whisper.py:1464-1477.
         for item in pending:
-            attempts = history[item]
-            below_cr = [
-                a for a in attempts
-                if options.compression_ratio_threshold is None
-                or a.compression_ratio <= options.compression_ratio_threshold
-            ]
-            best = max(below_cr or attempts, key=lambda a: a.avg_logprob)
-            results[item] = dataclasses.replace(
-                best, temperature=attempts[-1].temperature
-            )
+            results[item] = best_failed_attempt(options, history[item])
         return [r for r in results if r is not None]

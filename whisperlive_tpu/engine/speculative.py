@@ -51,6 +51,7 @@ from whisperlive_tpu.engine.engine import (
     TranscribeOptions,
     WhisperEngine,
     _bucket,
+    best_failed_attempt,
     fails_quality_gates,
 )
 from whisperlive_tpu.models import whisper as wmod
@@ -87,6 +88,14 @@ class SpeculativeDecoder:
                 )
         if not 1 <= k <= 16:
             raise ValueError(f"speculation depth k must be in [1, 16], got {k}")
+        if k + 1 > 8:
+            # the Tq<=8 int8 window kernel (ops/attention.py) is the verify
+            # pass's HBM saving; beyond it the bf16 dequant fallback runs
+            logger.warning(
+                "k=%d gives %d-token verify windows — beyond the Tq<=8 "
+                "int8 window kernel; the verify pass falls back to the "
+                "bf16 dequant path and the projected speedup shrinks", k, k + 1
+            )
         self.target = target
         self.draft = draft
         self.k = int(k)
@@ -183,9 +192,16 @@ class SpeculativeDecoder:
                     dst, nxt = emit(dst, dlogits)
                     return (dst, nxt, kvd), nxt
 
+                # k+1 steps, not k: the extra step feeds d_k so ITS self-KV
+                # is written at slot0+k — otherwise a fully-accepted round
+                # leaves a permanent zero hole in the draft cache that every
+                # later draft step attends (measured: self-draft acceptance
+                # 0.67-0.90 with the hole vs ~0.98 without). Its proposal
+                # d_{k+1} is discarded.
                 (_, _, kv_d), drafts = jax.lax.scan(
-                    dstep, (st, cur, kv_d), jnp.arange(k)
-                )  # drafts: [k, B]
+                    dstep, (st, cur, kv_d), jnp.arange(k + 1)
+                )
+                drafts = drafts[:k]  # [k, B]
 
                 # --- target: verify [cur, d1..dk] in ONE pass ------------
                 win = jnp.concatenate([cur[:, None], drafts.T], axis=1)  # [B, k+1]
@@ -323,15 +339,7 @@ class SpeculativeDecoder:
             history.append(r)
             if not fails_quality_gates(options, r):
                 return [r]
-        below_cr = [
-            a for a in history
-            if options.compression_ratio_threshold is None
-            or a.compression_ratio <= options.compression_ratio_threshold
-        ]
-        best = max(below_cr or history, key=lambda a: a.avg_logprob)
-        import dataclasses
-
-        return [dataclasses.replace(best, temperature=history[-1].temperature)]
+        return [best_failed_attempt(options, history)]
 
     def warmup(self, options: TranscribeOptions | None = None,
                prompt_buckets: Sequence[int] | None = None) -> None:

@@ -569,10 +569,10 @@ def generate_segments(
 
         enc, cross_kv = eng.prepare_mel(window[None])
         # Speculative serving: the draft shares the teacher's encoder, so
-        # its cross-KV is one extra projection of the SAME encoder output.
-        cross_d = (
-            spec_decoder.cross_from_enc(enc) if spec_decoder is not None else None
-        )
+        # its cross-KV is one extra projection of the SAME encoder output
+        # (only when the speculative branch below will actually run).
+        use_spec = spec_decoder is not None and options.beam_size == 1
+        cross_d = spec_decoder.cross_from_enc(enc) if use_spec else None
         if language is None:
             if eng.tokenizer.spec.multilingual:
                 codes = eng.tokenizer.spec.language_codes
@@ -606,7 +606,7 @@ def generate_segments(
             previous_tokens=all_tokens[prompt_reset_since:],
             language=window_language,
         )
-        if spec_decoder is not None and options.beam_size == 1:
+        if use_spec:
             (result,) = spec_decoder.decode_with_fallback(
                 cross_kv, cross_d, prompt, sot_idx, options, seed=seed
             )

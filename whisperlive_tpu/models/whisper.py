@@ -504,7 +504,8 @@ def init_self_kv(cfg: WhisperConfig, batch: int, cache_len: int | None = None) -
 
 
 def _decoder_block_step(
-    x, lp, self_kv, cross_kv, slot_start, attn_mask, n_head, cross_len=None
+    x, lp, self_kv, cross_kv, slot_start, attn_mask, n_head, cross_len=None,
+    collect_probs=True,
 ):
     """One decoder layer for Tq query tokens given caches.
 
@@ -538,8 +539,11 @@ def _decoder_block_step(
     # Cross-attention (full encoder context unless cross_len restricts it).
     h = _layer_norm(x, lp["cross_attn_ln"])
     qc = _split_heads(_linear(h, lp["cross_attn"]["q"]), n_head)
+    # collect_probs=False keeps the quantized fast paths reachable (the
+    # Tq-window int8 kernel cannot return attention maps); only the
+    # alignment pass (decode_with_cross_attn) needs the probs.
     cross_out, cross_probs = _cross_attend(
-        qc, cross_kv, x.dtype, collect_probs=True, cross_len=cross_len
+        qc, cross_kv, x.dtype, collect_probs=collect_probs, cross_len=cross_len
     )
     x = x + _linear(_merge_heads(cross_out), lp["cross_attn"]["o"])
 
@@ -568,7 +572,7 @@ def _decoder_forward(
         lp, skv, ckv = layer
         x, new_skv, cross_probs = _decoder_block_step(
             x, lp, skv, ckv, slot_start, attn_mask, cfg.n_text_head,
-            cross_len=cross_len,
+            cross_len=cross_len, collect_probs=collect_cross_attn,
         )
         out = (new_skv, cross_probs) if collect_cross_attn else (new_skv, None)
         return x, out

@@ -167,3 +167,51 @@ def test_random_draft_exact_with_no_repeat_ngram(target, draft, rng):
     opts = _opts(no_repeat_ngram_size=2, max_new_tokens=16)
     r_spec, r_plain = _decode_pair(target, spec, audio, opts)
     np.testing.assert_array_equal(r_spec.tokens, r_plain.tokens)
+
+
+def _run_scheduler_once(engine, spec, audio, options):
+    from whisperlive_tpu.engine.scheduler import BatchRequest, BatchScheduler
+
+    sched = BatchScheduler(engine, max_batch_size=2, batch_window_ms=5.0,
+                           spec_decoder=spec)
+    sched.start()
+    try:
+        req = BatchRequest(audio=audio, options=options, language="en",
+                           uid="s0")
+        result = sched.submit(req).result(timeout=300)
+    finally:
+        sched.stop()
+    return result
+
+
+def test_scheduler_speculative_route_parity(target, draft, rng):
+    """A lone greedy request through the window scheduler produces the
+    SAME tokens whether or not the speculative route is attached."""
+    audio = (rng.standard_normal(16000 * 8) * 0.1).astype(np.float32)
+    opts = _opts(max_new_tokens=16)
+    plain = _run_scheduler_once(target, None, audio, opts)
+    spec = SpeculativeDecoder(target, draft, k=4)
+    routed = _run_scheduler_once(target, spec, audio, opts)
+    assert spec.stats["windows"] == 1  # the route actually ran
+    plain_toks = [t for s in plain.segments for t in s.tokens]
+    routed_toks = [t for s in routed.segments for t in s.tokens]
+    assert routed_toks == plain_toks
+    assert routed.language == plain.language
+
+
+def test_scheduler_speculative_route_guards(target, draft, rng):
+    """Beamed, multi-temperature-first, and word-timestamp requests must
+    NOT take the speculative route."""
+    import dataclasses
+
+    audio = (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32)
+    spec = SpeculativeDecoder(target, draft, k=3)
+
+    beamed = dataclasses.replace(_opts(max_new_tokens=8), beam_size=2)
+    _run_scheduler_once(target, spec, audio, beamed)
+    assert spec.stats["windows"] == 0
+
+    sampled = dataclasses.replace(_opts(max_new_tokens=8),
+                                  temperatures=(0.4,))
+    _run_scheduler_once(target, spec, audio, sampled)
+    assert spec.stats["windows"] == 0

@@ -81,6 +81,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Beam width for streaming decodes (1=greedy; the "
                              "reference's transcriber defaults to 5 — wider "
                              "beams shrink the effective device batch).")
+    parser.add_argument("--draft_model", type=str, default=None,
+                        help="Distil-family draft size for speculative "
+                             "decoding of lone greedy window requests "
+                             "(e.g. distil-large-v3; must share the "
+                             "target's encoder geometry and vocab).")
+    parser.add_argument("--draft_path", type=str, default=None,
+                        help="Converted/HF checkpoint dir for the draft.")
+    parser.add_argument("--spec_k", type=int, default=4,
+                        help="Speculation depth (draft tokens per verify "
+                             "pass).")
     parser.add_argument("--profile_dir", type=str,
                         default=os.environ.get("WL_PROFILE_DIR"),
                         help="Write JAX profiler (xprof) traces to this dir.")
@@ -159,10 +169,34 @@ def create_backend(args):
                 SessionOptions(), beam_size=args.beam_size
             ),
         )
+    spec_decoder = None
+    if args.draft_model or args.draft_path:
+        from whisperlive_tpu.engine.speculative import SpeculativeDecoder
+        from whisperlive_tpu.loader import load_engine
+
+        draft_engine = load_engine(
+            args.draft_model or "distil-large-v3", args.draft_path,
+            compute_dtype=compute_dtype,
+        )
+        spec_decoder = SpeculativeDecoder(engine, draft_engine, k=args.spec_k)
+        if not args.no_warmup:
+            from whisperlive_tpu.serving.backends import (
+                transcribe_options_from_session,
+            )
+            from whisperlive_tpu.serving.session import SessionOptions
+
+            spec_decoder.warmup(
+                options=transcribe_options_from_session(SessionOptions())
+            )
+        logging.info("speculative serving: draft=%s k=%d (lone greedy "
+                     "window requests)", args.draft_model or args.draft_path,
+                     args.spec_k)
+
     scheduler = BatchScheduler(
         engine,
         max_batch_size=args.batch_max_size,
         batch_window_ms=args.batch_window_ms,
+        spec_decoder=spec_decoder,
     )
     scheduler.start()
     continuous = None

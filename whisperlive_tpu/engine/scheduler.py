@@ -210,10 +210,15 @@ class BatchScheduler:
         engine: WhisperEngine,
         max_batch_size: int = 8,
         batch_window_ms: float = 50.0,
+        spec_decoder=None,
     ):
+        """spec_decoder: optional engine.speculative.SpeculativeDecoder —
+        single-request greedy batches (low-traffic REST/offline serving)
+        then decode draft-accelerated, token-exact vs the plain program."""
         self.engine = engine
         self.max_batch_size = max_batch_size
         self.batch_window_ms = batch_window_ms
+        self.spec_decoder = spec_decoder
         self._queue: "queue.Queue[Optional[BatchRequest]]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -329,7 +334,39 @@ class BatchScheduler:
         self._seed += 1
         need_align = batch[0].options.word_timestamps
         cross_kv = None
-        if need_align:
+        used_spec = False
+        options0 = batch[0].options
+        if (
+            self.spec_decoder is not None
+            and n == 1
+            and not need_align  # word-ts alignment stays on the split path
+            and options0.beam_size == 1
+            and options0.temperatures
+            and options0.temperatures[0] == 0.0
+            and eng.batch_buckets[0] == 1
+        ):
+            # Speculative route: a lone greedy request (low-traffic REST /
+            # offline serving) decodes draft-accelerated — the verify pass
+            # reads the per-token HBM state once per k+1 tokens. Token-
+            # exact vs the fused program by construction (test-pinned), so
+            # routing here never changes output, only latency.
+            enc, cross_kv = eng.prepare(audio[:1])
+            if languages[0] is None and eng.tokenizer.spec.multilingual:
+                ((languages[0], language_probs[0]),) = (
+                    eng.detect_language_from_cross(cross_kv)
+                )
+                prompts[0], sot_idx[0] = eng.build_prompt(
+                    options0,
+                    previous_tokens=batch[0].previous_tokens,
+                    language=languages[0],
+                )
+            cross_d = self.spec_decoder.cross_from_enc(enc)
+            results = self.spec_decoder.decode_with_fallback(
+                cross_kv, cross_d, prompts[0], sot_idx[0], options0,
+                seed=self._seed,
+            )
+            used_spec = True
+        elif need_align:
             # Split path: word-timestamp alignment reuses the window's
             # cross-KV, so it must stay addressable outside the program.
             _, cross_kv = eng.prepare(audio)
@@ -367,7 +404,8 @@ class BatchScheduler:
         retry_temps = options.temperatures[1:]
         failed = (
             []
-            if need_align  # split path already ran the full fallback cascade
+            # split/speculative paths already ran the full fallback cascade
+            if need_align or used_spec
             else [i for i in range(n) if fails_quality_gates(options, results[i])]
         )
         if failed and retry_temps:

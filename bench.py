@@ -35,8 +35,48 @@ ITERS = int(os.environ.get("WL_BENCH_ITERS", "4"))
 WINDOW_S = 30.0
 
 
+def _wait_for_device(max_wait_s: float = 900.0) -> None:
+    """The axon relay flaps (observed multi-hour outages with brief
+    recoveries): a trivial jit can hang forever instead of erroring. Probe
+    it with a hard thread-timeout and retry for up to max_wait_s before
+    starting the expensive run, so a transient flap doesn't eat the
+    round's bench artifact."""
+    import threading
+
+    def probe(result: list) -> None:
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            np.asarray(jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256))))
+            result.append(True)
+        except Exception as e:  # pragma: no cover - relay-dependent
+            print(f"device probe error: {e}", file=sys.stderr)
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        result: list = []
+        t = threading.Thread(target=probe, args=(result,), daemon=True)
+        t.start()
+        t.join(timeout=75.0)
+        if result:
+            if attempt > 1:
+                print(f"device up after {attempt} probes", file=sys.stderr)
+            return
+        if time.monotonic() > deadline:
+            print("device unreachable after repeated probes — proceeding "
+                  "anyway (the run will fail loudly)", file=sys.stderr)
+            return
+        print("device probe timed out; retrying in 60s", file=sys.stderr)
+        time.sleep(60.0)
+
+
 def main() -> None:
     import jax
+
+    _wait_for_device()
 
     cache = os.path.expanduser("~/.cache/whisper-live-tpu/xla-cache")
     os.makedirs(cache, exist_ok=True)

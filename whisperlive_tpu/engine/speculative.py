@@ -56,6 +56,7 @@ from whisperlive_tpu.engine.engine import (
 )
 from whisperlive_tpu.models import whisper as wmod
 from whisperlive_tpu.ops import decoding as dec
+from whisperlive_tpu.utils import metrics as wl_metrics
 
 logger = logging.getLogger(__name__)
 
@@ -307,6 +308,7 @@ class SpeculativeDecoder:
         self.stats["accepted"] += int(accepted)
         self.stats["emitted"] += int(gen_len[0])
         self.stats["windows"] += 1
+        wl_metrics.track_speculative_window(self.acceptance_rate())
         return result
 
     def acceptance_rate(self) -> float:

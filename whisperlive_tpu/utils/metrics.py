@@ -56,6 +56,14 @@ if _AVAILABLE:
     ACTIVE_STREAMS = Gauge(
         "whisperlive_active_streams", "Sessions currently streaming audio"
     )
+    SPEC_ACCEPTANCE = Gauge(
+        "whisperlive_speculative_acceptance",
+        "Cumulative draft-token acceptance rate of the speculative decoder",
+    )
+    SPEC_WINDOWS = Counter(
+        "whisperlive_speculative_windows_total",
+        "Windows decoded through the speculative route",
+    )
 
 
 def metrics_available() -> bool:
@@ -120,3 +128,9 @@ def track_batch_occupancy(n: int) -> None:
 def set_active_streams(n: int) -> None:
     if _AVAILABLE:
         ACTIVE_STREAMS.set(n)
+
+
+def track_speculative_window(acceptance_rate: float) -> None:
+    if _AVAILABLE:
+        SPEC_WINDOWS.inc()
+        SPEC_ACCEPTANCE.set(acceptance_rate)

@@ -43,7 +43,9 @@ def _wait_for_device(max_wait_s: float = 900.0) -> None:
     round's bench artifact."""
     import threading
 
-    def probe(result: list) -> None:
+    result: list = []
+
+    def probe() -> None:
         try:
             import jax
             import jax.numpy as jnp
@@ -51,26 +53,33 @@ def _wait_for_device(max_wait_s: float = 900.0) -> None:
             np.asarray(jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256))))
             result.append(True)
         except Exception as e:  # pragma: no cover - relay-dependent
-            print(f"device probe error: {e}", file=sys.stderr)
+            result.append(e)
 
+    # Exactly ONE probe outstanding at a time: a wedged device call can't
+    # be cancelled, but it completes the moment the relay recovers — and a
+    # pile of stacked probes would serialize behind each other on the
+    # single relay connection and mask that recovery.
     deadline = time.monotonic() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        result: list = []
-        t = threading.Thread(target=probe, args=(result,), daemon=True)
-        t.start()
-        t.join(timeout=75.0)
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    last_msg = time.monotonic()
+    while time.monotonic() < deadline:
+        t.join(timeout=5.0)
         if result:
-            if attempt > 1:
-                print(f"device up after {attempt} probes", file=sys.stderr)
-            return
-        if time.monotonic() > deadline:
-            print("device unreachable after repeated probes — proceeding "
-                  "anyway (the run will fail loudly)", file=sys.stderr)
-            return
-        print("device probe timed out; retrying in 60s", file=sys.stderr)
-        time.sleep(60.0)
+            if result[-1] is True:
+                return
+            print(f"device probe error: {result[-1]}; retrying in 30s",
+                  file=sys.stderr)
+            result.clear()
+            time.sleep(30.0)
+            t = threading.Thread(target=probe, daemon=True)
+            t.start()
+        if time.monotonic() - last_msg > 60.0:
+            print("waiting for device...", file=sys.stderr)
+            last_msg = time.monotonic()
+    print(f"device probe still pending after {max_wait_s:.0f}s — "
+          "proceeding; if the relay is hard-down the run will hang or "
+          "fail rather than report a number", file=sys.stderr)
 
 
 def main() -> None:

@@ -215,3 +215,8 @@ def test_scheduler_speculative_route_guards(target, draft, rng):
                                   temperatures=(0.4,))
     _run_scheduler_once(target, spec, audio, sampled)
     assert spec.stats["windows"] == 0
+
+    word_ts = dataclasses.replace(_opts(max_new_tokens=8),
+                                  word_timestamps=True)
+    _run_scheduler_once(target, spec, audio, word_ts)
+    assert spec.stats["windows"] == 0  # alignment stays on the split path

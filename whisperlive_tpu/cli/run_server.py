@@ -170,13 +170,24 @@ def create_backend(args):
             ),
         )
     spec_decoder = None
-    if args.draft_model or args.draft_path:
+    if (args.draft_model or args.draft_path) and args.beam_size > 1:
+        # every server-built window request carries beam_size, and the
+        # speculative route requires beam 1 — don't spend HBM + minutes of
+        # warmup compiles on a path that can never fire
+        logging.warning(
+            "--draft_model is ignored with --beam_size %d: the speculative "
+            "route serves greedy requests only", args.beam_size,
+        )
+    elif args.draft_model or args.draft_path:
         from whisperlive_tpu.engine.speculative import SpeculativeDecoder
         from whisperlive_tpu.loader import load_engine
 
         draft_engine = load_engine(
             args.draft_model or "distil-large-v3", args.draft_path,
             compute_dtype=compute_dtype,
+            # under --tp/--dp the draft must live on the same mesh as the
+            # encoder output it projects from
+            shardings=shardings,
         )
         spec_decoder = SpeculativeDecoder(engine, draft_engine, k=args.spec_k)
         if not args.no_warmup:

@@ -102,6 +102,7 @@ class SpeculativeDecoder:
         self.k = int(k)
         # cumulative acceptance diagnostics (host-side, across calls)
         self.stats = {"iterations": 0, "accepted": 0, "emitted": 0, "windows": 0}
+        self._warming = False  # warmup decodes must not pollute stats/metrics
 
         cfg_d = draft.cfg
         bits = draft.cross_kv_bits
@@ -304,11 +305,12 @@ class SpeculativeDecoder:
         (result,) = target._extract_results(
             tokens, gen_len, sum_lp, ns_prob, np.zeros((1,), np.float32), 1
         )
-        self.stats["iterations"] += int(iters)
-        self.stats["accepted"] += int(accepted)
-        self.stats["emitted"] += int(gen_len[0])
-        self.stats["windows"] += 1
-        wl_metrics.track_speculative_window(self.acceptance_rate())
+        if not self._warming:
+            self.stats["iterations"] += int(iters)
+            self.stats["accepted"] += int(accepted)
+            self.stats["emitted"] += int(gen_len[0])
+            self.stats["windows"] += 1
+            wl_metrics.track_speculative_window(self.acceptance_rate())
         return result
 
     def acceptance_rate(self) -> float:
@@ -355,7 +357,11 @@ class SpeculativeDecoder:
         cross_d = self.cross_from_enc(enc)
         prompt, sot = target.build_prompt(options, language="en")
         buckets = prompt_buckets or target.prompt_buckets
-        for pmax in buckets:
-            logger.info("spec warmup: prompt bucket %d", pmax)
-            pad = [self.target.tokenizer.eot] * max(pmax - len(prompt), 0)
-            self.decode(cross_t, cross_d, (pad + prompt)[-pmax:], 0, options)
+        self._warming = True
+        try:
+            for pmax in buckets:
+                logger.info("spec warmup: prompt bucket %d", pmax)
+                pad = [self.target.tokenizer.eot] * max(pmax - len(prompt), 0)
+                self.decode(cross_t, cross_d, (pad + prompt)[-pmax:], 0, options)
+        finally:
+            self._warming = False

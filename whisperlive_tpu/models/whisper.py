@@ -24,6 +24,7 @@ transposed on conversion (models/convert.py).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -429,6 +430,7 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
             1 < qc.shape[1] <= 8
             and not collect_probs
             and jax.default_backend() in ("tpu", "axon")
+            and os.environ.get("WL_WINDOW_KERNEL", "1") != "0"
         ):
             # speculative verify windows (decode_window): stream the int8
             # KV HBM->VMEM once for the whole Tq window instead of

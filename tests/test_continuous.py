@@ -1154,3 +1154,41 @@ def test_refresh_shorter_or_none_keeps_snapshot(engine, rng):
         assert r2.duration == pytest.approx(len(snap) / 16000)
     finally:
         sched.stop()
+
+
+def test_randomized_schedule_soak(engine, rng):
+    """Randomized arrival timing, lengths, budgets, prefixes and beams of
+    requests against one live scheduler: EVERY future must resolve, no
+    slot may leak, and the worker must stay alive — the liveness
+    invariants that hold regardless of schedule shape."""
+    import dataclasses
+
+    sched = ContinuousScheduler(engine, n_slots=3, steps_per_chunk=4,
+                                prompt_pad=16, ring=64)
+    sched.start()
+    try:
+        futs = []
+        for i in range(14):
+            secs = float(rng.uniform(1.2, 6.0))
+            opts = dataclasses.replace(
+                OPTS, max_new_tokens=int(rng.integers(4, 18))
+            )
+            req = BatchRequest(
+                audio=_audio(rng, secs), options=opts,
+                uid=f"soak{int(rng.integers(0, 5))}",  # uids collide
+            )
+            if i % 4 == 1:
+                # carried-hypothesis continuation joins mid-decode
+                req.prefix_tokens = [engine.spec.timestamp_begin, 300, 301]
+            futs.append(sched.submit(req))
+            time.sleep(float(rng.uniform(0.0, 0.15)))
+        for f in futs:
+            r = f.result(timeout=300)  # resolves — no lost request
+            assert r is not None
+        deadline = time.time() + 30
+        while sched._slots and time.time() < deadline:
+            time.sleep(0.1)
+        assert not sched._slots, f"leaked slots: {list(sched._slots)}"
+        assert sched._thread is not None and sched._thread.is_alive()
+    finally:
+        sched.stop()

@@ -220,3 +220,25 @@ def test_scheduler_speculative_route_guards(target, draft, rng):
                                   word_timestamps=True)
     _run_scheduler_once(target, spec, audio, word_ts)
     assert spec.stats["windows"] == 0  # alignment stays on the split path
+
+
+def test_seek_loop_word_timestamps_with_draft(target, draft, rng):
+    """word_timestamps ride the alignment pass AFTER the decode, so the
+    speculative seek loop must produce the same words as the plain one."""
+    import dataclasses
+
+    from whisperlive_tpu.engine.transcribe import Transcriber
+
+    audio = (rng.standard_normal(16000 * 4) * 0.1).astype(np.float32)
+    opts = dataclasses.replace(_opts(max_new_tokens=14), word_timestamps=True)
+    plain_segments, _ = Transcriber(target).transcribe(audio, opts)
+    spec = SpeculativeDecoder(target, draft, k=3)
+    spec_segments, _ = Transcriber(target, spec_decoder=spec).transcribe(
+        audio, opts
+    )
+    assert len(plain_segments) == len(spec_segments)
+    for a, b in zip(plain_segments, spec_segments):
+        assert a.tokens == b.tokens
+        wa = [(w.word, w.start, w.end) for w in (a.words or [])]
+        wb = [(w.word, w.start, w.end) for w in (b.words or [])]
+        assert wa == wb

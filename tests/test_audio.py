@@ -325,3 +325,109 @@ def test_silero_shaped_roc_beats_energy():
                                     arch="silero")
     assert auc_l > 0.9, auc_l
     assert auc_l > auc_e + 0.1, (auc_l, auc_e)
+
+
+def test_silero_vad_never_mutates_caller_audio():
+    """reset() after update() must not write into the caller's buffer (the
+    carry used to be a live view; the serving gate resets before every
+    re-score while the scheduler may still hold the previous chunk) —
+    and read-only PCM (np.frombuffer) must work at all."""
+    from whisperlive_tpu.audio.silero_vad import SileroShapedVAD, WINDOW
+
+    vad = SileroShapedVAD(_rand_silero_params())
+    audio = (np.random.default_rng(0).standard_normal(4 * WINDOW) * 0.1
+             ).astype(np.float32)
+    frozen = audio.copy()
+    ro = audio.copy()
+    ro.setflags(write=False)
+
+    vad.update(audio)
+    vad.reset()
+    np.testing.assert_array_equal(audio, frozen)
+
+    vad.update(ro)  # read-only input: reset() used to raise here
+    vad.reset()
+
+
+def test_silero_vad_carries_partial_windows():
+    """480-sample (30 ms WebRTC) framing must still produce windows: the
+    remainder is buffered across update() calls, not dropped."""
+    from whisperlive_tpu.audio.silero_vad import SileroShapedVAD, WINDOW
+
+    params = _rand_silero_params()
+    audio = (np.random.default_rng(1).standard_normal(16 * WINDOW) * 0.1
+             ).astype(np.float32)
+    whole = SileroShapedVAD(params).update(audio)
+
+    vad = SileroShapedVAD(params)
+    framed = []
+    for i in range(0, len(audio), 480):
+        framed.extend(vad.update(audio[i : i + 480]))
+    assert len(framed) >= len(whole) - 1  # nothing permanently lost
+    np.testing.assert_allclose(
+        np.asarray(framed[: len(whole)]), whole, atol=1e-5
+    )
+
+
+def test_onnx_reader_finds_subgraph_and_constant_tensors(tmp_path):
+    """Real silero exports hide weights in If-branch subgraphs and
+    Constant nodes; the wire reader must recurse into both."""
+    from conftest import write_onnx_file
+    from whisperlive_tpu.audio.silero_vad import read_onnx_initializers
+
+    # build the nested file by hand with the same varint helpers
+    import numpy as _np
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def field(num, wt, payload):
+        if wt == 0:
+            return varint((num << 3) | 0) + varint(payload)
+        return varint((num << 3) | 2) + varint(len(payload)) + payload
+
+    def tensor(name, arr):
+        t = b""
+        for d in arr.shape:
+            t += field(1, 0, d)
+        t += field(2, 0, 1)
+        t += field(8, 2, name.encode())
+        t += field(9, 2, _np.ascontiguousarray(arr, _np.float32).tobytes())
+        return t
+
+    w_top = _np.arange(4, dtype=_np.float32)
+    w_sub = _np.arange(6, dtype=_np.float32).reshape(2, 3)
+    w_const = _np.ones(3, _np.float32)
+
+    # subgraph with its own initializer
+    subgraph = field(5, 2, tensor("sub.weight", w_sub))
+    # If node carrying the subgraph in AttributeProto.g (field 6)
+    if_node = (
+        field(4, 2, b"If")
+        + field(5, 2, field(1, 2, b"then_branch") + field(6, 2, subgraph))
+    )
+    # Constant node: output name (field 2) + AttributeProto.t (field 5)
+    const_node = (
+        field(2, 2, b"const.out")
+        + field(4, 2, b"Constant")
+        + field(5, 2, field(1, 2, b"value") + field(5, 2, tensor("", w_const)))
+    )
+    graph = (
+        field(5, 2, tensor("top.weight", w_top))
+        + field(1, 2, if_node)
+        + field(1, 2, const_node)
+    )
+    path = str(tmp_path / "nested.onnx")
+    with open(path, "wb") as f:
+        f.write(field(7, 2, graph))
+
+    tensors = read_onnx_initializers(path)
+    np.testing.assert_array_equal(tensors["top.weight"], w_top)
+    np.testing.assert_array_equal(tensors["sub.weight"], w_sub)
+    np.testing.assert_array_equal(tensors["const.out"], w_const)

@@ -84,8 +84,11 @@ def test_onnx_roundtrip_torch_export_layout(tmp_path):
         tensors.append((f"{torch_name}.running_mean", p[f"{prefix}_m"]))
         tensors.append((f"{torch_name}.running_var", p[f"{prefix}_v"]))
 
-    def to_onnx_conv(w):  # ours [kh, kw, C_in, C_out] -> [C_out, C_in, kh, kw]
-        return np.transpose(w, (3, 2, 0, 1))
+    def to_onnx_conv(w):
+        # TRUE wespeaker export layout: the torch model runs on
+        # [B, C, F(height), T(width)], so the ONNX kernel is
+        # [C_out, C_in, kh=FREQ, kw=TIME]; ours is [kh=T, kw=F, Ci, Co].
+        return np.transpose(w, (3, 2, 1, 0))
 
     tensors.append(("front.conv1.weight", to_onnx_conv(p["stem_w"])))
     emit_bn("front.bn1", "stem_bn")
@@ -99,7 +102,12 @@ def test_onnx_roundtrip_torch_export_layout(tmp_path):
                 (f"front.{name}.downsample.0.weight", to_onnx_conv(p[f"{name}_ds_w"]))
             )
             emit_bn(f"front.{name}.downsample.1", f"{name}_dsbn")
-    tensors.append(("seg_1.weight", p["emb_w"].T))  # torch Linear [out, in]
+    # torch Linear [out, in] over wespeaker's CHANNEL-major pooled layout:
+    # scatter our freq-major rows to their wespeaker positions first
+    perm = ws.pool_permutation(cfg)
+    onnx_rows = np.empty_like(p["emb_w"])
+    onnx_rows[perm] = p["emb_w"]
+    tensors.append(("seg_1.weight", onnx_rows.T))
     tensors.append(("seg_1.bias", p["emb_b"]))
 
     path = str(tmp_path / "wespeaker.onnx")
@@ -157,3 +165,108 @@ def test_quality_default_embedder_selection():
         assert isinstance(_default_embedder(quality=False), ws.WeSpeakerEmbedder)
     finally:
         del os.environ["WL_SPEAKER"]
+
+
+def test_torch_oracle_parity(tmp_path):
+    """Cross-implementation oracle: a REAL torch ResNet running wespeaker's
+    semantics ([B, 1, F(height), T(width)] convs, channel-major TSTP,
+    Linear head) is exported in torch state_dict layout, ingested by
+    load_wespeaker_onnx, and embed_np must reproduce the torch embedding —
+    the axis-orientation proof the self-consistent roundtrip can't give."""
+    import torch
+    import torch.nn as nn
+
+    from conftest import write_onnx_file
+
+    torch.manual_seed(0)
+    cfg = ws.LITE
+
+    class Block(nn.Module):
+        def __init__(self, c_in, c_out, stride, ds):
+            super().__init__()
+            self.conv1 = nn.Conv2d(c_in, c_out, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(c_out)
+            self.conv2 = nn.Conv2d(c_out, c_out, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(c_out)
+            self.ds = (
+                nn.Sequential(
+                    nn.Conv2d(c_in, c_out, 1, stride, bias=False),
+                    nn.BatchNorm2d(c_out),
+                )
+                if ds
+                else None
+            )
+
+        def forward(self, x):
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            sc = self.ds(x) if self.ds is not None else x
+            return torch.relu(y + sc)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Conv2d(1, cfg.channels[0], 3, 1, 1, bias=False)
+            self.stem_bn = nn.BatchNorm2d(cfg.channels[0])
+            self.blocks = nn.ModuleList(
+                Block(ci, co, st, ds)
+                for _name, ci, co, st, ds in ws._block_specs(cfg)
+            )
+            self.head = nn.Linear(cfg.pool_dim, cfg.emb_dim)
+
+        def forward(self, feats):  # feats [T, 80]
+            x = feats.T[None, None]  # [1, 1, F, T] — wespeaker layout
+            x = torch.relu(self.stem_bn(self.stem(x)))
+            for b in self.blocks:
+                x = b(x)
+            bsz, c, f, t = x.shape
+            flat = x.reshape(bsz, c * f, t)  # CHANNEL-major pooling rows
+            pooled = torch.cat([flat.mean(-1), flat.std(-1, unbiased=False)], -1)
+            emb = self.head(pooled)[0]
+            return emb / emb.norm()
+
+    net = Net().eval()
+    # non-trivial BN running stats (fresh BNs have mean=0, var=1)
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    # export in the torch-name layout the ingester expects
+    tensors = []
+
+    def emit_bn(tname, bn):
+        tensors.append((f"{tname}.weight", bn.weight.detach().numpy()))
+        tensors.append((f"{tname}.bias", bn.bias.detach().numpy()))
+        tensors.append((f"{tname}.running_mean", bn.running_mean.numpy()))
+        tensors.append((f"{tname}.running_var", bn.running_var.numpy()))
+
+    tensors.append(("front.conv1.weight", net.stem.weight.detach().numpy()))
+    emit_bn("front.bn1", net.stem_bn)
+    for (name, *_), blk in zip(ws._block_specs(cfg), net.blocks):
+        tensors.append((f"front.{name}.conv1.weight",
+                        blk.conv1.weight.detach().numpy()))
+        emit_bn(f"front.{name}.bn1", blk.bn1)
+        tensors.append((f"front.{name}.conv2.weight",
+                        blk.conv2.weight.detach().numpy()))
+        emit_bn(f"front.{name}.bn2", blk.bn2)
+        if blk.ds is not None:
+            tensors.append((f"front.{name}.downsample.0.weight",
+                            blk.ds[0].weight.detach().numpy()))
+            emit_bn(f"front.{name}.downsample.1", blk.ds[1])
+    tensors.append(("seg_1.weight", net.head.weight.detach().numpy()))
+    tensors.append(("seg_1.bias", net.head.bias.detach().numpy()))
+
+    path = str(tmp_path / "torch_oracle.onnx")
+    write_onnx_file(path, tensors)
+    loaded = ws.load_wespeaker_onnx(path, cfg)
+
+    audio = (np.random.default_rng(3).standard_normal(16000) * 0.1).astype(
+        np.float32
+    )
+    feats = ws.fbank(audio)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(feats)).numpy()
+    ours = ws.embed_np(loaded, feats)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)

@@ -92,7 +92,12 @@ def stft_frames(sig: np.ndarray) -> np.ndarray:
 
 
 def features_for_windows(audio: np.ndarray, context: np.ndarray) -> tuple:
-    """Chunk [T*512] + carry [64] -> ([T, N_FRAMES, N_FREQS], new carry)."""
+    """Chunk [T*512] + carry [64] -> ([T, N_FRAMES, N_FREQS], new carry).
+
+    The returned carry is a COPY, never a view into `audio`: the stateful
+    model stores it across calls (and reset() zeroes it), and a live view
+    would alias — and let reset() corrupt — caller-owned audio buffers
+    that may still be queued for decoding."""
     n = len(audio) // WINDOW
     feats = np.zeros((n, N_FRAMES, N_FREQS), np.float32)
     ctx = context
@@ -100,7 +105,7 @@ def features_for_windows(audio: np.ndarray, context: np.ndarray) -> tuple:
         w = audio[t * WINDOW : (t + 1) * WINDOW]
         feats[t] = stft_frames(np.concatenate([ctx, w]))
         ctx = w[-CONTEXT:]
-    return feats, ctx
+    return feats, (ctx.copy() if n else ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +158,10 @@ class SileroShapedVAD:
         self.h = np.zeros(HIDDEN, np.float32)
         self.c = np.zeros(HIDDEN, np.float32)
         self._context = np.zeros(CONTEXT, np.float32)
+        # trailing partial-window samples carried to the next update() —
+        # 30 ms (480-sample) streaming frames would otherwise NEVER fill
+        # a 512-sample window and the gate would stay closed forever
+        self._pending = np.zeros(0, np.float32)
 
     @property
     def state(self) -> np.ndarray:
@@ -162,11 +171,21 @@ class SileroShapedVAD:
     def reset(self) -> None:
         self.h = np.zeros(HIDDEN, np.float32)
         self.c = np.zeros(HIDDEN, np.float32)
-        self._context[:] = 0.0
+        # rebind, never write in place: _context may (defensively) be a
+        # shared array and must not be mutated under the caller
+        self._context = np.zeros(CONTEXT, np.float32)
+        self._pending = np.zeros(0, np.float32)
 
     def update(self, audio: np.ndarray) -> np.ndarray:
-        """Chunk of PCM -> per-window speech probabilities (stateful)."""
+        """Chunk of PCM -> per-window speech probabilities (stateful).
+        Trailing partial-window samples are buffered for the next call."""
         audio = np.asarray(audio, np.float32).reshape(-1)
+        if len(self._pending):
+            audio = np.concatenate([self._pending, audio])
+        rem = len(audio) % WINDOW
+        self._pending = audio[len(audio) - rem :].copy() if rem else np.zeros(
+            0, np.float32
+        )
         feats, self._context = features_for_windows(audio, self._context)
         probs = np.empty(len(feats), np.float32)
         h, c = self.h, self.c
@@ -259,18 +278,46 @@ def _parse_tensor(buf: bytes):
     return name, arr.reshape(dims) if dims else arr
 
 
+def _collect_graph_tensors(graph: bytes, tensors: dict) -> None:
+    """GraphProto -> initializers + Constant-node values + nested-subgraph
+    tensors. Real silero exports branch on sample rate via If nodes whose
+    weights live inside branch subgraphs (GraphProto nested in
+    AttributeProto.g) or as Constant nodes, not top-level initializers."""
+    for gfield, gwt, gval in _wire_fields(graph):
+        if gfield == 5 and gwt == 2:  # initializer
+            name, arr = _parse_tensor(gval)
+            tensors.setdefault(name, arr)
+        elif gfield == 1 and gwt == 2:  # node (NodeProto)
+            op_type = ""
+            out_name = ""
+            attrs: list[bytes] = []
+            for nf, nwt, nval in _wire_fields(gval):
+                if nf == 2 and nwt == 2 and not out_name:  # first output
+                    out_name = nval.decode("utf-8", "replace")
+                elif nf == 4 and nwt == 2:
+                    op_type = nval.decode("utf-8", "replace")
+                elif nf == 5 and nwt == 2:  # attribute
+                    attrs.append(nval)
+            for attr in attrs:
+                for af, awt, aval in _wire_fields(attr):
+                    if af in (5, 10) and awt == 2:  # AttributeProto.t/.tensors
+                        if op_type == "Constant" and out_name:
+                            _, arr = _parse_tensor(aval)
+                            tensors.setdefault(out_name, arr)
+                    elif af in (6, 11) and awt == 2:  # .g / .graphs subgraph
+                        _collect_graph_tensors(aval, tensors)
+
+
 def read_onnx_initializers(path: str) -> dict[str, np.ndarray]:
     """All weight tensors of an ONNX file, by name (no onnx dependency:
-    ModelProto.graph = field 7, GraphProto.initializer = field 5)."""
+    ModelProto.graph = field 7), including Constant-node tensors and
+    weights nested in If/Loop branch subgraphs."""
     with open(path, "rb") as f:
         model = f.read()
     tensors: dict[str, np.ndarray] = {}
     for field, wt, val in _wire_fields(model):
         if field == 7 and wt == 2:  # graph
-            for gfield, gwt, gval in _wire_fields(val):
-                if gfield == 5 and gwt == 2:  # initializer
-                    name, arr = _parse_tensor(gval)
-                    tensors[name] = arr
+            _collect_graph_tensors(val, tensors)
     return tensors
 
 

@@ -21,9 +21,12 @@ learned JAX VAD can be dropped in without touching call sites.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Callable, List, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 SAMPLE_RATE = 16_000
 WINDOW = 512  # samples per VAD window @16 kHz (silero v5 framing)
@@ -116,7 +119,16 @@ def _default_model(use_learned: Optional[bool] = None):
 
             onnx_path = os.environ.get("WL_SILERO_ONNX")
             if onnx_path and os.path.exists(onnx_path):
-                return sv.SileroShapedVAD(sv.load_silero_onnx(onnx_path))
+                try:
+                    return sv.SileroShapedVAD(sv.load_silero_onnx(onnx_path))
+                except Exception:
+                    # the user EXPLICITLY pointed at real weights — a
+                    # silent fall-through to the synthetic-trained model
+                    # would misrepresent every gate decision
+                    logger.exception(
+                        "WL_SILERO_ONNX=%s could not be ingested; falling "
+                        "back to the in-repo VAD weights", onnx_path,
+                    )
             if sv.weights_available():
                 return sv.SileroShapedVAD()
         except Exception:  # corrupt/missing weights: fall through

@@ -309,6 +309,20 @@ class WeSpeakerEmbedder:
 # ---------------------------------------------------------------------------
 
 
+def pool_permutation(cfg: ResNetConfig) -> np.ndarray:
+    """Index map from this module's pooled layout (freq-major f*C'+c per
+    mean/std half) to wespeaker's TSTP layout (channel-major c*F'+f):
+    ours[i] corresponds to wespeaker row perm[i]."""
+    f_last = cfg.feat_dim
+    for _ in cfg.channels[1:]:
+        f_last = (f_last + 1) // 2
+    c_last = cfg.channels[-1]
+    half = c_last * f_last
+    i = np.arange(half)
+    onnx_row = (i % c_last) * f_last + (i // c_last)
+    return np.concatenate([onnx_row, half + onnx_row])
+
+
 def load_wespeaker_onnx(path: str, cfg: ResNetConfig = R34) -> dict:
     """Map a wespeaker ResNet ONNX export's initializers onto this module's
     parameter layout.
@@ -339,8 +353,11 @@ def load_wespeaker_onnx(path: str, cfg: ResNetConfig = R34) -> dict:
             lambda n, t: t.shape == (c_out, c_in, k, k),
             f"{what} conv [{c_out},{c_in},{k},{k}]",
         )
-        # onnx [C_out, C_in, kh, kw] -> ours [kh, kw, C_in, C_out]
-        return np.transpose(t, (2, 3, 1, 0)).astype(np.float32)
+        # wespeaker runs on [B, C, F(height), T(width)], so the ONNX kernel
+        # is [C_out, C_in, kh=FREQ, kw=TIME]; this module runs on
+        # [T(height), F(width), C], so our kh must take the ONNX kw (time)
+        # and our kw the ONNX kh (freq): (3, 2, 1, 0), not (2, 3, 1, 0).
+        return np.transpose(t, (3, 2, 1, 0)).astype(np.float32)
 
     def take_bn(prefix, c, out):
         """Next four [c]-sized tensors; name hints fix the roles."""
@@ -387,9 +404,14 @@ def load_wespeaker_onnx(path: str, cfg: ResNetConfig = R34) -> dict:
         ),
         f"embedding linear [{cfg.emb_dim},{cfg.pool_dim}]",
     )
-    params["emb_w"] = (
-        head.T if head.shape[0] == cfg.emb_dim else head
-    ).astype(np.float32)
+    head_rows = (head.T if head.shape[0] == cfg.emb_dim else head).astype(
+        np.float32
+    )  # [pool_dim, emb]
+    # Pooled-vector layout differs: wespeaker's TSTP flattens CHANNEL-major
+    # (index c*F'+f per mean/std half), this module flattens FREQ-major
+    # (f*C'+c, embed_np). Permute the head's input rows so each of our
+    # pooled components multiplies the weight row trained for it.
+    params["emb_w"] = head_rows[pool_permutation(cfg)]
     try:
         _, hb = take(lambda n, t: t.shape == (cfg.emb_dim,), "embedding bias")
         params["emb_b"] = hb.astype(np.float32)

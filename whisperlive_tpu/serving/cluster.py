@@ -104,17 +104,27 @@ class ClusterRouter:
     # ------------------------------------------------------------------
 
     async def _probe(self, replica: Replica) -> None:
+        """Healthy replicas get a cheap TCP liveness check; UNHEALTHY ones
+        are revived only by a full WebSocket handshake — a wedged process
+        whose listener backlog still accepts TCP (the classic hang mode)
+        must not be re-marked healthy every probe interval and put back at
+        the front of every sticky session's rank order."""
         host, port = replica.addr.rsplit(":", 1)
         try:
-            _, writer = await asyncio.wait_for(
-                asyncio.open_connection(host, int(port)), timeout=2.0
-            )
-            writer.close()
-            try:
-                await writer.wait_closed()
-            except Exception:
-                pass
-            if not replica.healthy:
+            if replica.healthy:
+                _, writer = await asyncio.wait_for(
+                    asyncio.open_connection(host, int(port)), timeout=2.0
+                )
+                writer.close()
+                try:
+                    await writer.wait_closed()
+                except Exception:
+                    pass
+            else:
+                conn = await asyncio.wait_for(
+                    connect(replica.uri(""), max_size=2**20), timeout=3.0
+                )
+                await conn.close()
                 logger.info("backend %s back up", replica.addr)
             replica.healthy = True
             replica.last_error = None
@@ -191,7 +201,12 @@ class ClusterRouter:
             try:
                 await conn.send(handshake)
                 first = await self._await_accept(websocket, conn, stash)
-            except Exception:
+            except Exception as e:
+                # dialed fine but never served the handshake: demote it so
+                # rank() stops putting a wedged replica first; only a full
+                # WS-handshake probe (_probe, unhealthy path) revives it
+                replica.healthy = False
+                replica.last_error = f"accept failed: {e}"
                 await self._close(conn)
                 continue
             wait = self._is_wait(first)
@@ -256,13 +271,9 @@ class ClusterRouter:
                     return_when=asyncio.FIRST_COMPLETED,
                 )
                 if backend_next in done:
-                    if client_next not in done:
-                        # keep the pending client read for the next call —
-                        # cancelling here could drop a frame
-                        pass
-                    else:
+                    if client_next in done:
                         stash.append(client_next.result())
-                        client_next = asyncio.ensure_future(client_ws.recv())
+                        client_next = None
                     return backend_next.result()
                 backend_next.cancel()
                 if client_next in done:
@@ -273,14 +284,18 @@ class ClusterRouter:
                 else:
                     raise TimeoutError("backend never replied to handshake")
         finally:
-            if not client_next.done():
-                client_next.cancel()
-            else:
-                # a completed read we did not consume is a client frame
-                try:
-                    stash.append(client_next.result())
-                except Exception:
-                    pass
+            # Invariant this cleanup relies on: the websockets library's
+            # recv() is cancellation-safe — a cancelled recv never consumes
+            # a frame (messages stay queued until returned), so the one
+            # pending read can always be dropped here without loss.
+            if client_next is not None:
+                if client_next.done():
+                    try:
+                        stash.append(client_next.result())
+                    except Exception:
+                        pass
+                else:
+                    client_next.cancel()
 
     @staticmethod
     async def _pump(src, dst) -> None:

@@ -6,6 +6,7 @@ decode — the ring-buffer KV masking and per-slot rule state fully isolate
 slots at different generation depths.
 """
 
+import dataclasses
 import time
 
 import numpy as np
@@ -1192,3 +1193,55 @@ def test_randomized_schedule_soak(engine, rng):
         assert sched._thread is not None and sched._thread.is_alive()
     finally:
         sched.stop()
+
+
+def test_custom_suppress_routes_to_window_scheduler():
+    """The continuous step program bakes ONE suppress mask — requests with
+    a different suppress config must take the window path."""
+    from whisperlive_tpu.serving.backends import TpuBackend
+
+    class StubCont:
+        beam_width = 1
+        suppress_key = ((-1,), True)  # the defaults
+
+    backend = TpuBackend(scheduler="WINDOW", continuous_scheduler=StubCont())
+    assert backend._pick_scheduler(OPTS) is backend.continuous_scheduler
+    custom = dataclasses.replace(OPTS, suppress_tokens=(5, 7))
+    assert backend._pick_scheduler(custom) == "WINDOW"
+    noblank = dataclasses.replace(OPTS, suppress_blank=False)
+    assert backend._pick_scheduler(noblank) == "WINDOW"
+
+
+def test_oversized_initial_prompt_keeps_sot_anchor(engine, rng):
+    """A huge initial_prompt must degrade by dropping HEAD conditioning
+    tokens — the sot sequence must survive and the request must resolve
+    (tail-truncation used to cut <|sot|> and leave sot_idx out of range)."""
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=4,
+                                prompt_pad=32, ring=64)
+    # huge conditioning: far beyond prompt_pad=32
+    big_prompt = " ".join(f"word{i}" for i in range(400))
+    opts = dataclasses.replace(OPTS, initial_prompt=big_prompt,
+                               max_new_tokens=8)
+    sot_seq = engine.tokenizer.sot_sequence()
+    sched.start()
+    try:
+        req = BatchRequest(audio=_audio(rng, 2.0), options=opts, uid="big",
+                           language="en")
+        r = req.future
+        sched.submit(req)
+        result = r.result(timeout=180)
+        assert result is not None
+    finally:
+        sched.stop()
+    # and the overflow rebuild itself preserves the anchor: rebuild the
+    # prompt the way _insert_take does and check the invariants directly
+    p, s = engine.build_prompt(opts, language="en")
+    assert len(p) > 32  # the scenario is real
+    keep = max(32 - (len(p) - 0) - 1, 0)
+    p2, s2 = engine.build_prompt(opts, previous_tokens=(), language="en")
+    if len(p2) > 32:
+        drop = min(len(p2) - 32, s2)
+        p2 = p2[drop:][:32]
+        s2 -= drop
+    assert 0 <= s2 < len(p2)
+    assert p2[s2] == sot_seq[0]  # <|sot|> anchor intact

@@ -300,6 +300,12 @@ class ContinuousEngine:
         self.enc_buckets = enc_buckets
         base_options = options or TranscribeOptions()
         self.suppress_mask = engine.suppress_mask_for(base_options)
+        # the mask is baked into the step program; requests with a
+        # DIFFERENT suppress configuration must route to the window
+        # scheduler (backends._pick_scheduler checks this key)
+        self.suppress_key = (
+            base_options.suppress_tokens, base_options.suppress_blank
+        )
         multilingual = engine.tokenizer.spec.multilingual
         bits = engine.cross_kv_bits
 
@@ -952,9 +958,11 @@ class ContinuousScheduler:
             beam_width=beam_width,
         )
         self.beam_width = self.cb.beam_width
-        # routing hint for TpuBackend: windows longer than the continuous
-        # cross-KV content cap belong on the window scheduler
+        # routing hints for TpuBackend: windows longer than the continuous
+        # cross-KV content cap — or suppress configs other than the one
+        # baked into the step program — belong on the window scheduler
         self.max_window_s = self.cb.max_window_s
+        self.suppress_key = self.cb.suppress_key
         self._queue: "queue.Queue[Optional[BatchRequest]]" = queue.Queue()
         self._pending: list[tuple[BatchRequest, int]] = []  # (req, temp_idx)
         # Fairness at oversubscription: slots are granted least-recently-
@@ -1249,15 +1257,24 @@ class ContinuousScheduler:
                 )
                 if len(p) > self.cb.prompt_pad:
                     # trim the previous-text conditioning first (a soft
-                    # prior), drop it entirely if the sot sequence + prefix
-                    # still don't fit
+                    # prior). build_prompt RE-ADDS initial_prompt/hotwords
+                    # whenever previous_tokens is empty, so the rebuild can
+                    # still overflow — then drop HEAD tokens before the sot
+                    # index (never tail-cut: that would strip the sot
+                    # sequence and leave sot_idx past the prompt end)
                     keep = max(self.cb.prompt_pad - (len(p) - len(req.previous_tokens)) - 1, 0)
                     p, s = eng.build_prompt(
                         opt,
                         previous_tokens=tuple(req.previous_tokens)[-keep:] if keep else (),
                         language=lang or "en",
                     )
-                    p = p[: self.cb.prompt_pad]
+                    if len(p) > self.cb.prompt_pad:
+                        drop = min(len(p) - self.cb.prompt_pad, s)
+                        p = p[drop:]
+                        s -= drop
+                        # last resort: the steering tail alone overflows —
+                        # truncate its end; positions stay consistent
+                        p = p[: self.cb.prompt_pad]
             windows.append(buf)
             prompts.append(p)
             sots.append(s)

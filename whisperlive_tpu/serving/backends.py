@@ -159,6 +159,14 @@ class TpuBackend:
             return self.scheduler
         if options.no_repeat_ngram_size > 0:
             return self.scheduler
+        # the continuous step program bakes ONE suppress mask; a request
+        # with a different suppress config must decode on the window path
+        # (which batches by suppress signature) or its tokens would differ
+        key = getattr(self.continuous_scheduler, "suppress_key", None)
+        if key is not None and key != (
+            options.suppress_tokens, options.suppress_blank
+        ):
+            return self.scheduler
         # beamed requests ride the continuous path when the slot pool was
         # built with matching lockstep lanes (--beam_size N); a mismatch
         # (rare: per-request override) falls back to the window scheduler,

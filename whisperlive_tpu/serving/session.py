@@ -209,11 +209,17 @@ class StreamingSession:
         if identify_speaker and self.speaker_identifier is not None:
             try:
                 # start/end are absolute stream seconds; frames_np begins at
-                # frames_offset after left-trims.
+                # frames_offset after left-trims. Snapshot buffer + offset
+                # under the lock: the network thread's 45 s trim rebinds
+                # BOTH, and reading them unpaired would hand the embedder a
+                # window displaced by the trim amount (wrong speaker) or
+                # one past the shrunk buffer (empty slice).
+                with self.lock:
+                    buf, off = self.frames_np, self.frames_offset
                 speaker = self.speaker_identifier(
-                    self.frames_np,
-                    max(start - self.frames_offset, 0.0),
-                    max(end - self.frames_offset, 0.0),
+                    buf,
+                    max(start - off, 0.0),
+                    max(end - off, 0.0),
                 )
             except Exception:
                 logger.exception("speaker identification failed")
@@ -256,8 +262,13 @@ class StreamingSession:
             for s in segments[:-1]:
                 text = s.text
                 # every completed-position text is recorded, even if the
-                # segment itself is then filtered (base.py:403-404)
+                # segment itself is then filtered (base.py:403-404) — so
+                # the bound must apply HERE too, or filtered middle
+                # segments grow self.text without ever reaching the trim
+                # in _commit_segment
                 self.text.append(text)
+                if len(self.text) > MAX_TRANSCRIPT_SEGMENTS:
+                    self.text = self.text[-MAX_TRANSCRIPT_SEGMENTS:]
                 start = self.timestamp_offset + s.start
                 end = self.timestamp_offset + min(duration, s.end)
                 if start >= end:

@@ -220,3 +220,53 @@ def test_no_repeat_ngram_ignores_padding():
     logits = jnp.zeros((1, SPEC.n_vocab), jnp.float32)
     out = np.asarray(dec.apply_no_repeat_ngram(logits, state, 3))
     assert np.all(out == 0.0)  # only 2 sampled tokens: rule inactive
+
+
+def test_suppress_blank_vector_disables_step0_rule():
+    """suppress_blank=False (per-request option, threaded as a static
+    program arg) must leave blank/EOT available at step 0."""
+    state = make_state([2], [[]])
+    mask = dec.build_suppress_mask(SPEC.n_vocab, ())
+    # without_timestamps mode: otherwise the first-token-must-be-a-
+    # timestamp rule masks every text token at step 0 regardless
+    filtered = np.asarray(dec.apply_logit_rules(
+        SPEC, jnp.zeros((1, SPEC.n_vocab)), state, mask,
+        jnp.zeros((1,), bool), suppress_blank=jnp.zeros((1,), bool),
+    ))
+    assert filtered[0, SPEC.blank] > dec.NEG_INF / 2
+    # default (None) keeps the rule
+    default = apply(state, ts_enabled=False)
+    assert default[0, SPEC.blank] <= dec.NEG_INF / 2
+
+
+def test_max_initial_timestamp_vector_overrides_spec():
+    """max_initial_timestamp (per-request) bounds the FIRST timestamp."""
+    state = make_state([2], [[]])
+    mask = dec.build_suppress_mask(SPEC.n_vocab, ())
+    filtered = np.asarray(dec.apply_logit_rules(
+        SPEC, jnp.zeros((1, SPEC.n_vocab)), state, mask,
+        jnp.ones((1,), bool),
+        max_initial_ts_idx=jnp.asarray([2], jnp.int32),
+    ))
+    tb = SPEC.timestamp_begin
+    assert filtered[0, tb + 2] > dec.NEG_INF / 2  # allowed
+    assert filtered[0, tb + 3] <= dec.NEG_INF / 2  # beyond the override
+    # spec default allows up to index 5
+    default = apply(state)
+    assert default[0, tb + 5] > dec.NEG_INF / 2
+
+
+def test_repetition_penalty_noop_path_exact():
+    """The lax.cond fast path (all penalties 1.0) must be a true no-op."""
+    state = make_state([2], [[50, 51]])
+    logits = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, SPEC.n_vocab)),
+        jnp.float32,
+    )
+    out = dec.apply_repetition_penalty(logits, state, jnp.ones((1,)))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(logits))
+    # and the active path still penalizes
+    pen = np.asarray(
+        dec.apply_repetition_penalty(logits, state, jnp.full((1,), 2.0))
+    )
+    assert pen[0, 50] != np.asarray(logits)[0, 50]

@@ -44,14 +44,38 @@ def test_initial_prompt_prefixed_with_sot_prev(eng):
     assert prompt[sot_idx] == tok.sot
 
 
-def test_initial_prompt_only_on_first_window(eng):
-    opts = TranscribeOptions(language="en", initial_prompt="hello")
-    # once previous tokens exist, initial_prompt is dropped (ref behavior)
-    prompt, _ = eng.build_prompt(opts, previous_tokens=[500, 501])
+def test_initial_prompt_serving_vs_preseeded(eng):
     tok = eng.tokenizer
+    hello = tok.encode(" hello")
+    opts = TranscribeOptions(language="en", initial_prompt="hello")
+
+    # serving default: initial_prompt rides EVERY window ahead of the
+    # session context (reference backend passes initial_prompt into each
+    # per-window transcribe call, faster_whisper_backend.py:219,238)
+    prompt, _ = eng.build_prompt(opts, previous_tokens=[500, 501])
     assert prompt[0] == tok.sot_prev
+    assert prompt[1 : 1 + len(hello)] == hello
     assert 500 in prompt and 501 in prompt
-    assert tok.encode(" hello")[0] not in prompt[:3]
+
+    # offline seek loop (context_preseeded=True): the caller seeds
+    # initial_prompt into its rolling context, so build_prompt must NOT
+    # re-add it (reference get_prompt has no initial_prompt at all) and
+    # previous tokens ride ungated
+    prompt2, _ = eng.build_prompt(
+        opts, previous_tokens=[500, 501], context_preseeded=True
+    )
+    assert prompt2[0] == tok.sot_prev
+    assert prompt2[1:3] == [500, 501]
+    assert prompt2[1 : 1 + len(hello)] != hello
+
+    # preseeded context ignores condition_on_previous_text (the seek loop
+    # gates via prompt_reset_since instead)
+    nocond = TranscribeOptions(language="en",
+                               condition_on_previous_text=False)
+    prompt3, _ = eng.build_prompt(
+        nocond, previous_tokens=[7, 8], context_preseeded=True
+    )
+    assert prompt3[1:3] == [7, 8]
 
 
 def test_hotwords_used_when_no_prefix(eng):

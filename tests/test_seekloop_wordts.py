@@ -51,13 +51,15 @@ class FakeEngine:
     def prepare_mel(self, mel):
         return None, "cross"
 
-    def build_prompt(self, options, previous_tokens=(), language=None):
+    def build_prompt(self, options, previous_tokens=(), language=None,
+                     context_preseeded=False):
         return [100, 101, 102], 0
 
     def decode_with_fallback(self, cross, prompts, sots, options, seed=0):
         return [self.decodes.pop(0)]
 
-    def align_words(self, cross, idx, tokens, num_frames, merge=True):
+    def align_words(self, cross, idx, tokens, num_frames, merge=True,
+                    language=None, task="transcribe"):
         return self.alignments.pop(0)
 
 

@@ -183,6 +183,20 @@ def best_failed_attempt(
     return dataclasses.replace(best, temperature=attempts[-1].temperature)
 
 
+def _rule_statics(options: TranscribeOptions) -> tuple[bool, int]:
+    """(suppress_blank, max_initial_timestamp index) as static program
+    args; -1 keeps DecodingSpec's compile-time default so default options
+    hit the warmed program variants unchanged."""
+    sb = bool(options.suppress_blank)
+    mit = -1
+    if (
+        options.max_initial_timestamp is not None
+        and float(options.max_initial_timestamp) != 1.0
+    ):
+        mit = max(int(round(float(options.max_initial_timestamp) / 0.02)), 0)
+    return sb, mit
+
+
 def fails_quality_gates(options: TranscribeOptions, r: DecodeResult) -> bool:
     """Temperature-fallback gate (generate_with_fallback semantics,
     transcriber_faster_whisper.py:1350-1478): re-decode when the output
@@ -316,8 +330,15 @@ class WhisperEngine:
             key,
             cache_len: int = 0,  # static: KV slots (prompt_pad + gen budget)
             no_repeat_ngram: int = 0,  # static
+            suppress_blank: bool = True,  # static (default = same program)
+            max_init_idx: int = -1,  # static; -1 = spec default (1.0 s)
         ):
             b, prompt_pad = prompts.shape
+            sb_vec = None if suppress_blank else jnp.zeros((1,), bool)
+            mit_vec = (
+                None if max_init_idx < 0
+                else jnp.full((1,), max_init_idx, jnp.int32)
+            )
             cache_len = cache_len or cfgc.n_text_ctx
             max_gen = cache_len - prompt_pad  # static gen-slot budget
             self_kv = wmod.init_self_kv(cfgc, b, cache_len)
@@ -336,7 +357,8 @@ class WhisperEngine:
                 state, self_kv, logits, key = carry
                 key, sub = jax.random.split(key)
                 filtered = dec.apply_logit_rules(
-                    spec, logits, state, suppress_mask, ts_enabled
+                    spec, logits, state, suppress_mask, ts_enabled,
+                    suppress_blank=sb_vec, max_initial_ts_idx=mit_vec,
                 )
                 filtered = dec.apply_repetition_penalty(filtered, state, rep_penalty)
                 filtered = dec.apply_no_repeat_ngram(filtered, state, no_repeat_ngram)
@@ -377,6 +399,8 @@ class WhisperEngine:
             length_penalty,  # [] f32
             cache_len_: int = 0,  # static
             no_repeat_ngram: int = 0,  # static
+            suppress_blank: bool = True,  # static
+            max_init_idx: int = -1,  # static; -1 = spec default
         ):
             """Batched beam search (T=0; reference default beam_size=5,
             transcriber_faster_whisper.py:1394-1407). B items x K beams are
@@ -421,10 +445,17 @@ class WhisperEngine:
                 state, *_ = carry
                 return ~jnp.all(state.finished)
 
+            sb_vec = None if suppress_blank else jnp.zeros((1,), bool)
+            mit_vec = (
+                None if max_init_idx < 0
+                else jnp.full((1,), max_init_idx, jnp.int32)
+            )
+
             def body(carry):
                 state, self_kv, logits, sum_lp = carry
                 filtered = dec.apply_logit_rules(
-                    spec, logits, state, suppress_mask, ts_enabled_bk
+                    spec, logits, state, suppress_mask, ts_enabled_bk,
+                    suppress_blank=sb_vec, max_initial_ts_idx=mit_vec,
                 )
                 filtered = dec.apply_repetition_penalty(filtered, state, rep_bk)
                 filtered = dec.apply_no_repeat_ngram(filtered, state, no_repeat_ngram)
@@ -516,6 +547,8 @@ class WhisperEngine:
             key,
             cache_len: int = 0,
             no_repeat_ngram: int = 0,
+            suppress_blank: bool = True,  # static
+            max_init_idx: int = -1,  # static
         ):
             """Fused language-ID + decode in one dispatch: detects languages
             for unpinned items, splices the detected token into the prompt on
@@ -539,7 +572,7 @@ class WhisperEngine:
             out = _decode(
                 params, cross_kv, prompts, prompt_len, sot_idx, suppress_mask,
                 ts_enabled, temperature, rep_penalty, max_new, key,
-                cache_len, no_repeat_ngram,
+                cache_len, no_repeat_ngram, suppress_blank, max_init_idx,
             )
             return (*out, lang_probs)
 
@@ -550,9 +583,9 @@ class WhisperEngine:
 
         self._prepare_fn = jax.jit(_prepare)
         self._prepare_mel_fn = jax.jit(_prepare_mel)
-        self._decode_fn = jax.jit(_decode, static_argnums=(11, 12))
-        self._decode_beam_fn = jax.jit(_decode_beam, static_argnums=(9, 11, 12))
-        self._detect_decode_fn = jax.jit(_detect_decode, static_argnums=(12, 13))
+        self._decode_fn = jax.jit(_decode, static_argnums=(11, 12, 13, 14))
+        self._decode_beam_fn = jax.jit(_decode_beam, static_argnums=(9, 11, 12, 13, 14))
+        self._detect_decode_fn = jax.jit(_detect_decode, static_argnums=(12, 13, 14, 15))
         self._detect_fn = jax.jit(_detect)
         self._align_fn = jax.jit(_align)
 
@@ -561,7 +594,10 @@ class WhisperEngine:
     # ------------------------------------------------------------------
 
     def suppress_mask_for(self, options: TranscribeOptions) -> jax.Array:
-        key = (options.suppress_tokens, options.suppress_blank)
+        # blank suppression is a step-0 RULE (threaded as a static program
+        # arg), not part of the static mask — keying on suppress_tokens
+        # alone avoids duplicate identical masks
+        key = options.suppress_tokens
         if key not in self._suppress_cache:
             ids = get_suppressed_tokens(self.tokenizer, options.suppress_tokens)
             self._suppress_cache[key] = dec.build_suppress_mask(self.cfg.n_vocab, ids)
@@ -572,20 +608,35 @@ class WhisperEngine:
         options: TranscribeOptions,
         previous_tokens: Sequence[int] = (),
         language: str | None = None,
+        context_preseeded: bool = False,
     ) -> tuple[list[int], int]:
         """[<|sot_prev|> prev...] + sot-sequence + prefix tokens.
 
         Mirrors get_prompt (transcriber_faster_whisper.py:1480-1513).
         Returns (prompt_tokens, sot_index).
+
+        context_preseeded=True is the offline seek loop's contract: it
+        seeds initial_prompt into its rolling token context itself
+        (reference generate_segments 1089-1095) and implements
+        condition_on_previous_text via prompt_reset_since — so here
+        previous_tokens ride UNGATED and initial_prompt is never re-added
+        (exactly reference get_prompt, which has no initial_prompt param).
+        The serving default (False) mirrors the reference backend, which
+        passes initial_prompt into EVERY per-window transcribe call
+        (faster_whisper_backend.py:219,238), with the session's carried
+        context additionally gated by condition_on_previous_text.
         """
         tok = self.tokenizer
         prev: list[int] = []
         if options.hotwords and not options.prefix:
             prev += tok.encode(" " + options.hotwords.strip())
-        if options.initial_prompt and not previous_tokens:
-            prev += tok.encode(" " + options.initial_prompt.strip())
-        if previous_tokens and options.condition_on_previous_text:
+        if context_preseeded:
             prev += list(previous_tokens)
+        else:
+            if options.initial_prompt:
+                prev += tok.encode(" " + options.initial_prompt.strip())
+            if previous_tokens and options.condition_on_previous_text:
+                prev += list(previous_tokens)
         prev = prev[-(self.cfg.n_text_ctx // 2 - 1):]
 
         lang = language or options.language
@@ -830,6 +881,10 @@ class WhisperEngine:
             self.suppress_mask_for(options),
             jnp.asarray(~np.full((b,), options.without_timestamps)),
         )
+        # suppress_blank / max_initial_timestamp are STATIC program args
+        # (like no_repeat_ngram): the defaults compile to the exact program
+        # warmup built; a niche value pays one extra compile.
+        sb_static, mit_static = _rule_statics(options)
         # Beam search runs at T=0 only; fallback re-decodes at T>0 switch to
         # sampling (same policy as whisper's beam->sampling escalation).
         use_beam = options.beam_size > 1 and all(t == 0.0 for t in temps)
@@ -850,6 +905,8 @@ class WhisperEngine:
                     jnp.float32(options.length_penalty),
                     cache_len,
                     options.no_repeat_ngram_size,
+                    sb_static,
+                    mit_static,
                 )
             else:
                 tokens, gen_len, sum_lp, ns_prob = self._decode_fn(
@@ -860,6 +917,8 @@ class WhisperEngine:
                     jax.random.PRNGKey(seed),
                     cache_len,
                     options.no_repeat_ngram_size,
+                    sb_static,
+                    mit_static,
                 )
         results = self._extract_results(
             tokens, gen_len, sum_lp, ns_prob, temps, n_tiled
@@ -952,6 +1011,7 @@ class WhisperEngine:
                 jax.random.PRNGKey(seed),
                 cache_len,
                 options.no_repeat_ngram_size,
+                *_rule_statics(options),
             )
         results = self._extract_results(tokens, gen_len, sum_lp, ns_prob, temps, n_real)
         langs: list[tuple[str, float]] = []
@@ -975,6 +1035,8 @@ class WhisperEngine:
         cross_len: int | None = None,
         prepend_punctuations: str = "\"'“¿([{-",
         append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+        language: str | None = None,
+        task: str = "transcribe",
     ):
         """Word timings for one decoded window item (cross-attention DTW).
 
@@ -984,6 +1046,11 @@ class WhisperEngine:
         returns raw timings so the caller can apply the reference's duration
         hacks between alignment and punctuation merging
         (add_word_timestamps, transcriber_faster_whisper.py:1541-1566).
+
+        `language`/`task` condition the teacher-forcing sot sequence (the
+        reference aligns with the language-configured tokenizer); the
+        sequence length is the same for every language, so no new
+        program shapes. None keeps the engine tokenizer's default.
         """
         from whisperlive_tpu.engine import align as align_mod
 
@@ -991,7 +1058,12 @@ class WhisperEngine:
         text_tokens = [int(t) for t in text_tokens if t < tok.eot]
         if not text_tokens:
             return []
-        seq = tok.sot_sequence() + text_tokens + [tok.eot]
+        seq_tok = tok
+        if language is not None:
+            seq_tok = WhisperTokenizer(
+                tok.spec, tok.backend, language=language, task=task
+            )
+        seq = seq_tok.sot_sequence() + text_tokens + [tok.eot]
         sot_len = len(seq) - len(text_tokens) - 1
         pmax = _bucket(len(seq), self.prompt_buckets)
         arr = np.zeros((1, pmax), np.int32)
@@ -1014,10 +1086,13 @@ class WhisperEngine:
             )
         logits = np.asarray(logits[0], np.float32)  # [T, V]
         cross = np.asarray(cross[:, 0], np.float32)  # [L, H, T, ctx]
-        # token probability: softmax at the position predicting each token
+        # token probability: softmax over the TEXT vocab only (openai
+        # find_alignment renormalizes logits[:, :eot]) — the full-vocab
+        # sum would let timestamp mass deflate boundary-word probabilities
+        # and falsely trip the hallucination suspicion rules downstream
         probs = []
         for i, t in enumerate(text_tokens):
-            row = logits[sot_len - 1 + i]
+            row = logits[sot_len - 1 + i][: tok.eot]
             row = row - row.max()
             p = np.exp(row)
             probs.append(float(p[t] / p.sum()))

@@ -145,6 +145,7 @@ def assemble_result(
                 timings = eng.align_words(
                     cross_kv, item_index, res.tokens, segment_size,
                     cross_len=cross_len,
+                    language=language, task=req.options.task,
                 )
             except Exception:
                 logger.exception("word alignment failed")

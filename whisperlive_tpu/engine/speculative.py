@@ -51,6 +51,7 @@ from whisperlive_tpu.engine.engine import (
     TranscribeOptions,
     WhisperEngine,
     _bucket,
+    _rule_statics,
     best_failed_attempt,
     fails_quality_gates,
 )
@@ -116,8 +117,8 @@ class SpeculativeDecoder:
             return cross
 
         self._cross_from_enc_fn = jax.jit(_cross_from_enc)
-        # static: cache_len, no_repeat_ngram
-        self._fn = jax.jit(self._build(), static_argnums=(11, 12))
+        # static: cache_len, no_repeat_ngram, suppress_blank, max_init_idx
+        self._fn = jax.jit(self._build(), static_argnums=(11, 12, 13, 14))
 
     # ------------------------------------------------------------------
 
@@ -140,8 +141,15 @@ class SpeculativeDecoder:
             max_new,  # [] int32
             cache_len: int = 0,  # static
             no_repeat_ngram: int = 0,  # static
+            suppress_blank: bool = True,  # static
+            max_init_idx: int = -1,  # static; -1 = spec default
         ):
             b, prompt_pad = prompts.shape
+            sb_vec = None if suppress_blank else jnp.zeros((1,), bool)
+            mit_vec = (
+                None if max_init_idx < 0
+                else jnp.full((1,), max_init_idx, jnp.int32)
+            )
             max_gen = cache_len - prompt_pad
             # k+1 slots of write headroom: the final verify window must
             # never clamp its dynamic_update_slice back into valid slots.
@@ -162,7 +170,8 @@ class SpeculativeDecoder:
                 """One greedy rule-replay step — the exact filter/advance
                 sequence of engine._decode's loop body at temperature 0."""
                 filtered = dec.apply_logit_rules(
-                    spec, logits, st, suppress_mask, ts_enabled
+                    spec, logits, st, suppress_mask, ts_enabled,
+                    suppress_blank=sb_vec, max_initial_ts_idx=mit_vec,
                 )
                 filtered = dec.apply_repetition_penalty(filtered, st, rep_penalty)
                 filtered = dec.apply_no_repeat_ngram(filtered, st, no_repeat_ngram)
@@ -301,6 +310,7 @@ class SpeculativeDecoder:
                 np.int32(requested),
                 cache_len,
                 options.no_repeat_ngram_size,
+                *_rule_statics(options),
             )
         (result,) = target._extract_results(
             tokens, gen_len, sum_lp, ns_prob, np.zeros((1,), np.float32), 1

@@ -366,4 +366,10 @@ def get_suppressed_tokens(
     tokens.update(
         {spec.transcribe, spec.translate, spec.sot, spec.sot_prev, spec.sot_lm}
     )
+    # <|nospeech|> is read (its probability at the sot position), never
+    # sampled: openai's _get_suppress_tokens always adds it, and HF configs
+    # carry it in suppress_tokens — without this, temperature sampling can
+    # emit the special token mid-hypothesis (it is neither text nor
+    # timestamp, so the pairing rules don't block it everywhere).
+    tokens.add(spec.no_speech)
     return sorted(tokens)

@@ -265,6 +265,8 @@ def add_word_timestamps(
     last_speech_timestamp: float,
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    language: str | None = None,
+    task: str = "transcribe",
 ) -> None:
     """Attach word-level timings to this window's segment dicts, mutating
     their start/end like the reference (add_word_timestamps,
@@ -282,7 +284,8 @@ def add_word_timestamps(
             p["words"] = []
         return
     alignment = eng.align_words(
-        cross_kv, item_index, flat, segment_size, merge=False
+        cross_kv, item_index, flat, segment_size, merge=False,
+        language=language, task=task,
     )
 
     word_durations = np.array([w.end - w.start for w in alignment])
@@ -605,6 +608,10 @@ def generate_segments(
             win_options,
             previous_tokens=all_tokens[prompt_reset_since:],
             language=window_language,
+            # initial_prompt is already seeded into all_tokens and
+            # conditioning is handled via prompt_reset_since (the
+            # reference's exact structure)
+            context_preseeded=True,
         )
         if use_spec:
             (result,) = spec_decoder.decode_with_fallback(
@@ -645,11 +652,19 @@ def generate_segments(
                 eng, cross_kv, 0, pieces, segment_size, time_offset,
                 last_speech_timestamp,
                 options.prepend_punctuations, options.append_punctuations,
+                language=window_language, task=options.task,
             )
             if not single_timestamp_ending:
                 last_word_end = _get_end(pieces)
                 if last_word_end is not None and last_word_end > time_offset:
-                    seek = round(last_word_end * FRAMES_PER_SECOND)
+                    new_seek = round(last_word_end * FRAMES_PER_SECOND)
+                    # strict progress: when the last word ends a hair past
+                    # the window start, round() can land back ON
+                    # previous_seek — the same window would re-decode with
+                    # the same seed forever (BatchedTranscriber carries
+                    # the same guard)
+                    if new_seek > previous_seek:
+                        seek = new_seek
 
             # Hallucinations live in silence: re-seek past / truncate at
             # suspect segments flanked by quiet (behavioral contract of
@@ -881,7 +896,14 @@ class BatchedTranscriber:
         n = len(audios)
         seeks = [0] * n
         all_segments: list[list[Segment]] = [[] for _ in range(n)]
-        all_tokens: list[list[int]] = [[] for _ in range(n)]
+        # initial_prompt seeds each file's rolling context, like the
+        # sequential loop (reference generate_segments:1089-1095)
+        seed_tokens = (
+            eng.tokenizer.encode(" " + options.initial_prompt.strip())
+            if options.initial_prompt
+            else []
+        )
+        all_tokens: list[list[int]] = [list(seed_tokens) for _ in range(n)]
         languages: list[Optional[str]] = [options.language] * n
         language_probs = [1.0] * n
         seg_ids = [0] * n
@@ -931,6 +953,7 @@ class BatchedTranscriber:
                 p, s = eng.build_prompt(
                     options, previous_tokens=all_tokens[i][-224:],
                     language=window_langs.get(i, languages[i]),
+                    context_preseeded=True,
                 )
                 prompts.append(p)
                 sots.append(s)
@@ -961,18 +984,23 @@ class BatchedTranscriber:
                         segment_size,
                     )
                 )
+                # the window's own cursor, stamped on its segments (the
+                # sequential path and the reference record the pre-advance
+                # seek)
+                window_seek = seeks[i]
                 seeks[i] += advance
                 pieces = [
                     {"start": st, "end": en, "tokens": tk, "words": None}
                     for st, en, tk in raw_pieces
                 ]
                 if options.word_timestamps:
-                    window_seek = seeks[i] - advance
                     add_word_timestamps(
                         eng, cross, j, pieces, segment_size, time_offset,
                         last_speech_ts[i],
                         options.prepend_punctuations,
                         options.append_punctuations,
+                        language=window_langs.get(i, languages[i]),
+                        task=options.task,
                     )
                     if not single_ts_ending:
                         last_word_end = _get_end(pieces)
@@ -990,9 +1018,10 @@ class BatchedTranscriber:
                     text = eng.tokenizer.decode(toks)
                     if not text.strip():
                         continue
+                    seg_ids[i] += 1  # ids start at 1, like the sequential path
                     all_segments[i].append(
                         Segment(
-                            id=seg_ids[i], seek=seeks[i],
+                            id=seg_ids[i], seek=window_seek,
                             start=piece["start"], end=piece["end"],
                             text=text, tokens=toks,
                             temperature=res.temperature,
@@ -1007,8 +1036,13 @@ class BatchedTranscriber:
                             ),
                         )
                     )
-                    seg_ids[i] += 1
-                    all_tokens[i].extend(t for t in toks if t < eng.spec.eot)
+                    # context carries only under condition_on_previous_text
+                    # (build_prompt no longer gates preseeded context; the
+                    # seeded initial_prompt stays either way)
+                    if options.condition_on_previous_text:
+                        all_tokens[i].extend(
+                            t for t in toks if t < eng.spec.eot
+                        )
 
         return [
             (

@@ -93,8 +93,15 @@ def apply_logit_rules(
     state: SamplerState,
     suppress_mask: jax.Array,  # [V] bool — True = always suppress
     timestamps_enabled: jax.Array,  # [B] bool — False if <|notimestamps|> prompt
+    suppress_blank: jax.Array | None = None,  # [B] bool; None = all True
+    max_initial_ts_idx: jax.Array | None = None,  # [B] i32; None = spec value
 ) -> jax.Array:
-    """All Whisper logit filters, batched. Returns filtered logits [B, V]."""
+    """All Whisper logit filters, batched. Returns filtered logits [B, V].
+
+    suppress_blank / max_initial_ts_idx are the per-request forms of the
+    faster-whisper options of the same names (traced vectors — no
+    recompile per value); None keeps the compile-time defaults.
+    """
     b, v = logits.shape
     vocab = jnp.arange(v)[None, :]  # [1, V]
     step = state.step  # scalar — uniform across the batch
@@ -105,7 +112,10 @@ def apply_logit_rules(
     # --- SuppressBlank: first sampled token may not be " " or EOT ----------
     first = step == 0
     blank_mask = (vocab == spec.blank) | (vocab == spec.eot)
-    logits = jnp.where(first & blank_mask, NEG_INF, logits)
+    blank_rule = first & blank_mask
+    if suppress_blank is not None:
+        blank_rule = blank_rule & suppress_blank[:, None]
+    logits = jnp.where(blank_rule, NEG_INF, logits)
 
     # --- timestamp rules ----------------------------------------------------
     last_tok = _col(state.sampled, step - 1)
@@ -128,7 +138,12 @@ def apply_logit_rules(
     suppress_low_ts = (has_ts[:, None]) & is_ts & (vocab < lower[:, None])
 
     # First sampled token must be a timestamp, bounded by max_initial_timestamp.
-    init_lim = spec.timestamp_begin + spec.max_initial_timestamp_index
+    if max_initial_ts_idx is None:
+        init_lim = jnp.full(
+            (b, 1), spec.timestamp_begin + spec.max_initial_timestamp_index
+        )
+    else:
+        init_lim = (spec.timestamp_begin + max_initial_ts_idx)[:, None]
     suppress_first = first & (~is_ts | (vocab > init_lim))
     # (EOT stays suppressed at step 0 via SuppressBlank above.)
 
@@ -164,16 +179,24 @@ def apply_repetition_penalty(
     state: SamplerState,
     penalty: jax.Array,  # [B] or scalar; 1.0 = disabled
 ) -> jax.Array:
-    """CTranslate2-style repetition penalty over the sampled tokens."""
+    """CTranslate2-style repetition penalty over the sampled tokens.
+
+    The [B, V] seen-mask scatter runs under a lax.cond so the DEFAULT
+    configuration (penalty == 1.0 everywhere) pays nothing per sampled
+    token — the scatter was the one per-step scatter on the hot path."""
     b, v = logits.shape
-    idx = jnp.arange(state.sampled.shape[1])[None, :]
-    valid = idx < state.step
-    seen = jnp.zeros((b, v), bool).at[
-        jnp.arange(b)[:, None], state.sampled
-    ].max(valid)
     penalty = jnp.broadcast_to(jnp.asarray(penalty, jnp.float32), (b,))[:, None]
-    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
-    return jnp.where(seen & (penalty != 1.0), penalized, logits)
+
+    def apply(lg):
+        idx = jnp.arange(state.sampled.shape[1])[None, :]
+        valid = idx < state.step
+        seen = jnp.zeros((b, v), bool).at[
+            jnp.arange(b)[:, None], state.sampled
+        ].max(valid)
+        penalized = jnp.where(lg > 0, lg / penalty, lg * penalty)
+        return jnp.where(seen & (penalty != 1.0), penalized, lg)
+
+    return jax.lax.cond(jnp.all(penalty == 1.0), lambda lg: lg, apply, logits)
 
 
 def apply_no_repeat_ngram(

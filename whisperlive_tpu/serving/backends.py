@@ -167,6 +167,13 @@ class TpuBackend:
             options.suppress_tokens, options.suppress_blank
         ):
             return self.scheduler
+        # ditto max_initial_timestamp: the continuous step program bakes
+        # the 1.0 s default
+        if (
+            options.max_initial_timestamp is not None
+            and float(options.max_initial_timestamp) != 1.0
+        ):
+            return self.scheduler
         # beamed requests ride the continuous path when the slot pool was
         # built with matching lockstep lanes (--beam_size N); a mismatch
         # (rare: per-request override) falls back to the window scheduler,

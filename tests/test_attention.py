@@ -166,3 +166,48 @@ def test_cross_attention_int8_window_matches_jnp(rng):
         )
     )
     np.testing.assert_allclose(out_m, ref(lengths), atol=1e-2, rtol=1e-3)
+
+
+def test_cross_attention_int4_window_matches_jnp(rng):
+    """Windowed (Tq>1) Pallas int4 cross-attention — the speculative
+    verify path on a cross_kv_bits=4 engine — vs the jnp unpack
+    reference, masked and unmasked."""
+    import jax.numpy as jnp
+    from whisperlive_tpu.ops.attention import (
+        cross_attention_int4_window,
+        pack_int4,
+        unpack_int4,
+    )
+
+    b, t, h, hd, tq = 2, 96, 4, 64, 5
+    q = jnp.asarray(rng.standard_normal((b, h, tq, hd)), jnp.float32)
+    kq = rng.integers(-8, 8, (b, h, t, hd)).astype(np.int8)
+    vq = rng.integers(-8, 8, (b, h, t, hd)).astype(np.int8)
+    k4 = pack_int4(jnp.asarray(kq))
+    v4 = pack_int4(jnp.asarray(vq))
+    # round-trip sanity: the packed halves layout reproduces the inputs
+    np.testing.assert_array_equal(np.asarray(unpack_int4(k4)), kq)
+
+    def ref(n_valid):
+        out = np.zeros((b, h, tq, hd), np.float32)
+        for bi in range(b):
+            n = n_valid[bi]
+            for hi in range(h):
+                scores = (
+                    np.asarray(q)[bi, hi] @ kq[bi, hi, :n].astype(np.float32).T
+                ) * hd**-0.5
+                p = np.exp(scores - scores.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                out[bi, hi] = p @ vq[bi, hi, :n].astype(np.float32)
+        return out
+
+    out = np.asarray(cross_attention_int4_window(q, k4, v4, interpret=True))
+    np.testing.assert_allclose(out, ref([t, t]), atol=1e-2, rtol=1e-3)
+
+    lengths = np.asarray([17, 96], np.int32)
+    out_m = np.asarray(
+        cross_attention_int4_window(
+            q, k4, v4, lengths=jnp.asarray(lengths), interpret=True
+        )
+    )
+    np.testing.assert_allclose(out_m, ref(lengths), atol=1e-2, rtol=1e-3)

@@ -270,3 +270,111 @@ def test_repetition_penalty_noop_path_exact():
         dec.apply_repetition_penalty(logits, state, jnp.full((1,), 2.0))
     )
     assert pen[0, 50] != np.asarray(logits)[0, 50]
+
+
+# ---------------------------------------------------------------------------
+# CT2 full-sequence penalty semantics: penalties see the forced prompt
+# prefix too (CTranslate2 applies both processors over the whole target
+# sequence, which for whisper includes previous-text conditioning and the
+# sot sequence — parity pinned against HF's processors, which share the
+# full-sequence convention).
+# ---------------------------------------------------------------------------
+
+
+def test_right_align_prompt():
+    p = jnp.asarray([[7, 8, 9, 0, 0], [1, 2, 3, 4, 5]], jnp.int32)
+    plen = jnp.asarray([3, 5], jnp.int32)
+    out = np.asarray(dec.right_align_prompt(p, plen))
+    np.testing.assert_array_equal(out[0], [-1, -1, 7, 8, 9])
+    np.testing.assert_array_equal(out[1], [1, 2, 3, 4, 5])
+
+
+def test_repetition_penalty_counts_prompt_tokens():
+    state = make_state([3], [[11]])
+    prompts = jnp.asarray([[40, 41, 42, 0, 0, 0]], jnp.int32)  # pad 0s fake
+    plen = jnp.asarray([3], jnp.int32)
+    logits = jnp.ones((1, SPEC.n_vocab), jnp.float32)
+    out = np.asarray(dec.apply_repetition_penalty(
+        logits, state, jnp.asarray([2.0], jnp.float32),
+        prompt_tokens=prompts, prompt_len=plen,
+    ))
+    assert out[0, 40] == 0.5 and out[0, 42] == 0.5  # prompt tokens seen
+    assert out[0, 11] == 0.5  # sampled still seen
+    assert out[0, 0] == 1.0  # pad beyond prompt_len: not seen
+    # without the prompt args the prompt tokens are unseen (old behavior)
+    old = np.asarray(dec.apply_repetition_penalty(
+        logits, state, jnp.asarray([2.0], jnp.float32)
+    ))
+    assert old[0, 40] == 1.0
+
+
+def test_no_repeat_ngram_spans_prompt_boundary():
+    # prompt ends ... 5, 6, 7; sampled = [5, 6] -> context (5,6) matches the
+    # prompt-internal window at (5,6) whose follower is 7: ban 7.
+    state = make_state([4], [[5, 6]])
+    prompts = jnp.asarray([[9, 5, 6, 7, 0, 0]], jnp.int32)
+    phist = dec.right_align_prompt(prompts, jnp.asarray([4], jnp.int32))
+    logits = jnp.zeros((1, SPEC.n_vocab), jnp.float32)
+    out = np.asarray(dec.apply_no_repeat_ngram(state=state, logits=logits,
+                                               n=3, prompt_hist=phist))
+    assert out[0, 7] == dec.NEG_INF
+    assert out[0, 8] == 0.0
+    # boundary-straddling window: prompt ...[6, 7] + sampled [5, ...]
+    # context here: last two = (6, 7)? build a case where the matching
+    # window itself crosses the boundary: prompt [1, 2], sampled [3, 1, 2]
+    # -> context (1, 2); window (1,2) at the boundary (prompt 1,2 + follower
+    # sampled 3): ban 3.
+    state2 = make_state([2], [[3, 1, 2]])
+    prompts2 = jnp.asarray([[1, 2, 0, 0, 0, 0]], jnp.int32)
+    phist2 = dec.right_align_prompt(prompts2, jnp.asarray([2], jnp.int32))
+    out2 = np.asarray(dec.apply_no_repeat_ngram(state=state2, logits=logits,
+                                                n=3, prompt_hist=phist2))
+    assert out2[0, 3] == dec.NEG_INF
+    # pad region must not fabricate matches
+    assert out2[0, 0] == 0.0
+
+
+def test_penalties_match_hf_processors_fuzz():
+    """Full-sequence parity vs transformers' reference processors on random
+    prompt/generated splits (the CT2 convention both implement)."""
+    import torch
+    from transformers.generation.logits_process import (
+        NoRepeatNGramLogitsProcessor,
+        RepetitionPenaltyLogitsProcessor,
+    )
+
+    rng = np.random.default_rng(7)
+    v = SPEC.n_vocab
+    for case in range(8):
+        n = int(rng.integers(2, 5))
+        g = int(rng.integers(n, MAX_GEN + 1))
+        plens = rng.integers(1, 7, size=2)
+        pmax = 8
+        prompts = rng.integers(1, 12, size=(2, pmax)).astype(np.int32)
+        sampled = rng.integers(1, 12, size=(2, g)).astype(np.int32)
+        state = make_state(list(plens), [list(r) for r in sampled])
+        scores = rng.standard_normal((2, v)).astype(np.float32)
+
+        phist = dec.right_align_prompt(
+            jnp.asarray(prompts), jnp.asarray(plens, jnp.int32)
+        )
+        ours_ngram = np.asarray(dec.apply_no_repeat_ngram(
+            jnp.asarray(scores), state, n, prompt_hist=phist
+        ))
+        ours_rep = np.asarray(dec.apply_repetition_penalty(
+            jnp.asarray(scores), state, jnp.full((2,), 1.7, jnp.float32),
+            prompt_tokens=jnp.asarray(prompts),
+            prompt_len=jnp.asarray(plens, jnp.int32),
+        ))
+        for b in range(2):
+            seq = np.concatenate([prompts[b, : plens[b]], sampled[b]])
+            ids = torch.tensor(seq[None].astype(np.int64))
+            sc = torch.tensor(scores[b][None])
+            hf_ngram = NoRepeatNGramLogitsProcessor(n)(ids, sc.clone()).numpy()[0]
+            banned_hf = ~np.isfinite(hf_ngram)
+            banned_us = ours_ngram[b] <= dec.NEG_INF / 2
+            np.testing.assert_array_equal(banned_us, banned_hf,
+                                          err_msg=f"case {case} item {b}")
+            hf_rep = RepetitionPenaltyLogitsProcessor(1.7)(ids, sc.clone()).numpy()[0]
+            np.testing.assert_allclose(ours_rep[b], hf_rep, rtol=1e-5,
+                                       err_msg=f"case {case} item {b}")

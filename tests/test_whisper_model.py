@@ -203,9 +203,7 @@ def test_cross_attn_shapes(rng, converted):
     enc = wmod.encode(params, cfg, jnp.asarray(mel))
     cross_kv = wmod.compute_cross_kv(params, cfg, enc)
     tokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, 7)).astype(np.int32))
-    logits, cross = wmod.decode_with_cross_attn(
-        params, cfg, tokens, jnp.asarray([7]), cross_kv
-    )
+    logits, cross = wmod.decode_with_cross_attn(params, cfg, tokens, cross_kv)
     assert logits.shape == (1, 7, cfg.n_vocab)
     assert cross.shape == (cfg.n_text_layer, 1, cfg.n_text_head, 7, cfg.n_audio_ctx)
 

@@ -200,14 +200,28 @@ def apply_repetition_penalty_ring(
     sampled: jax.Array,  # [B, G]
     valid: jax.Array,  # [B, G] ring validity
     penalty: jax.Array,  # [B]
+    prompt_toks: jax.Array | None = None,  # [B, P] post-splice prompt ids
+    prompt_len: jax.Array | None = None,  # [B]
 ) -> jax.Array:
+    """CT2-style repetition penalty over ring + prompt region.
+
+    The seen-mask scatters run under a lax.cond so the default config
+    (penalty == 1.0 on every row) pays nothing per step — same guard as
+    ops/decoding.apply_repetition_penalty on the window path."""
     b, v = logits.shape
-    seen = jnp.zeros((b, v), bool).at[
-        jnp.arange(b)[:, None], sampled
-    ].max(valid)
-    penalty = penalty[:, None]
-    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
-    return jnp.where(seen & (penalty != 1.0), penalized, logits)
+    pcol = penalty[:, None]
+
+    def apply(lg):
+        seen = jnp.zeros((b, v), bool).at[
+            jnp.arange(b)[:, None], sampled
+        ].max(valid)
+        if prompt_toks is not None:
+            pvalid = jnp.arange(prompt_toks.shape[1])[None, :] < prompt_len[:, None]
+            seen = seen.at[jnp.arange(b)[:, None], prompt_toks].max(pvalid)
+        penalized = jnp.where(lg > 0, lg / pcol, lg * pcol)
+        return jnp.where(seen & (pcol != 1.0), penalized, lg)
+
+    return jax.lax.cond(jnp.all(penalty == 1.0), lambda lg: lg, apply, logits)
 
 
 class ContinuousEngine:
@@ -362,6 +376,12 @@ class ContinuousEngine:
                 "cross_kv": cross,
                 "sampled": jnp.zeros((b, ring), jnp.int32),
                 "logits": jnp.full((b, cfg.n_vocab), dec.NEG_INF, jnp.float32),
+                # prompt token ids (post lang-splice) — the repetition
+                # penalty must see the full sequence incl. the prompt
+                # (CTranslate2 semantics; also keeps prefix continuations
+                # penalty-consistent with a from-scratch decode, where the
+                # carried hypothesis sits in the ring instead)
+                "prompt_toks": jnp.zeros((b, prompt_pad), jnp.int32),
                 "prompt_len": jnp.zeros((b,), jnp.int32),
                 "join_step": jnp.zeros((b,), jnp.int32),
                 "gen_len": jnp.zeros((b,), jnp.int32),
@@ -484,6 +504,14 @@ class ContinuousEngine:
                     jnp.repeat(last_logits[i][None], K, axis=0),
                     row0, axis=0,
                 )
+                state["prompt_toks"] = jax.lax.dynamic_update_slice(
+                    state["prompt_toks"],
+                    jnp.repeat(
+                        jax.lax.dynamic_slice_in_dim(prompts, i, 1, axis=0),
+                        K, axis=0,
+                    ),
+                    (row0, zero),
+                )
 
                 def set1(name, val, dtype=None):
                     v = jnp.asarray(val)
@@ -565,7 +593,8 @@ class ContinuousEngine:
                     st["has_prefix"], st["pfx_last_ts"], st["pfx_penult_ts"],
                 )
                 filtered = apply_repetition_penalty_ring(
-                    filtered, st["sampled"], valid, st["rep_penalty"]
+                    filtered, st["sampled"], valid, st["rep_penalty"],
+                    prompt_toks=st["prompt_toks"], prompt_len=st["prompt_len"],
                 )
                 key, sub = jax.random.split(st["key"])
 
@@ -743,6 +772,7 @@ class ContinuousEngine:
             "self_kv": ns(None, None, "data", None, "model", None),
             "cross_kv": cross,
             "sampled": ns("data", None),
+            "prompt_toks": ns("data", None),
             "logits": ns("data", None),
             "gstep": rep,
             "key": rep,

@@ -348,6 +348,12 @@ class WhisperEngine:
             )
             no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
             max_steps = jnp.minimum(max_new, max_gen)
+            # CT2 parity: penalties see the full sequence incl. the prompt
+            # (loop-invariant — built once, hoisted out of the while_loop)
+            phist = (
+                dec.right_align_prompt(prompts, prompt_len)
+                if no_repeat_ngram > 0 else None
+            )
 
             def cond(carry):
                 state, *_ = carry
@@ -360,8 +366,13 @@ class WhisperEngine:
                     spec, logits, state, suppress_mask, ts_enabled,
                     suppress_blank=sb_vec, max_initial_ts_idx=mit_vec,
                 )
-                filtered = dec.apply_repetition_penalty(filtered, state, rep_penalty)
-                filtered = dec.apply_no_repeat_ngram(filtered, state, no_repeat_ngram)
+                filtered = dec.apply_repetition_penalty(
+                    filtered, state, rep_penalty,
+                    prompt_tokens=prompts, prompt_len=prompt_len,
+                )
+                filtered = dec.apply_no_repeat_ngram(
+                    filtered, state, no_repeat_ngram, prompt_hist=phist
+                )
                 next_tok, lp = dec.sample_next(filtered, temperature, sub)
                 slot = prompt_pad + state.step  # batch-uniform cache slot
                 pos = state.prompt_len + state.step  # per-item logical pos
@@ -450,6 +461,11 @@ class WhisperEngine:
                 None if max_init_idx < 0
                 else jnp.full((1,), max_init_idx, jnp.int32)
             )
+            prompts_bk = tile(prompts, 0)  # [BK, P]
+            phist = (
+                dec.right_align_prompt(prompts_bk, prompt_len_bk)
+                if no_repeat_ngram > 0 else None
+            )
 
             def body(carry):
                 state, self_kv, logits, sum_lp = carry
@@ -457,8 +473,13 @@ class WhisperEngine:
                     spec, logits, state, suppress_mask, ts_enabled_bk,
                     suppress_blank=sb_vec, max_initial_ts_idx=mit_vec,
                 )
-                filtered = dec.apply_repetition_penalty(filtered, state, rep_bk)
-                filtered = dec.apply_no_repeat_ngram(filtered, state, no_repeat_ngram)
+                filtered = dec.apply_repetition_penalty(
+                    filtered, state, rep_bk,
+                    prompt_tokens=prompts_bk, prompt_len=prompt_len_bk,
+                )
+                filtered = dec.apply_no_repeat_ngram(
+                    filtered, state, no_repeat_ngram, prompt_hist=phist
+                )
                 lp = jax.nn.log_softmax(filtered, axis=-1)  # [BK, V]
                 # finished beams: freeze — only EOT with unchanged score
                 eot_only = jnp.full((bk, v), dec.NEG_INF).at[:, spec.eot].set(0.0)
@@ -576,9 +597,9 @@ class WhisperEngine:
             )
             return (*out, lang_probs)
 
-        def _align(params, cross_kv, tokens, text_len, cross_len):
+        def _align(params, cross_kv, tokens, cross_len):
             return wmod.decode_with_cross_attn(
-                params, cfgc, tokens, text_len, cross_kv, cross_len=cross_len
+                params, cfgc, tokens, cross_kv, cross_len=cross_len
             )
 
         self._prepare_fn = jax.jit(_prepare)
@@ -1081,7 +1102,6 @@ class WhisperEngine:
         with self._lock:
             logits, cross = self._align_fn(
                 self.params, sub_cross, jnp.asarray(arr),
-                jnp.asarray([len(seq)], np.int32),
                 jnp.asarray([cross_len], np.int32),
             )
         logits = np.asarray(logits[0], np.float32)  # [T, V]

@@ -165,6 +165,10 @@ class SpeculativeDecoder:
             )
             no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
             max_steps = jnp.minimum(max_new, max_gen)
+            phist = (
+                dec.right_align_prompt(prompts, prompt_len)
+                if no_repeat_ngram > 0 else None
+            )
 
             def emit(st, logits):
                 """One greedy rule-replay step — the exact filter/advance
@@ -173,8 +177,13 @@ class SpeculativeDecoder:
                     spec, logits, st, suppress_mask, ts_enabled,
                     suppress_blank=sb_vec, max_initial_ts_idx=mit_vec,
                 )
-                filtered = dec.apply_repetition_penalty(filtered, st, rep_penalty)
-                filtered = dec.apply_no_repeat_ngram(filtered, st, no_repeat_ngram)
+                filtered = dec.apply_repetition_penalty(
+                    filtered, st, rep_penalty,
+                    prompt_tokens=prompts, prompt_len=prompt_len,
+                )
+                filtered = dec.apply_no_repeat_ngram(
+                    filtered, st, no_repeat_ngram, prompt_hist=phist
+                )
                 tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
                 lp = jax.nn.log_softmax(filtered, axis=-1)[jnp.arange(b), tok]
                 st = dec.advance_state(spec, st, tok, lp)

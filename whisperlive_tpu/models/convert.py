@@ -45,10 +45,16 @@ def _t(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
 
 
-def _attn_params(sd: Mapping[str, Any], prefix: str) -> Params:
+def _attn_params(sd: Mapping[str, Any], prefix: str, k_bias: bool = False) -> Params:
+    """One HF-transformer attention block. k_bias=False is the Whisper
+    convention (no key-projection bias); M2M100 sets True. Shared by
+    models/m2m100.py — keep the two converters from drifting."""
+    k = {"w": _t(sd[f"{prefix}.k_proj.weight"]).T}
+    if k_bias:
+        k["b"] = _t(sd[f"{prefix}.k_proj.bias"])
     p = {
         "q": {"w": _t(sd[f"{prefix}.q_proj.weight"]).T, "b": _t(sd[f"{prefix}.q_proj.bias"])},
-        "k": {"w": _t(sd[f"{prefix}.k_proj.weight"]).T},
+        "k": k,
         "v": {"w": _t(sd[f"{prefix}.v_proj.weight"]).T, "b": _t(sd[f"{prefix}.v_proj.bias"])},
         "o": {"w": _t(sd[f"{prefix}.out_proj.weight"]).T, "b": _t(sd[f"{prefix}.out_proj.bias"])},
     }
@@ -59,9 +65,9 @@ def _ln_params(sd: Mapping[str, Any], prefix: str) -> Params:
     return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
 
 
-def _block_params(sd, prefix: str, cross: bool) -> Params:
+def _block_params(sd, prefix: str, cross: bool, k_bias: bool = False) -> Params:
     p = {
-        "attn": _attn_params(sd, f"{prefix}.self_attn"),
+        "attn": _attn_params(sd, f"{prefix}.self_attn", k_bias),
         "attn_ln": _ln_params(sd, f"{prefix}.self_attn_layer_norm"),
         "mlp": {
             "fc1": {"w": _t(sd[f"{prefix}.fc1.weight"]).T, "b": _t(sd[f"{prefix}.fc1.bias"])},
@@ -70,7 +76,7 @@ def _block_params(sd, prefix: str, cross: bool) -> Params:
         "mlp_ln": _ln_params(sd, f"{prefix}.final_layer_norm"),
     }
     if cross:
-        p["cross_attn"] = _attn_params(sd, f"{prefix}.encoder_attn")
+        p["cross_attn"] = _attn_params(sd, f"{prefix}.encoder_attn", k_bias)
         p["cross_attn_ln"] = _ln_params(sd, f"{prefix}.encoder_attn_layer_norm")
     return p
 

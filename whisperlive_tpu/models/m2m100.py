@@ -85,42 +85,11 @@ def sinusoidal_positions(n_positions: int, dim: int, padding_idx: int = 1) -> np
 # ---------------------------------------------------------------------------
 
 
-def _t(x):
-    if hasattr(x, "detach"):
-        x = x.detach().cpu().float().numpy()
-    return np.asarray(x, np.float32)
-
-
-def _attn_p(sd, prefix):
-    return {
-        "q": {"w": _t(sd[f"{prefix}.q_proj.weight"]).T, "b": _t(sd[f"{prefix}.q_proj.bias"])},
-        "k": {"w": _t(sd[f"{prefix}.k_proj.weight"]).T, "b": _t(sd[f"{prefix}.k_proj.bias"])},
-        "v": {"w": _t(sd[f"{prefix}.v_proj.weight"]).T, "b": _t(sd[f"{prefix}.v_proj.bias"])},
-        "o": {"w": _t(sd[f"{prefix}.out_proj.weight"]).T, "b": _t(sd[f"{prefix}.out_proj.bias"])},
-    }
-
-
-def _ln_p(sd, prefix):
-    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
-
-
-def _block_p(sd, prefix, cross: bool):
-    p = {
-        "attn": _attn_p(sd, f"{prefix}.self_attn"),
-        "attn_ln": _ln_p(sd, f"{prefix}.self_attn_layer_norm"),
-        "mlp": {
-            "fc1": {"w": _t(sd[f"{prefix}.fc1.weight"]).T, "b": _t(sd[f"{prefix}.fc1.bias"])},
-            "fc2": {"w": _t(sd[f"{prefix}.fc2.weight"]).T, "b": _t(sd[f"{prefix}.fc2.bias"])},
-        },
-        "mlp_ln": _ln_p(sd, f"{prefix}.final_layer_norm"),
-    }
-    if cross:
-        p["cross_attn"] = _attn_p(sd, f"{prefix}.encoder_attn")
-        p["cross_attn_ln"] = _ln_p(sd, f"{prefix}.encoder_attn_layer_norm")
-    return p
-
-
 def params_from_state_dict(sd: Mapping[str, Any], cfg: M2M100Config) -> Params:
+    # HF-block conversion helpers are shared with the Whisper converter
+    # (models/convert.py) — M2M100 differs only in the k-projection bias.
+    from whisperlive_tpu.models.convert import _block_params, _ln_params as _ln_p, _t
+
     sd = dict(sd)
     if any(k.startswith("model.") for k in sd):
         sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
@@ -128,8 +97,14 @@ def params_from_state_dict(sd: Mapping[str, Any], cfg: M2M100Config) -> Params:
     def stack(blocks):
         return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *blocks)
 
-    enc = [_block_p(sd, f"encoder.layers.{i}", False) for i in range(cfg.encoder_layers)]
-    dec = [_block_p(sd, f"decoder.layers.{i}", True) for i in range(cfg.decoder_layers)]
+    enc = [
+        _block_params(sd, f"encoder.layers.{i}", cross=False, k_bias=True)
+        for i in range(cfg.encoder_layers)
+    ]
+    dec = [
+        _block_params(sd, f"decoder.layers.{i}", cross=True, k_bias=True)
+        for i in range(cfg.decoder_layers)
+    ]
     return {
         "embed": jnp.asarray(_t(sd["shared.weight"])),
         "pos": jnp.asarray(
@@ -325,24 +300,26 @@ def generate_greedy(
     done = first == cfg.eos_token_id
 
     def body(carry):
-        buf, i, done, self_kv = carry
-        tok = buf[jnp.arange(b), i - 1]
+        # The previous token rides the loop carry (`cur`) — re-reading it
+        # from `buf` would be a per-item gather inside the hot while_loop
+        # (lockstep invariant: batch-uniform buffer ops only).
+        buf, cur, i, done, self_kv = carry
         pos = jnp.full((b, 1), i + plen - 1, jnp.int32)
         logits, self_kv = _cached_forward(
-            params, cfg, tok[:, None], pos, i + plen - 1, self_kv, cross_kv, src_mask
+            params, cfg, cur[:, None], pos, i + plen - 1, self_kv, cross_kv, src_mask
         )
         nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         buf = buf.at[:, i].set(nxt)
         done = done | (nxt == cfg.eos_token_id)
-        return buf, i + 1, done, self_kv
+        return buf, nxt, i + 1, done, self_kv
 
     def cond(carry):
-        _, i, done, _ = carry
+        _, _, i, done, _ = carry
         return (i < max_new) & ~jnp.all(done)
 
-    buf, _, _, _ = jax.lax.while_loop(
-        cond, body, (buf, jnp.int32(1), done, self_kv)
+    buf, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (buf, first, jnp.int32(1), done, self_kv)
     )
     return buf
 

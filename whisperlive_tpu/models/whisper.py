@@ -154,7 +154,7 @@ def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.float32) -> Params:
     float32 alone is ~6 GB of HBM, so benchmarks pass bfloat16 here.
     """
     key = jax.random.PRNGKey(seed)
-    k_e, k_d, k_c1, k_c2, k_emb = jax.random.split(key, 5)
+    k_e, k_d, k_c1, k_c2, k_emb, k_pos = jax.random.split(key, 6)
     d, dd = cfg.n_audio_state, cfg.n_text_state
 
     enc_blocks = [
@@ -181,7 +181,10 @@ def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.float32) -> Params:
         },
         "decoder": {
             "embed": jax.random.normal(k_emb, (cfg.n_vocab, dd), dtype) * 0.02,
-            "pos": jax.random.normal(k_emb, (cfg.n_text_ctx, dd), dtype) * 0.01,
+            # distinct key from embed: with the tied-embedding logit head a
+            # shared stream makes pos[p] proportional to embed[p], injecting a
+            # position/token logit correlation real checkpoints don't have.
+            "pos": jax.random.normal(k_pos, (cfg.n_text_ctx, dd), dtype) * 0.01,
             "layers": _stack_layers(dec_blocks),
             "ln": _init_ln(dd),
         },
@@ -468,6 +471,26 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
             )
             out = out[:, None].astype(dtype) * scale[1][:, 0][:, None].astype(dtype)
             return out, None
+        if (
+            1 < qc.shape[1] <= 8
+            and not collect_probs
+            and jax.default_backend() in ("tpu", "axon")
+            and os.environ.get("WL_WINDOW_KERNEL", "1") != "0"
+        ):
+            # speculative verify windows on the int4 engine: same rationale
+            # as the int8 window branch above — the jnp unpack below is
+            # loop-invariant, so XLA hoists it into a full bf16 HBM copy
+            # and every verify round would stream 4x the int4 bytes.
+            from whisperlive_tpu.ops.attention import cross_attention_int4_window
+
+            out = cross_attention_int4_window(
+                jnp.swapaxes(q_eff, 1, 2), ckv["kv4"][0], ckv["kv4"][1],
+                lengths=cross_len,
+            )
+            out = jnp.swapaxes(out, 1, 2).astype(dtype) * scale[1][:, 0][
+                :, None
+            ].astype(dtype)
+            return out, None
         # fallback (CPU tests, prefill/align): unpack in jnp; kv4 is
         # head-major [2, B, H, T, hd/2] -> [B, T, H, hd]
         k = jnp.swapaxes(unpack_int4(ckv["kv4"][0]), 1, 2).astype(dtype)
@@ -476,14 +499,16 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
         out = out * scale[1][:, 0][:, None].astype(out.dtype)
         return (out, probs) if collect_probs else (out, None)
 
-    k, v = ckv["kv"][0], ckv["kv"][1]
+    # Unquantized path: compute_cross_kv emits scale=None here; the int8/int4
+    # quantizers replace "kv" with "kv8"/"kv4". A bf16 producer with scales
+    # would need the q-fold parity treatment the quantized paths got — refuse
+    # rather than silently half-apply it.
     if scale is not None:
-        qc = qc * scale[0][:, 0][:, None].astype(qc.dtype)  # [B,1,H,hd]
+        raise ValueError("unquantized cross-KV must not carry scales")
+    k, v = ckv["kv"][0], ckv["kv"][1]
     out, probs = _attention(
         qc, k.astype(dtype), v.astype(dtype), _cross_len_mask(k.shape[1], cross_len)
     )
-    if scale is not None:
-        out = out * scale[1][:, 0][:, None].astype(out.dtype)
     if collect_probs:
         return out, probs
     return out, None
@@ -803,8 +828,7 @@ def decode_step_masked(
 def decode_with_cross_attn(
     params: Params,
     cfg: WhisperConfig,
-    tokens: jax.Array,  # [B, T]
-    prompt_len: jax.Array,  # [B]
+    tokens: jax.Array,  # [B, T] right-padded; pad queries isolated by causality
     cross_kv: jax.Array,
     cross_len: jax.Array | None = None,  # [B] valid encoder positions
 ):
@@ -817,7 +841,10 @@ def decode_with_cross_attn(
     Returns (logits [B, T, V], cross_attn [L, B, H, T, Tenc] float32).
     """
     b, t = tokens.shape
-    self_kv = init_self_kv(cfg, b)
+    # One-shot teacher-forced pass: a T-slot cache suffices (T follows the
+    # caller's prompt buckets, so this stays bucketed). The architectural
+    # 448-slot default would make every layer read ~7x dead cache slots.
+    self_kv = init_self_kv(cfg, b, cache_len=t)
     pos_idx = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     causal = (
         jnp.arange(self_kv.shape[3])[None, :] <= jnp.arange(t)[:, None]

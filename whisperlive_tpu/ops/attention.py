@@ -322,6 +322,99 @@ def cross_attention_int8_window(
     return out
 
 
+def _cross_attn_int4_window_kernel(*refs, scale: float, masked: bool):
+    """Multi-query variant of _cross_attn_int4_kernel: Tq query tokens
+    attend the same packed-int4 KV, which streams HBM->VMEM ONCE per
+    window — without this, the speculative verify pass on a
+    cross_kv_bits=4 engine falls back to a jnp unpack that XLA hoists out
+    of the while_loop into a full bf16 HBM copy, erasing the int4 savings
+    on exactly the dominant per-round read."""
+    if masked:
+        len_ref, q_ref, k_ref, v_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        len_ref = None
+    n_head = q_ref.shape[1]
+    hd2 = k_ref.shape[-1]
+    dtype = q_ref.dtype
+
+    def nibbles(p8):
+        # int32 arithmetic: Mosaic does not legalize shifts on int8 vectors
+        p32 = p8.astype(jnp.int32)
+        hi = jnp.floor_divide(p32, 16)  # arithmetic >>4 incl. negatives
+        lo_u = p32 - hi * 16  # 0..15
+        lo = lo_u - 16 * (lo_u >= 8)
+        return lo.astype(dtype), hi.astype(dtype)
+
+    for h in range(n_head):  # heads unrolled: keeps the KV DMAs large
+        q = q_ref[0, h]  # [Tq, hd]
+        k_lo, k_hi = nibbles(k_ref[0, h])  # [T, hd/2] each
+        contract = (((1,), (1,)), ((), ()))
+        scores = (
+            jax.lax.dot_general(q[:, :hd2], k_lo, contract,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(q[:, hd2:], k_hi, contract,
+                                  preferred_element_type=jnp.float32)
+        ) * scale  # [Tq, T]
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(
+                col < len_ref[pl.program_id(0)], scores, NEG_INF
+            )
+        probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        v_lo, v_hi = nibbles(v_ref[0, h])
+        pv = (((1,), (0,)), ((), ()))
+        o_ref[0, h, :, :hd2] = jax.lax.dot_general(
+            probs, v_lo, pv, preferred_element_type=jnp.float32
+        )
+        o_ref[0, h, :, hd2:] = jax.lax.dot_general(
+            probs, v_hi, pv, preferred_element_type=jnp.float32
+        )
+
+
+def cross_attention_int4_window(
+    q: jax.Array,  # [B, H, Tq, hd] compute dtype, K-scales already folded in
+    k4: jax.Array,  # [B, H, T, hd/2] int8 packed (HEAD-MAJOR)
+    v4: jax.Array,  # [B, H, T, hd/2] int8 packed
+    lengths: jax.Array | None = None,  # [B] int32 valid positions
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed (Tq-token) cross-attention over packed int4 KV — the
+    speculative decode_window path on a cross_kv_bits=4 engine. Same
+    contract as cross_attention_int4 with a query window axis; returns
+    [B, H, Tq, hd] float32 (apply per-channel V scales outside)."""
+    b, h, t, hd2 = k4.shape
+    hd = hd2 * 2
+    tq = q.shape[2]
+    masked = lengths is not None
+    specs = [
+        pl.BlockSpec((1, h, tq, hd), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k4, v4]
+    if masked:
+        specs.insert(
+            0, pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+        )
+        args.insert(0, lengths.astype(jnp.int32))
+    out = pl.pallas_call(
+        functools.partial(
+            _cross_attn_int4_window_kernel, scale=hd**-0.5, masked=masked
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, hd), jnp.float32),
+        grid=(b,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, h, tq, hd), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
     q = q_ref[0]  # [BLOCK_Q, hd]
     k = k_ref[0]  # [T_pad, hd]

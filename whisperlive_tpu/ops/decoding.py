@@ -178,8 +178,15 @@ def apply_repetition_penalty(
     logits: jax.Array,  # [B, V]
     state: SamplerState,
     penalty: jax.Array,  # [B] or scalar; 1.0 = disabled
+    prompt_tokens: jax.Array | None = None,  # [B, P] left-aligned prompt ids
+    prompt_len: jax.Array | None = None,  # [B] true prompt lengths
 ) -> jax.Array:
-    """CTranslate2-style repetition penalty over the sampled tokens.
+    """CTranslate2-style repetition penalty over the sequence so far.
+
+    CTranslate2 penalizes every token of the target sequence, INCLUDING the
+    forced prompt prefix (previous-text conditioning, sot sequence, decode
+    prefix) — pass prompt_tokens/prompt_len for that parity; None penalizes
+    sampled tokens only.
 
     The [B, V] seen-mask scatter runs under a lax.cond so the DEFAULT
     configuration (penalty == 1.0 everywhere) pays nothing per sampled
@@ -193,42 +200,87 @@ def apply_repetition_penalty(
         seen = jnp.zeros((b, v), bool).at[
             jnp.arange(b)[:, None], state.sampled
         ].max(valid)
+        if prompt_tokens is not None:
+            pidx = jnp.arange(prompt_tokens.shape[1])[None, :]
+            pvalid = pidx < prompt_len[:, None]
+            seen = seen.at[jnp.arange(b)[:, None], prompt_tokens].max(pvalid)
         penalized = jnp.where(lg > 0, lg / penalty, lg * penalty)
         return jnp.where(seen & (penalty != 1.0), penalized, lg)
 
     return jax.lax.cond(jnp.all(penalty == 1.0), lambda lg: lg, apply, logits)
 
 
+def right_align_prompt(
+    prompt_tokens: jax.Array, prompt_len: jax.Array
+) -> jax.Array:
+    """Shift each left-aligned prompt row so its real tokens END at column P.
+
+    Output[b, j] = prompt[b, j - (P - len_b)] for j >= P - len_b, else -1
+    (-1 never equals a vocab id, so pad can't fake an n-gram match). With
+    the sampled buffer concatenated after it, the result is a CONTIGUOUS
+    per-item history — prompt-to-generated n-grams line up across the
+    boundary despite per-item prompt lengths (lockstep: one static gather,
+    loop-invariant, hoisted out of the decode while_loop)."""
+    b, p = prompt_tokens.shape
+    shift = (p - prompt_len)[:, None]  # [B, 1]
+    src = jnp.arange(p)[None, :] - shift  # [B, P]
+    out = jnp.take_along_axis(prompt_tokens, jnp.clip(src, 0, p - 1), axis=1)
+    return jnp.where(src >= 0, out, -1)
+
+
 def apply_no_repeat_ngram(
     logits: jax.Array,  # [B, V]
     state: SamplerState,
     n: int,  # static ngram size (0 disables; recompiles per value)
+    prompt_hist: jax.Array | None = None,  # [B, P] right_align_prompt output
 ) -> jax.Array:
-    """Ban tokens that would complete an already-generated n-gram
-    (CTranslate2's no_repeat_ngram_size option)."""
+    """Ban tokens that would complete an already-seen n-gram
+    (CTranslate2's no_repeat_ngram_size option).
+
+    CTranslate2 matches n-grams over the FULL target sequence including the
+    forced prompt prefix — pass `prompt_hist` (a `right_align_prompt`
+    result, so prompt and sampled tokens are contiguous and boundary
+    n-grams count) for that parity; None matches sampled tokens only."""
     if n <= 0:
         return logits
     b, v = logits.shape
     g = state.sampled.shape[1]
-    if g < n:
+    if g < n and prompt_hist is None:
         return logits
     s = state.step
-    # context = last n-1 sampled tokens
+    if prompt_hist is None:
+        hist = state.sampled  # [B, G]
+        p = 0
+        start0 = jnp.zeros((b,), jnp.int32)  # first real position per item
+    else:
+        hist = jnp.concatenate([prompt_hist, state.sampled], axis=1)  # [B, P+G]
+        p = prompt_hist.shape[1]
+        start0 = (p - jnp.sum(prompt_hist >= 0, axis=1)).astype(jnp.int32)
+    h = hist.shape[1]
+    if h < n:
+        return logits
+    end = p + s  # current sequence length inside hist (scalar, lockstep)
+    # context = last n-1 tokens of the real sequence (may span the boundary)
     ctx = jax.lax.dynamic_slice_in_dim(
-        state.sampled, jnp.maximum(s - (n - 1), 0), n - 1, axis=1
+        hist, jnp.maximum(end - (n - 1), 0), n - 1, axis=1
     )  # [B, n-1]
     # all historical windows of length n-1 and the token that followed each
-    widx = jnp.arange(g - n + 1)[:, None] + jnp.arange(n - 1)[None, :]
-    windows = state.sampled[:, widx]  # [B, W, n-1]
-    next_toks = state.sampled[:, n - 1 :]  # [B, W]
-    # a window is "real" only if its follower was generated before this step
-    valid = (jnp.arange(g - n + 1)[None, :] + n - 1) < s
+    w_start = jnp.arange(h - n + 1)
+    widx = w_start[:, None] + jnp.arange(n - 1)[None, :]
+    windows = hist[:, widx]  # [B, W, n-1]
+    next_toks = hist[:, n - 1 :]  # [B, W]
+    # a window is real iff it lies fully inside the sequence: starts at or
+    # after the first real token and its follower exists before this step
+    valid = (w_start[None, :] >= start0[:, None]) & (
+        (w_start[None, :] + n - 1) < end
+    )  # [B, W]
     match = jnp.all(windows == ctx[:, None, :], axis=-1) & valid  # [B, W]
     ban = jnp.zeros((b, v), bool).at[
-        jnp.arange(b)[:, None], next_toks
+        jnp.arange(b)[:, None], jnp.maximum(next_toks, 0)
     ].max(match)
-    active = s >= (n - 1)
-    return jnp.where(ban & active, NEG_INF, logits)
+    # context itself must be fully real (enough history for n-1 tokens)
+    active = (end - start0) >= (n - 1)  # [B]
+    return jnp.where(ban & active[:, None], NEG_INF, logits)
 
 
 def sample_next(

@@ -11,8 +11,10 @@ Two layouts:
   int8_matmul    x[M,K] @ w8[K,N] * s[N]      (linear layers)
   int8_matmul_t  x[M,K] @ w8[N,K]^T * s[N]    (tied-embedding logits)
 
-M is padded to the sublane minimum; N must tile by block_n (the callers'
-dims — 1280/5120/51866-pad — are arranged to satisfy this).
+M is padded to the sublane minimum; block_n is shrunk to the largest
+lane-aligned divisor of N (no padded zero columns streamed for the model
+dims 1280/5120/...); N without any 128-multiple divisor (the 51866 vocab)
+falls back to padding.
 """
 
 from __future__ import annotations
@@ -44,6 +46,21 @@ def _kernel_nk(x_ref, w_ref, s_ref, o_ref):
         preferred_element_type=jnp.float32,
     )
     o_ref[...] = (acc * s).astype(o_ref.dtype)
+
+
+def _pick_block_n(n: int, cap: int) -> int:
+    """Largest lane-aligned (multiple-of-128) divisor of n that is <= cap.
+
+    A divisor means the grid tiles n exactly and the kernel never streams
+    padded zero columns from HBM (for d_model=1280 a fixed 512 block pads
+    to 1536 — +20% dead int8 bytes on every decode step). Falls back to
+    min(cap, n) (the padding path) when no aligned divisor exists
+    (e.g. the 51866-row vocab).
+    """
+    for d in range(min(cap, n) - min(cap, n) % 128, 0, -128):
+        if n % d == 0:
+            return d
+    return min(cap, n)
 
 
 def _pad_rows(x, mult):
@@ -102,8 +119,8 @@ def int8_matmul(
     interpret: bool = False,
 ) -> jax.Array:
     k, n = w8.shape
-    return _run(_kernel_kn, x, w8, s, n, k, min(block_n, n), out_dtype or x.dtype,
-                interpret)
+    return _run(_kernel_kn, x, w8, s, n, k, _pick_block_n(n, block_n),
+                out_dtype or x.dtype, interpret)
 
 
 def int8_matmul_t(
@@ -115,4 +132,5 @@ def int8_matmul_t(
     interpret: bool = False,
 ) -> jax.Array:
     n, k = w8.shape
-    return _run(_kernel_nk, x, w8, s, n, k, min(block_n, n), out_dtype, interpret)
+    return _run(_kernel_nk, x, w8, s, n, k, _pick_block_n(n, block_n), out_dtype,
+                interpret)

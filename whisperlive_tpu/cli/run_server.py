@@ -91,6 +91,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--spec_k", type=int, default=4,
                         help="Speculation depth (draft tokens per verify "
                              "pass).")
+    parser.add_argument("--continuous_spec", action="store_true",
+                        help="Speculative CONTINUOUS batching: every "
+                             "lockstep chunk becomes a verify round (draft "
+                             "proposes spec_k tokens per slot, the target "
+                             "verifies in one windowed pass). Requires "
+                             "--draft_model/--draft_path and a trained "
+                             "draft — at low acceptance each slot's ring "
+                             "budget shrinks toward ring/(spec_k+2) tokens "
+                             "per window.")
     parser.add_argument("--profile_dir", type=str,
                         default=os.environ.get("WL_PROFILE_DIR"),
                         help="Write JAX profiler (xprof) traces to this dir.")
@@ -170,6 +179,7 @@ def create_backend(args):
             ),
         )
     spec_decoder = None
+    draft_engine = None
     if (args.draft_model or args.draft_path) and args.beam_size > 1:
         # every server-built window request carries beam_size, and the
         # speculative route requires beam 1 — don't spend HBM + minutes of
@@ -234,12 +244,27 @@ def create_backend(args):
                 "dp x tp serving: %d slots total over dp=%d x tp=%d",
                 n_slots, shardings.dp, shardings.tp,
             )
+        cont_draft = None
+        if args.continuous_spec:
+            if draft_engine is None:
+                logging.warning(
+                    "--continuous_spec ignored: no draft loaded (give "
+                    "--draft_model/--draft_path with --beam_size 1)"
+                )
+            else:
+                cont_draft = draft_engine
+                logging.info(
+                    "speculative continuous batching: k=%d verify rounds "
+                    "on the lockstep loop", args.spec_k,
+                )
         continuous = ContinuousScheduler(
             engine,
             n_slots=n_slots,
             steps_per_chunk=args.steps_per_chunk,
             cross_ctx=args.continuous_cross_ctx,
             beam_width=args.beam_size,
+            draft_engine=cont_draft,
+            spec_k=args.spec_k,
         )
         if not args.no_warmup:
             continuous.warmup()

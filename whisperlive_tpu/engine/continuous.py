@@ -36,6 +36,17 @@ contiguous lockstep lanes: coupled beam expansion at T=0, independent
 best_of sampling at T>0 retries). Not routed here (handled by the window
 scheduler): no_repeat_ngram, and beam widths that do not match the slot
 pool's lane count.
+
+Speculative decoding rides this path too (draft_engine + spec_k): each
+chunk iteration becomes a VERIFY ROUND — the draft proposes k tokens per
+slot, the target scores [cur, d1..dk] in one windowed MXU pass, and
+per-slot acceptance masks mark the rejected ring tail. Every slot
+advances k+2 ring columns per round at a batch-uniform base column, so
+the lockstep invariants survive; committed tokens per round = 1 +
+accepted prefix. Greedy output stays token-exact vs the plain path for
+ANY draft (tests/test_continuous_spec.py); the ring budget becomes
+ring/(k+2) rounds per window, so low-acceptance drafts shorten the
+per-window token budget rather than corrupt it.
 """
 
 from __future__ import annotations
@@ -129,17 +140,11 @@ def apply_logit_rules_ring(
     hypothesis, so the decode-start rules (blank/EOT suppression,
     timestamp-first, max_initial_timestamp) must not re-fire — the prefix
     already consumed them; last_ts carries the timestamp state across."""
-    b, v = logits.shape
     g = sampled.shape[1]
-    vocab = jnp.arange(v)[None, :]
-
-    logits = jnp.where(suppress_mask[None, :], dec.NEG_INF, logits)
 
     first = gen_len == 0
     if has_prefix is not None:
         first = first & ~has_prefix
-    blank_mask = (vocab == spec.blank) | (vocab == spec.eot)
-    logits = jnp.where(first[:, None] & blank_mask, dec.NEG_INF, logits)
 
     last_tok = _ring_col(sampled, jnp.mod(gstep - 1, g))
     penult_tok = _ring_col(sampled, jnp.mod(gstep - 2, g))
@@ -167,6 +172,34 @@ def apply_logit_rules_ring(
                 jnp.where(has_prefix, p_penult, penult_was_ts),
             ),
         )
+    return apply_logit_rules_tracked(
+        spec, logits, suppress_mask, ts_enabled, first,
+        last_was_ts, penult_was_ts, last_ts,
+    )
+
+
+def apply_logit_rules_tracked(
+    spec: dec.DecodingSpec,
+    logits: jax.Array,  # [B, V]
+    suppress_mask: jax.Array,  # [V]
+    ts_enabled: jax.Array,  # [B]
+    first: jax.Array,  # [B] bool: decode-start rules fire
+    last_was_ts: jax.Array,  # [B] bool: hypothesis token -1 is a timestamp
+    penult_was_ts: jax.Array,  # [B] bool: hypothesis token -2 is a timestamp
+    last_ts: jax.Array,  # [B] last emitted timestamp token id
+) -> jax.Array:
+    """The whisper logit-rule core with the sequence context supplied as
+    EXPLICIT per-row state instead of ring reads. apply_logit_rules_ring
+    derives (first, last/penult ts-ness) from the sampled ring; the
+    speculative round program tracks them statefully — with per-slot
+    acceptance holes, the last committed token is NOT at ring column
+    gstep-1, so ring reads would see rejected drafts."""
+    b, v = logits.shape
+    vocab = jnp.arange(v)[None, :]
+
+    logits = jnp.where(suppress_mask[None, :], dec.NEG_INF, logits)
+    blank_mask = (vocab == spec.blank) | (vocab == spec.eot)
+    logits = jnp.where(first[:, None] & blank_mask, dec.NEG_INF, logits)
 
     is_ts = vocab >= spec.timestamp_begin
     is_text = vocab < spec.eot
@@ -238,12 +271,66 @@ class ContinuousEngine:
         cross_ctx: int | None = None,
         enc_buckets: tuple[int, ...] | None = None,
         beam_width: int = 1,
+        draft_engine: Optional[WhisperEngine] = None,
+        spec_k: int = 4,
     ):
         self.eng = engine
         self.n_slots = n_slots
         self.prompt_pad = prompt_pad
+        # Speculative continuous batching (lockstep-compatible variant of
+        # engine/speculative.py): when a distil draft is attached, every
+        # chunk iteration is a VERIFY ROUND — the draft proposes spec_k
+        # tokens per slot, the target scores [cur, d1..dk] in one windowed
+        # MXU pass, and per-slot acceptance masks mark the rejected ring
+        # tail. All slots advance k+1 ring entries per round at a batch-
+        # uniform write column (the lockstep invariant survives); a slot
+        # commits 1 + a tokens per round (a = its accepted prefix), so ring
+        # efficiency is (1 + a)/(k + 1) and decode throughput approaches
+        # (1 + a) tokens per target-step-equivalent. Greedy output is
+        # token-exact vs the plain continuous path by construction: every
+        # committed token is the target's own rule-replayed emission.
+        self.draft = draft_engine
+        self.spec_k = int(spec_k) if draft_engine is not None else 0
+        if draft_engine is not None:
+            if not 1 <= self.spec_k <= 7:
+                # k+1-token verify windows must fit the Tq<=8 int8 window
+                # kernel (ops/attention.py) for the HBM saving to be real
+                raise ValueError(f"spec_k must be in [1, 7], got {spec_k}")
+            if beam_width != 1:
+                raise ValueError(
+                    "speculative continuous batching requires beam_width=1 "
+                    "(beam lanes and draft lanes both multiply slot rows)"
+                )
+            if engine.cfg.n_vocab != draft_engine.cfg.n_vocab:
+                raise ValueError(
+                    "speculative draft must share the target vocabulary "
+                    f"({engine.cfg.n_vocab} vs {draft_engine.cfg.n_vocab})"
+                )
+            for f in ("n_mels", "n_audio_ctx", "n_audio_state"):
+                if getattr(engine.cfg, f) != getattr(draft_engine.cfg, f):
+                    raise ValueError(
+                        "speculative draft must share the target encoder "
+                        f"geometry ({f}) — use a distil-family draft"
+                    )
+            # a verify round writes ring columns [gstep % ring, +k+1] as
+            # ONE contiguous block — k+2 wide, not k+1: column 0 holds
+            # cur's K/V (fed by both models this round), columns 1..a+1
+            # hold the committed tokens (accepted drafts + bonus), so a
+            # full-acceptance round (a == k) still stores its bonus at
+            # column k+1. (k+2) | ring keeps every block inside the ring.
+            kp2 = self.spec_k + 2
+            ring = -(-ring // kp2) * kp2
         self.ring = ring
         self.steps_per_chunk = steps_per_chunk
+        # host-side gstep advance per step() call (spec rounds consume
+        # k+2 global steps each)
+        self.gstep_per_chunk = steps_per_chunk * (
+            self.spec_k + 2 if self.spec_k else 1
+        )
+        # spec-mode status additionally carries the committed-token ring
+        # mask (acceptance holes make (join_step + i) % ring unrolling
+        # wrong) — see _pack_status / unroll_row
+        self.status_width = 6 + (2 * ring if self.spec_k else ring)
         # Lockstep beam lanes: each slot owns K contiguous state rows. At
         # T=0 the K lanes run coupled beam expansion (top-K over K*V with
         # a per-step parent gather, CTranslate2 semantics — the window
@@ -332,45 +419,79 @@ class ContinuousEngine:
 
         K = self.beam_width
         n_rows = self.n_rows
+        draft = self.draft
+        spec_k = self.spec_k
+        cfg_d = draft.cfg if draft is not None else None
+        bits_d = draft.cross_kv_bits if draft is not None else bits
+
+        def _quantize_as(cross, b_):
+            if b_ == 8:
+                return wmod.quantize_cross_kv(cross)
+            if b_ == 4:
+                return wmod.quantize_cross_kv_int4(cross)
+            return cross
+
+        def _cross_template(cfg_x, bits_x, b, tcap, dtype):
+            hd = cfg_x.n_text_state // cfg_x.n_text_head
+            if bits_x == 8:
+                return {
+                    # head-major int8 (models/whisper.py quantize_cross_kv)
+                    "kv8": jnp.zeros(
+                        (cfg_x.n_text_layer, 2, b, cfg_x.n_text_head,
+                         tcap, hd), jnp.int8
+                    ),
+                    "scale": jnp.zeros(
+                        (cfg_x.n_text_layer, 2, b, 1, cfg_x.n_text_head, hd),
+                        jnp.bfloat16,
+                    ),
+                }
+            if bits_x == 4:
+                return {
+                    "kv4": jnp.zeros(
+                        (cfg_x.n_text_layer, 2, b, cfg_x.n_text_head,
+                         tcap, hd // 2), jnp.int8
+                    ),
+                    "scale": jnp.zeros(
+                        (cfg_x.n_text_layer, 2, b, 1, cfg_x.n_text_head, hd),
+                        jnp.bfloat16,
+                    ),
+                }
+            return {
+                "kv": jnp.zeros(
+                    (cfg_x.n_text_layer, 2, b, tcap, cfg_x.n_text_head, hd),
+                    dtype,
+                ),
+                "scale": None,
+            }
 
         # ---------------- state init ----------------
         def _init_state(key):
             b = n_rows
-            # cross-KV template: run one tiny encode to get leaf shapes?
-            # cheaper: build directly from cfg dims.
-            hd = cfg.n_text_state // cfg.n_text_head
             tcap = self.cross_ctx  # content-capped (see __init__)
-            kv_shape = (
-                cfg.n_text_layer, 2, b, tcap, cfg.n_text_head, hd
-            )
-            if bits == 8:
-                cross = {
-                    # head-major int8 (models/whisper.py quantize_cross_kv)
-                    "kv8": jnp.zeros(
-                        (cfg.n_text_layer, 2, b, cfg.n_text_head,
-                         tcap, hd), jnp.int8
-                    ),
-                    "scale": jnp.zeros(
-                        (cfg.n_text_layer, 2, b, 1, cfg.n_text_head, hd),
-                        jnp.bfloat16,
-                    ),
-                }
-            elif bits == 4:
-                cross = {
-                    "kv4": jnp.zeros(
-                        (cfg.n_text_layer, 2, b, cfg.n_text_head,
-                         tcap, hd // 2), jnp.int8
-                    ),
-                    "scale": jnp.zeros(
-                        (cfg.n_text_layer, 2, b, 1, cfg.n_text_head, hd),
-                        jnp.bfloat16,
+            cross = _cross_template(cfg, bits, b, tcap, cfg.dtype)
+            if draft is not None:
+                return {
+                    **_base_state(key, b, cross),
+                    # speculative round state: the committed-but-unfed
+                    # token (next round's window position 0), the tracked
+                    # rule chain (ring reads see rejected drafts), and the
+                    # two validity planes — committed hypothesis tokens
+                    # (harvest + repetition penalty) vs attendable K/V
+                    # columns (cur's K/V is valid; the bonus's token is
+                    # stored but its K/V arrives next round at column 0)
+                    "cur": jnp.zeros((b,), jnp.int32),
+                    "last_was_ts": jnp.zeros((b,), bool),
+                    "penult_was_ts": jnp.zeros((b,), bool),
+                    "tok_valid": jnp.zeros((b, ring), bool),
+                    "kv_valid": jnp.zeros((b, ring), bool),
+                    "d_self_kv": wmod.init_self_kv(cfg_d, b, self.cache_len),
+                    "d_cross_kv": _cross_template(
+                        cfg_d, bits_d, b, tcap, cfg_d.dtype
                     ),
                 }
-            else:
-                cross = {
-                    "kv": jnp.zeros(kv_shape, cfg.dtype),
-                    "scale": None,
-                }
+            return _base_state(key, b, cross)
+
+        def _base_state(key, b, cross):
             return {
                 "self_kv": wmod.init_self_kv(cfg, b, self.cache_len),
                 "cross_kv": cross,
@@ -403,7 +524,7 @@ class ContinuousEngine:
                 "cross_len": jnp.full((b,), self.cross_ctx, jnp.int32),
                 "gstep": jnp.zeros((), jnp.int32),
                 "key": key,
-                "status": jnp.zeros((n_rows, 6 + ring), jnp.float32),
+                "status": jnp.zeros((n_rows, self.status_width), jnp.float32),
             }
 
         # ---------------- insert ----------------
@@ -425,6 +546,7 @@ class ContinuousEngine:
             pfx_last_ts,  # [j] bool
             pfx_penult_ts,  # [j] bool
             length_pen,  # [j] f32 (beam winner scoring)
+            params_d=None,  # draft params (speculative mode only)
         ):
             j = audio.shape[0]
             if audio.dtype == jnp.int16:
@@ -467,6 +589,19 @@ class ContinuousEngine:
                 sot_idx=sot_idx,
             )
             ns = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
+
+            if draft is not None:
+                # distil drafts share the teacher encoder: the draft
+                # cross-KV projects from the SAME encoder output, so the
+                # draft costs no extra encode (engine/speculative.py
+                # cross_from_enc, same contract)
+                cross_d = _quantize_as(
+                    wmod.compute_cross_kv(params_d, cfg_d, enc), bits_d
+                )
+                d_kv_j = wmod.init_self_kv(cfg_d, j, prompt_pad)
+                _, d_kv_j = wmod.decode_prefill(
+                    params_d, cfg_d, prompts, prompt_len, d_kv_j, cross_d
+                )
 
             zero = jnp.zeros((), jnp.int32)
             for i in range(j):
@@ -539,6 +674,41 @@ class ContinuousEngine:
                 set1("length_penalty", length_pen[i])
                 set1("max_new", max_new[i])
                 set1("cross_len", jnp.asarray(t_here, jnp.int32))
+                if draft is not None:
+                    state["d_self_kv"] = jax.lax.dynamic_update_slice(
+                        state["d_self_kv"],
+                        jnp.repeat(
+                            jax.lax.dynamic_slice_in_dim(d_kv_j, i, 1, axis=2),
+                            K, axis=2,
+                        ),
+                        (zero, zero, row0, zero, zero, zero),
+                    )
+                    for leaf in ("kv", "kv8", "kv4", "scale"):
+                        if state["d_cross_kv"].get(leaf) is not None:
+                            upd = jnp.repeat(
+                                jax.lax.dynamic_slice_in_dim(
+                                    cross_d[leaf], i, 1, axis=2
+                                ),
+                                K, axis=2,
+                            )
+                            state["d_cross_kv"][leaf] = (
+                                jax.lax.dynamic_update_slice_in_dim(
+                                    state["d_cross_kv"][leaf], upd, row0,
+                                    axis=2,
+                                )
+                            )
+                    for mname in ("tok_valid", "kv_valid"):
+                        state[mname] = jax.lax.dynamic_update_slice(
+                            state[mname], jnp.zeros((K, ring), bool),
+                            (row0, zero),
+                        )
+                    set1("cur", jnp.zeros((), jnp.int32))
+                    # rule-chain init: prefix rows carry the prefix tail's
+                    # ts-ness; fresh rows start (False, False) — the
+                    # tracked rules core supplies the gen_len<2 "missing
+                    # token counts as a timestamp" convention itself
+                    set1("last_was_ts", has_prefix[i] & pfx_last_ts[i])
+                    set1("penult_was_ts", has_prefix[i] & pfx_penult_ts[i])
             state["status"] = _pack_status(state)
             return state, lang_probs
 
@@ -572,13 +742,14 @@ class ContinuousEngine:
                 ],
                 axis=1,
             )  # [S, 6]
-            return jnp.concatenate(
-                [
-                    jnp.repeat(slot_status, K, axis=0),
-                    state["sampled"].astype(jnp.float32),
-                ],
-                axis=1,
-            )
+            cols = [
+                jnp.repeat(slot_status, K, axis=0),
+                state["sampled"].astype(jnp.float32),
+            ]
+            if spec_k:
+                # acceptance holes: harvest needs the committed-token mask
+                cols.append(state["tok_valid"].astype(jnp.float32))
+            return jnp.concatenate(cols, axis=1)
 
         # ---------------- step chunk ----------------
         def _step_chunk(params, state, k: int):
@@ -722,6 +893,238 @@ class ContinuousEngine:
             state["status"] = _pack_status(state)
             return state
 
+        # ---------------- speculative round chunk ----------------
+        def _spec_chunk(params, params_d, state, nrounds: int):
+            """nrounds verify rounds — the lockstep form of
+            engine/speculative.py's loop body. Per round, every live slot:
+            draft-decodes k greedy proposals, the target scores
+            [cur, d1..dk] in ONE windowed MXU pass, and the sampler rules
+            replay along the window; the committed tokens are the accepted
+            draft prefix plus the target's bonus emission. Token-exact vs
+            _step_chunk at temperature 0 by construction — every committed
+            token is the target's own rule-replayed emission given the
+            committed prefix; the draft only changes how many commit per
+            round. Ring layout per round (k+2 contiguous columns at the
+            batch-uniform base c0 = gstep % ring):
+
+              col 0     cur's K/V (fed by both models); token stored here
+                        only on the slot's FIRST round (boot)
+              col 1+i   draft d_{i+1}: K/V from the verify window; token
+                        valid iff accepted (i < a)
+              col a+1   the bonus token (its K/V arrives NEXT round at
+                        that round's col 0, when it is fed as cur)
+              col k+1   bonus landing slot for full acceptance; never
+                        holds valid K/V
+            """
+            suppress = self.suppress_mask
+            kp1 = spec_k + 1
+            kp2 = spec_k + 2
+            eot = spec.eot
+            b = n_rows
+            rows = jnp.arange(b)
+            jmask = jnp.arange(self.cache_len)[None, :]
+            RS_FIELDS = (
+                "gen_len", "last_ts", "last_was_ts", "penult_was_ts",
+                "finished", "sum_logprob",
+            )
+
+            def one_round(_, st):
+                gstep = st["gstep"]
+                c0 = jnp.mod(gstep, ring)
+                write = st["active"] & ~st["finished"]
+                boot = write & (st["gen_len"] == 0)
+                has_pfx = st["has_prefix"]
+
+                def emit(rs, logits, seen, wr, key):
+                    """One rule-replayed emission over TRACKED state (the
+                    exact filter/sample/advance of _step_chunk's body —
+                    with acceptance holes the last committed token is not
+                    at ring column gstep-1, so context is stateful)."""
+                    # the tracked chain starts (False, False); the ring
+                    # rules' gen_len<2 "missing token is a timestamp"
+                    # convention applies to fresh rows only (prefix rows
+                    # carry real ts-ness through the chain)
+                    penult_eff = jnp.where(
+                        (rs["gen_len"] >= 2) | has_pfx,
+                        rs["penult_was_ts"], True,
+                    )
+                    first = (rs["gen_len"] == 0) & ~has_pfx
+                    filtered = apply_logit_rules_tracked(
+                        spec, logits, suppress, st["ts_enabled"], first,
+                        rs["last_was_ts"], penult_eff, rs["last_ts"],
+                    )
+                    # CT2 repetition penalty over prompt + committed +
+                    # in-round path (numerically identical to the plain
+                    # path's cond-guarded form: penalty 1.0 is a no-op)
+                    pcol = st["rep_penalty"][:, None]
+                    pen = jnp.where(
+                        filtered > 0, filtered / pcol, filtered * pcol
+                    )
+                    filtered = jnp.where(seen & (pcol != 1.0), pen, filtered)
+                    tok, lp = dec.sample_next(filtered, st["temperature"], key)
+                    wr = wr & ~rs["finished"]
+                    tok = jnp.where(wr, tok, eot).astype(jnp.int32)
+                    gen_after = rs["gen_len"] + wr.astype(jnp.int32)
+                    newly_done = wr & (
+                        (tok == eot)
+                        | (gen_after >= st["max_new"])
+                        | (st["prompt_len"] + gen_after >= spec.max_length)
+                    )
+                    is_ts = (tok >= spec.timestamp_begin) & wr
+                    rs2 = {
+                        "gen_len": gen_after,
+                        "last_ts": jnp.where(is_ts, tok, rs["last_ts"]),
+                        "last_was_ts": jnp.where(
+                            wr, tok >= spec.timestamp_begin,
+                            rs["last_was_ts"],
+                        ),
+                        "penult_was_ts": jnp.where(
+                            wr, rs["last_was_ts"], rs["penult_was_ts"]
+                        ),
+                        "finished": rs["finished"] | newly_done,
+                        "sum_logprob": rs["sum_logprob"]
+                        + jnp.where(wr, lp, 0.0),
+                    }
+                    seen2 = seen.at[rows, tok].max(wr)
+                    return rs2, tok, seen2
+
+                # seen base: prompt + committed ring tokens
+                seen0 = jnp.zeros((b, cfg.n_vocab), bool).at[
+                    rows[:, None], st["sampled"]
+                ].max(st["tok_valid"])
+                pvalid = (
+                    jnp.arange(prompt_pad)[None, :]
+                    < st["prompt_len"][:, None]
+                )
+                seen0 = seen0.at[rows[:, None], st["prompt_toks"]].max(pvalid)
+
+                rs0 = {f: st[f] for f in RS_FIELDS}
+                key, kb, kd, kv = jax.random.split(st["key"], 4)
+                # boot: a freshly inserted slot's first token comes from
+                # its prefill logits (the plain loop's first iteration)
+                rs_b, boot_tok, seen_b = emit(rs0, st["logits"], seen0, boot, kb)
+                cur = jnp.where(boot, boot_tok, st["cur"])
+
+                base = (jmask < st["prompt_len"][:, None]) | jnp.concatenate(
+                    [jnp.zeros((b, prompt_pad), bool), st["kv_valid"]],
+                    axis=1,
+                )
+
+                # --- draft: k greedy proposals (k+1 steps — the extra
+                # step feeds d_k so its K/V lands at col k; see
+                # engine/speculative.py on the cache-hole acceptance bug)
+                def dstep(carry, i):
+                    drs, tok, dkv, seen, key = carry
+                    key, sub = jax.random.split(key)
+                    pos = st["prompt_len"] + drs["gen_len"] - 1
+                    mask = base | (
+                        (jmask >= prompt_pad + c0)
+                        & (jmask < prompt_pad + c0 + i)
+                    )
+                    dlogits, dkv = wmod.decode_step_masked(
+                        params_d, cfg_d, tok, pos, prompt_pad + c0 + i,
+                        mask, dkv, st["d_cross_kv"],
+                        cross_len=st["cross_len"],
+                    )
+                    drs, nxt, seen = emit(drs, dlogits, seen, write, sub)
+                    return (drs, nxt, dkv, seen, key), nxt
+
+                (_, _, d_kv, _, _), douts = jax.lax.scan(
+                    dstep, (rs_b, cur, st["d_self_kv"], seen_b, kd),
+                    jnp.arange(kp1),
+                )
+                st["d_self_kv"] = d_kv
+                drafts = douts[:spec_k]  # [k, B]
+
+                # --- target: verify [cur, d1..dk] in ONE pass
+                win = jnp.concatenate([cur[:, None], drafts.T], axis=1)
+                pos0 = st["prompt_len"] + rs_b["gen_len"] - 1
+                wpos = pos0[:, None] + jnp.arange(kp1)[None, :]
+                iwin = jnp.arange(kp1)[None, :, None]
+                wmask = base[:, None, :] | (
+                    (jmask[:, None, :] >= prompt_pad + c0)
+                    & (jmask[:, None, :] <= prompt_pad + c0 + iwin)
+                )
+                logits_w, t_kv = wmod.decode_window_masked(
+                    params, cfg, win, wpos, prompt_pad + c0, wmask,
+                    st["self_kv"], st["cross_kv"],
+                    cross_len=st["cross_len"],
+                )
+                st["self_kv"] = t_kv
+
+                # --- replay the sampler rules along the draft path
+                def vstep(carry, i):
+                    vrs, seen, key = carry
+                    key, sub = jax.random.split(key)
+                    vrs2, g, seen2 = emit(vrs, logits_w[:, i], seen, write, sub)
+                    return (vrs2, seen2, key), (g, vrs2)
+
+                _, (gs, vstack) = jax.lax.scan(
+                    vstep, (rs_b, seen_b, kv), jnp.arange(kp1)
+                )
+                # d_{i+1} accepted iff the target's rule-replayed emission
+                # agrees AND the hypothesis wasn't already finished there
+                acc = (gs[:-1] == drafts) & ~vstack["finished"][:-1]  # [k, B]
+                a = jnp.cumprod(acc.astype(jnp.int32), axis=0).sum(axis=0)
+
+                def take(arr):
+                    return jnp.take_along_axis(arr, a[None, :], axis=0)[0]
+
+                bonus = take(gs)
+                for f in RS_FIELDS:
+                    st[f] = jnp.where(write, take(vstack[f]), st[f])
+                st["cur"] = jnp.where(write, bonus, st["cur"])
+
+                # --- commit: one uniform k+2-column block write
+                cidx = jnp.arange(kp2)[None, :]
+                win_pad = jnp.concatenate(
+                    [win, jnp.zeros((b, 1), jnp.int32)], axis=1
+                )  # [B, kp2]; col k+1 only ever holds the bonus
+                block_tok = jnp.where(
+                    cidx == (a + 1)[:, None], bonus[:, None], win_pad
+                )
+                new_tbits = write[:, None] & (
+                    ((cidx >= 1) & (cidx <= (a + 1)[:, None]))
+                    | (boot[:, None] & (cidx == 0))
+                )
+                new_kbits = write[:, None] & (cidx <= a[:, None]) & (
+                    cidx < kp1
+                )
+                old_tok = jax.lax.dynamic_slice_in_dim(
+                    st["sampled"], c0, kp2, axis=1
+                )
+                old_tb = jax.lax.dynamic_slice_in_dim(
+                    st["tok_valid"], c0, kp2, axis=1
+                )
+                old_kb = jax.lax.dynamic_slice_in_dim(
+                    st["kv_valid"], c0, kp2, axis=1
+                )
+                wcol = write[:, None]
+                st["sampled"] = jax.lax.dynamic_update_slice_in_dim(
+                    st["sampled"], jnp.where(wcol, block_tok, old_tok),
+                    c0, axis=1,
+                )
+                st["tok_valid"] = jax.lax.dynamic_update_slice_in_dim(
+                    st["tok_valid"], jnp.where(wcol, new_tbits, old_tb),
+                    c0, axis=1,
+                )
+                st["kv_valid"] = jax.lax.dynamic_update_slice_in_dim(
+                    st["kv_valid"], jnp.where(wcol, new_kbits, old_kb),
+                    c0, axis=1,
+                )
+                # ring-budget force finish: the NEXT round's block must
+                # not clobber this slot's live columns
+                st["finished"] = st["finished"] | (
+                    write & (gstep + 2 * kp2 - 1 - st["join_step"] >= ring)
+                )
+                st["gstep"] = gstep + kp2
+                st["key"] = key
+                return st
+
+            state = jax.lax.fori_loop(0, nrounds, one_round, state)
+            state["status"] = _pack_status(state)
+            return state
+
         def _release(state, mask):
             # mask: [B] bool — one static shape for ANY number of released
             # slots (an unrolled slot_ids loop would compile one program
@@ -737,6 +1140,10 @@ class ContinuousEngine:
         self._init_fn = jax.jit(_init_state, out_shardings=init_out)
         self._insert_fn = jax.jit(_insert, donate_argnums=(1,))
         self._step_fn = jax.jit(_step_chunk, static_argnums=(2,), donate_argnums=(1,))
+        if draft is not None:
+            self._spec_fn = jax.jit(
+                _spec_chunk, static_argnums=(3,), donate_argnums=(2,)
+            )
         self._release_fn = jax.jit(_release, donate_argnums=(0,))
         self.state = None
 
@@ -785,6 +1192,29 @@ class ContinuousEngine:
             "rep_penalty", "length_penalty", "max_new", "cross_len",
         ):
             tree[name] = row
+        if self.spec_k:
+            bits_d = self.draft.cross_kv_bits
+            if bits_d == 8:
+                d_cross = {
+                    "kv8": ns(None, None, "data", "model", None, None),
+                    "scale": ns(None, None, "data", None, "model", None),
+                }
+            elif bits_d == 4:
+                d_cross = {
+                    "kv4": ns(None, None, "data", "model", None, None),
+                    "scale": ns(None, None, "data", None, "model", None),
+                }
+            else:
+                d_cross = {
+                    "kv": ns(None, None, "data", None, "model", None),
+                    "scale": None,
+                }
+            tree.update({
+                "cur": row, "last_was_ts": row, "penult_was_ts": row,
+                "tok_valid": ns("data", None), "kv_valid": ns("data", None),
+                "d_self_kv": ns(None, None, "data", None, "model", None),
+                "d_cross_kv": d_cross,
+            })
         return tree
 
     # ------------------------------------------------------------------
@@ -903,6 +1333,7 @@ class ContinuousEngine:
                 jnp.asarray(pad(list(pfx_last_ts))),
                 jnp.asarray(pad(list(pfx_penult_ts))),
                 jnp.asarray(pad(list(length_penalty)), jnp.float32),
+                self.draft.params if self.draft is not None else None,
             )
         if not need_langs:
             return None
@@ -921,7 +1352,15 @@ class ContinuousEngine:
         (any of its lane rows carries the same 6 columns)."""
         eng = self.eng
         with eng._lock:
-            self.state = self._step_fn(eng.params, self.state, self.steps_per_chunk)
+            if self.spec_k:
+                self.state = self._spec_fn(
+                    eng.params, self.draft.params, self.state,
+                    self.steps_per_chunk,
+                )
+            else:
+                self.state = self._step_fn(
+                    eng.params, self.state, self.steps_per_chunk
+                )
         return np.asarray(self.state["status"], np.float32)
 
     def release(self, slot_ids: list[int]) -> None:
@@ -942,6 +1381,29 @@ class ContinuousEngine:
         cols = (join_step + np.arange(gen_len)) % ring
         return row[cols]
 
+    @staticmethod
+    def unroll_masked(
+        tokens: np.ndarray, valid: np.ndarray, join_step: int, ring: int
+    ) -> np.ndarray:
+        """Ring-unroll through the committed-token mask (speculative mode:
+        acceptance holes break the contiguous (join_step + i) % ring
+        addressing). Valid columns ordered by age since the slot's join —
+        the force-finish budget guarantees the slot's data spans < ring
+        global steps, so (col - join_step) % ring is a total order."""
+        cols = np.nonzero(valid)[0]
+        cols = cols[np.argsort((cols - join_step) % ring, kind="stable")]
+        return tokens[cols]
+
+    def unroll_row(self, status_row: np.ndarray, join_step: int, gen_len: int):
+        """Unroll one slot's hypothesis from its packed status row
+        (handles both the plain contiguous ring and the speculative
+        masked ring)."""
+        toks = status_row[6 : 6 + self.ring].astype(np.int32)
+        if self.spec_k:
+            valid = status_row[6 + self.ring :] > 0.5
+            return self.unroll_masked(toks, valid, join_step, self.ring)
+        return self.unroll(toks, join_step, gen_len, self.ring)
+
     def harvest(
         self, slot: int, join_step: int, gen_len: int, lane: int = 0
     ) -> np.ndarray:
@@ -950,6 +1412,11 @@ class ContinuousEngine:
         row = np.asarray(
             self.state["sampled"][slot * self.beam_width + lane], np.int32
         )
+        if self.spec_k:
+            valid = np.asarray(
+                self.state["tok_valid"][slot * self.beam_width + lane]
+            )
+            return self.unroll_masked(row, valid, join_step, self.ring)
         return self.unroll(row, join_step, gen_len, self.ring)
 
 
@@ -979,13 +1446,16 @@ class ContinuousScheduler:
         cross_ctx: int | None = None,
         enc_buckets: tuple[int, ...] | None = None,
         beam_width: int = 1,
+        draft_engine: Optional[WhisperEngine] = None,
+        spec_k: int = 4,
     ):
         self.engine = engine
         self.cb = ContinuousEngine(
             engine, n_slots=n_slots, prompt_pad=prompt_pad, ring=ring,
             steps_per_chunk=steps_per_chunk, options=options,
             cross_ctx=cross_ctx, enc_buckets=enc_buckets,
-            beam_width=beam_width,
+            beam_width=beam_width, draft_engine=draft_engine,
+            spec_k=spec_k,
         )
         self.beam_width = self.cb.beam_width
         # routing hints for TpuBackend: windows longer than the continuous
@@ -1395,10 +1865,7 @@ class ContinuousScheduler:
             ns_prob = float(status[b * K, 4])
             # winning beam lane (status col 5; 0 when beam_width == 1)
             row = b * K + int(status[b * K, 5])
-            toks = self.cb.unroll(
-                status[row, 6:].astype(np.int32), info.join_step, gen_len,
-                self.cb.ring,
-            )
+            toks = self.cb.unroll_row(status[row], info.join_step, gen_len)
             if info.prefix:
                 toks = np.concatenate(
                     [np.asarray(info.prefix, np.int32), toks]
@@ -1516,7 +1983,7 @@ class ContinuousScheduler:
                 if not self._slots:
                     continue
                 status = self.cb.step()
-                self._gstep += self.cb.steps_per_chunk
+                self._gstep += self.cb.gstep_per_chunk
                 t2 = time.monotonic()
                 self._harvest(status)
                 t3 = time.monotonic()

@@ -715,6 +715,31 @@ def decode_window(
     return _project_logits(params, x), new_kv
 
 
+def decode_window_masked(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jax.Array,  # [B, K] window tokens
+    pos_idx: jax.Array,  # [B, K] logical positions of each window token
+    slot_start,  # scalar int32: cache slot of tokens[:, 0]
+    mask: jax.Array,  # [B, K, C] bool — cache slots each query may attend
+    self_kv: jax.Array,
+    cross_kv: jax.Array,
+    cross_len: jax.Array | None = None,  # [B] valid encoder positions
+):
+    """decode_window with a caller-supplied attention mask over cache
+    slots — the continuous-batching verify primitive: the ring scheduler's
+    slot validity is mask-based (accepted ring columns + per-item prompt
+    lengths), so the contiguous [prompt | j <= slot_start + i] mask that
+    decode_window builds does not apply. Query i must be given its own
+    in-window causal columns by the caller (the window's K/V are in the
+    cache copy before attention). Returns (logits [B, K, V] f32, kv)."""
+    x, new_kv, _ = _decoder_forward(
+        params, cfg, tokens, pos_idx, slot_start, mask[:, None],
+        self_kv, cross_kv, cross_len=cross_len,
+    )
+    return _project_logits(params, x), new_kv
+
+
 def decode_step(
     params: Params,
     cfg: WhisperConfig,

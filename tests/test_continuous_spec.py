@@ -220,6 +220,38 @@ def test_spec_prefix_continuation_parity(engine, rng):
     assert _strip(engine, toks) == want_tail
 
 
+def test_spec_zero_recompiles_after_warmup(engine, distil_draft, rng):
+    """The spec-mode live path (insert at each bucket incl. draft prefill,
+    the verify-round chunk, release) must be fully compiled by warmup():
+    a cold compile during serving stalls the shared lockstep loop
+    (CLAUDE.md bucketed-shapes invariant)."""
+    sched = ContinuousScheduler(engine, n_slots=2, steps_per_chunk=2,
+                                prompt_pad=16, ring=120,
+                                draft_engine=distil_draft, spec_k=3)
+    sched.warmup()
+    cb = sched.cb
+    tracked = {
+        "insert": cb._insert_fn,
+        "spec_step": cb._spec_fn,
+        "release": cb._release_fn,
+    }
+    before = {k: f._cache_size() for k, f in tracked.items()}
+    sched.start()
+    try:
+        for wave in ([2.0], [1.5, 2.5]):
+            futs = [
+                sched.submit(BatchRequest(audio=_audio(rng, sec),
+                                          options=OPTS, uid=f"z{i}"))
+                for i, sec in enumerate(wave)
+            ]
+            for f in futs:
+                f.result(timeout=300)
+    finally:
+        sched.stop()
+    after = {k: f._cache_size() for k, f in tracked.items()}
+    assert after == before, f"recompiled after warmup: {before} -> {after}"
+
+
 def test_spec_temperature_retry_progresses(engine, distil_draft, rng):
     """T>0 fallback retries ride spec rounds too (one committed token per
     round when nothing is accepted) and still terminate."""

@@ -51,6 +51,8 @@ class ServerHarness:
             )
         except Exception:
             pass
+        finally:
+            self._loop.close()
 
     def __enter__(self):
         self._thread.start()
@@ -64,8 +66,9 @@ class ServerHarness:
         raise RuntimeError("server did not start")
 
     def __exit__(self, *exc):
-        if self._loop is not None:
-            self._loop.call_soon_threadsafe(self._loop.stop)
+        if self._loop is not None and not self._loop.is_closed():
+            self._loop.call_soon_threadsafe(self.server.request_shutdown)
+        self._thread.join(timeout=10)
         return False
 
 
@@ -88,6 +91,8 @@ class RouterHarness:
             )
         except Exception:
             pass
+        finally:
+            self._loop.close()
 
     def __enter__(self):
         self._thread.start()
@@ -101,8 +106,9 @@ class RouterHarness:
         raise RuntimeError("router did not start")
 
     def __exit__(self, *exc):
-        if self._loop is not None:
-            self._loop.call_soon_threadsafe(self._loop.stop)
+        if self._loop is not None and not self._loop.is_closed():
+            self._loop.call_soon_threadsafe(self.router.request_shutdown)
+        self._thread.join(timeout=10)
         return False
 
 

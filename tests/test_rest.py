@@ -25,8 +25,9 @@ def _free_port():
 
 
 class RestHarness:
-    def __init__(self, **kwargs):
+    def __init__(self, backend=None, **kwargs):
         self.port = _free_port()
+        self.backend = backend if backend is not None else FakeBackend()
         self.kwargs = kwargs
         self._loop = None
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -34,11 +35,15 @@ class RestHarness:
     def _run(self):
         self._loop = asyncio.new_event_loop()
         asyncio.set_event_loop(self._loop)
-        self._loop.run_until_complete(
-            start_rest_server(FakeBackend(), port=self.port, host="127.0.0.1",
+        runner = self._loop.run_until_complete(
+            start_rest_server(self.backend, port=self.port, host="127.0.0.1",
                               **self.kwargs)
         )
-        self._loop.run_forever()
+        try:
+            self._loop.run_forever()
+        finally:
+            self._loop.run_until_complete(runner.cleanup())
+            self._loop.close()
 
     def __enter__(self):
         self._thread.start()
@@ -52,8 +57,9 @@ class RestHarness:
         raise RuntimeError("REST server did not start")
 
     def __exit__(self, *exc):
-        if self._loop:
+        if self._loop and not self._loop.is_closed():
             self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=10)
         return False
 
 
@@ -168,37 +174,13 @@ def test_rest_word_timestamps_field():
                     ]
             return result
 
-    port = _free_port()
-    h = RestHarness()
-    h.port = port
-    # swap in the word-capable backend
-    import asyncio, threading, socket as sock_mod
-
-    def run():
-        h._loop = asyncio.new_event_loop()
-        asyncio.set_event_loop(h._loop)
-        h._loop.run_until_complete(
-            start_rest_server(WordyBackend(), port=port, host="127.0.0.1")
+    with RestHarness(backend=WordyBackend()) as h:
+        wav = _wav_bytes(2.0)
+        code, body = _post(
+            h.port,
+            {"response_format": "verbose_json", "timestamp_granularities": "word"},
+            {"file": ("a.wav", wav)},
         )
-        h._loop.run_forever()
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    deadline = time.time() + 10
-    while time.time() < deadline:
-        try:
-            with sock_mod.create_connection(("127.0.0.1", port), timeout=0.2):
-                break
-        except OSError:
-            time.sleep(0.05)
-
-    wav = _wav_bytes(2.0)
-    code, body = _post(
-        port,
-        {"response_format": "verbose_json", "timestamp_granularities": "word"},
-        {"file": ("a.wav", wav)},
-    )
-    h._loop.call_soon_threadsafe(h._loop.stop)
     assert code == 200
     segs = json.loads(body)["segments"]
     assert segs and "words" in segs[0]

@@ -53,6 +53,8 @@ class ServerHarness:
             )
         except Exception:
             pass
+        finally:
+            self._loop.close()
 
     def __enter__(self):
         self._thread.start()
@@ -66,8 +68,9 @@ class ServerHarness:
         raise RuntimeError("server did not start")
 
     def __exit__(self, *exc):
-        if self._loop is not None:
-            self._loop.call_soon_threadsafe(self._loop.stop)
+        if self._loop is not None and not self._loop.is_closed():
+            self._loop.call_soon_threadsafe(self.server.request_shutdown)
+        self._thread.join(timeout=10)
         return False
 
 

@@ -77,6 +77,13 @@ class ClusterRouter:
         self.health_interval_s = health_interval_s
         self.accept_timeout_s = accept_timeout_s
         self._health_task: Optional[asyncio.Task] = None
+        self._shutdown: Optional[asyncio.Event] = None
+
+    def request_shutdown(self) -> None:
+        """Ask a running serve() to exit cleanly (call on the serving loop;
+        from another thread use loop.call_soon_threadsafe)."""
+        if self._shutdown is not None:
+            self._shutdown.set()
 
     # ------------------------------------------------------------------
 
@@ -336,6 +343,7 @@ class ClusterRouter:
 
         await asyncio.gather(*(self._probe(r) for r in self.replicas))
         self._health_task = asyncio.create_task(self._health_loop())
+        self._shutdown = asyncio.Event()
         try:
             async with ws_serve(
                 self.handle, host, port, max_size=2**24
@@ -344,7 +352,13 @@ class ClusterRouter:
                     "cluster router on %s:%d -> %s",
                     host, port, [r.addr for r in self.replicas],
                 )
-                await server.serve_forever()
+                # explicit shutdown event instead of serve_forever() —
+                # see TranscriptionServer.serve for why (clean teardown
+                # from test harnesses without loop-close unraisables).
+                try:
+                    await self._shutdown.wait()
+                finally:
+                    server.close()
         finally:
             self._health_task.cancel()
 

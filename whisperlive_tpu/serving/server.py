@@ -283,6 +283,13 @@ class TranscriptionServer:
         self.translator_factory = None
         self.diarizer = None
         self.translation_model_dir: Optional[str] = None
+        self._shutdown: Optional[asyncio.Event] = None
+
+    def request_shutdown(self) -> None:
+        """Ask a running serve() to exit cleanly. Must run on the serving
+        loop — from another thread use loop.call_soon_threadsafe."""
+        if self._shutdown is not None:
+            self._shutdown.set()
 
     # ------------------------------------------------------------------
 
@@ -489,13 +496,19 @@ class TranscriptionServer:
                 backend=backend, port=rest_port, **(rest_kwargs or {})
             )
 
+        self._shutdown = asyncio.Event()
         async with ws_serve(self.recv_audio, host, port, max_size=2**24) as server:
             logger.info("WebSocket server listening on %s:%d", host, port)
             if ready_event is not None:
                 ready_event.set()
             try:
-                await server.serve_forever()
+                # Wait on an explicit shutdown signal rather than
+                # serve_forever(): a stopped-then-closed event loop would
+                # otherwise leave the serve_forever future pending and leak
+                # an unraisable "Event loop is closed" at teardown.
+                await self._shutdown.wait()
             finally:
+                server.close()
                 if rest_runner is not None:
                     await rest_runner.cleanup()
 

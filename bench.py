@@ -125,18 +125,58 @@ def main() -> None:
     # warmup / compile (the fused single-dispatch serving program)
     engine.transcribe_batch(audio, prompts, sots, known, options, seed=0)
 
-    t0 = time.monotonic()
-    total_audio = 0.0
-    total_tokens = 0
-    for i in range(ITERS):
-        results, _, _ = engine.transcribe_batch(
-            audio, prompts, sots, known, options, seed=i
-        )
-        total_audio += BATCH * WINDOW_S
-        total_tokens += sum(len(r.tokens) for r in results)
-    wall = time.monotonic() - t0
+    def timed_run(opts, iters):
+        t0 = time.monotonic()
+        tokens = 0
+        for i in range(iters):
+            results, _, _ = engine.transcribe_batch(
+                audio, prompts, sots, known, opts, seed=i
+            )
+            tokens += sum(len(r.tokens) for r in results)
+        return time.monotonic() - t0, tokens
 
+    wall, total_tokens = timed_run(options, ITERS)
+    total_audio = ITERS * BATCH * WINDOW_S
     rtfx = total_audio / wall
+
+    # Fixed-vs-marginal split (VERDICT r3 item 4): a second run at a short
+    # decode length shares the SAME compiled program (max_new is a traced
+    # operand; 12 and 120 land in the same KV bucket), so the wall delta
+    # isolates the marginal per-step cost from the per-dispatch fixed cost
+    # (mel+encode+cross-KV+prefill+relay round trips).
+    SHORT_TOKENS = int(os.environ.get("WL_BENCH_SHORT_TOKENS", "12"))
+    import dataclasses
+
+    short_opts = dataclasses.replace(options, max_new_tokens=SHORT_TOKENS)
+    wall_short, tokens_short = timed_run(short_opts, ITERS)
+
+    steps_long = total_tokens / BATCH / ITERS  # lockstep: steps ≈ max item
+    steps_short = tokens_short / BATCH / ITERS
+    marginal_s = max(
+        ((wall - wall_short) / ITERS) / max(steps_long - steps_short, 1.0), 1e-9
+    )
+    fixed_s = max(wall / ITERS - steps_long * marginal_s, 0.0)
+
+    # Roofline model (utils/roofline.py): modeled FLOPs + HBM traffic vs
+    # device peaks, to show where the remaining headroom is.
+    from whisperlive_tpu.utils import roofline
+
+    prompt_pad = 16  # "en" prompt (3 tokens) → smallest prompt bucket
+    cache_len = prompt_pad + engine.gen_buckets[0]  # 120 toks → 128 bucket
+    step = roofline.decode_step_cost(
+        cfg, BATCH, cache_len, cross_kv_bits=CROSS_BITS
+    )
+    flops_window = roofline.window_flops(
+        cfg, BATCH, prompt_pad, cache_len, steps_long, cross_kv_bits=CROSS_BITS
+    )
+    achieved_flops = flops_window * ITERS / wall
+    peak_flops, peak_hbm = roofline.nominal_peaks(
+        getattr(jax.devices()[0], "device_kind", str(jax.devices()[0]))
+    )
+    eff_flops, eff_hbm = roofline.effective_peaks()
+    step_hbm = step.bytes / marginal_s
+    step_elem_rate = step.elements / marginal_s
+
     result = {
         "metric": "rtfx_streaming",
         "value": round(rtfx, 2),
@@ -150,6 +190,18 @@ def main() -> None:
             "wall_s": round(wall, 2),
             "cross_kv_bits": CROSS_BITS,
             "device": str(jax.devices()[0]),
+            # --- roofline accounting (BENCH_NOTES has the narrative) ---
+            "fixed_ms": round(fixed_s * 1e3, 1),  # per window-batch dispatch
+            "step_ms": round(marginal_s * 1e3, 2),  # marginal per decode step
+            "modeled_gflops_per_window": round(flops_window / 1e9, 1),
+            "achieved_tflops": round(achieved_flops / 1e12, 2),
+            "mfu": round(achieved_flops / peak_flops, 4),  # vs nominal silicon
+            "mfu_effective": round(achieved_flops / eff_flops, 4),  # vs relay
+            "step_hbm_bytes": int(step.bytes),
+            "step_hbm_gbps": round(step_hbm / 1e9, 1),
+            "hbm_util": round(step_hbm / peak_hbm, 4),  # vs nominal silicon
+            "hbm_util_effective": round(step_hbm / eff_hbm, 4),  # vs relay
+            "step_gelems_per_s": round(step_elem_rate / 1e9, 1),
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,56 @@
+"""Pin the roofline cost model (utils/roofline.py) used by bench.py."""
+
+from whisperlive_tpu.models.whisper import WHISPER_CONFIGS
+from whisperlive_tpu.utils import roofline
+
+
+def test_decode_step_cost_large_v3_magnitudes():
+    cfg = WHISPER_CONFIGS["large-v3"]
+    step = roofline.decode_step_cost(cfg, batch=8, cache_len=144)
+    # per-item matmul work is ~1.26 GFLOPs (32 layers × 24d²) + logits
+    # (2dV ≈ 0.13 G) + attention reads; ×8 items ≈ 12-14 GFLOPs per step
+    assert 10e9 < step.flops < 16e9
+    # int8 decoder weights ≈ 12·32·1280² + 51866·1280 ≈ 0.70 GB, shared
+    assert 0.6e9 < step.weight_bytes < 0.8e9
+    # per-item KV: int8 cross (32·2·1500·1280 ≈ 0.123 GB) + bf16 self-KV
+    # (32·2·144·1280·2 ≈ 0.024 GB) → ×8 ≈ 1.17 GB
+    assert 1.0e9 < step.kv_bytes < 1.4e9
+    assert step.bytes == step.weight_bytes + step.kv_bytes
+    # elements = bytes minus one extra byte per bf16 self-KV element
+    self_kv_elems = 8 * 32 * 2 * 144 * 1280
+    assert abs(step.elements - (step.bytes - self_kv_elems)) < 1
+
+
+def test_step_cost_scales():
+    cfg = WHISPER_CONFIGS["large-v3"]
+    b8 = roofline.decode_step_cost(cfg, 8, 144)
+    b16 = roofline.decode_step_cost(cfg, 16, 144)
+    # weights are batch-shared; KV scales linearly
+    assert b16.weight_bytes == b8.weight_bytes
+    assert abs(b16.kv_bytes - 2 * b8.kv_bytes) < 1
+    # reduced-context cross-KV (512 of 1500 positions) cuts cross bytes ~3x
+    short = roofline.decode_step_cost(cfg, 8, 144, cross_ctx=512)
+    assert short.kv_bytes < 0.45 * b8.kv_bytes + 8 * 32 * 2 * 144 * 1280 * 2
+    # int4 halves cross bytes vs int8
+    i4 = roofline.decode_step_cost(cfg, 8, 144, cross_kv_bits=4)
+    assert i4.kv_bytes < b8.kv_bytes
+
+
+def test_window_flops_encoder_dominates():
+    cfg = WHISPER_CONFIGS["large-v3"]
+    insert = roofline.window_insert_flops(cfg, batch=1, prompt_pad=16)
+    # encoder ≈ 32 × (24·1500·1280² + 4·1500²·1280) ≈ 2.25e12 FLOPs/item
+    assert 2.0e12 < insert < 3.2e12
+    total = roofline.window_flops(cfg, 1, 16, 144, new_tokens=120)
+    assert total > insert
+    # 120 decode steps ≈ 0.19 TFLOPs — under 10% of the window
+    assert (total - insert) < 0.15 * insert
+
+
+def test_peaks():
+    f, b = roofline.nominal_peaks("TPU v5 lite")
+    assert f == 197e12 and b == 819e9
+    f, b = roofline.nominal_peaks("unknown-device")
+    assert f == roofline.DEFAULT_PEAK[0]
+    ef, eb = roofline.effective_peaks()
+    assert ef > 0 and eb > 0

@@ -27,11 +27,14 @@ def _free_port() -> int:
 
 
 class ServerHarness:
-    def __init__(self, max_clients=4, api_key=None, max_connection_time=600):
+    def __init__(self, max_clients=4, api_key=None, max_connection_time=600,
+                 backend=None, backend_name="fake"):
         self.port = _free_port()
         self.max_clients = max_clients
         self.api_key = api_key
         self.max_connection_time = max_connection_time
+        self.backend = backend if backend is not None else FakeBackend()
+        self.backend_name = backend_name
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._loop = None
 
@@ -42,10 +45,10 @@ class ServerHarness:
         try:
             self._loop.run_until_complete(
                 self.server.serve(
-                    FakeBackend(),
+                    self.backend,
                     host="127.0.0.1",
                     port=self.port,
-                    backend_name="fake",
+                    backend_name=self.backend_name,
                     max_clients=self.max_clients,
                     max_connection_time=self.max_connection_time,
                     api_key=self.api_key,

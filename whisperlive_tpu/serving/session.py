@@ -286,8 +286,12 @@ class StreamingSession:
         if last_ns_prob <= self.options.no_speech_thresh:
             s = segments[-1]
             self.current_out += s.text
+            # clamp START to the window too: a decode whose trailing
+            # timestamp lands beyond the actual audio (hallucination past
+            # content; routine with random weights) would otherwise emit an
+            # inverted start>end segment on the wire
             last_segment = format_segment(
-                self.timestamp_offset + s.start,
+                self.timestamp_offset + min(duration, s.start),
                 self.timestamp_offset + min(duration, s.end),
                 self.current_out,
                 completed=False,

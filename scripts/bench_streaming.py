@@ -50,6 +50,15 @@ def main() -> None:
                         help="continuous cross-KV content cap (positions)")
     parser.add_argument("--ring", type=int, default=128)
     parser.add_argument("--prompt_pad", type=int, default=192)
+    parser.add_argument("--continuous_spec", action="store_true",
+                        help="speculative continuous batching: chunks become "
+                             "verify rounds (needs --draft_path/--draft_model)")
+    parser.add_argument("--draft_path", type=str, default=None,
+                        help="converted checkpoint dir of a distilled draft "
+                             "(scripts/distill_draft.py output)")
+    parser.add_argument("--draft_model", type=str, default=None,
+                        help="draft size for random init (distil-large-v3...)")
+    parser.add_argument("--spec_k", type=int, default=4)
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu) — the env var "
                              "is too late under the axon sitecustomize")
@@ -91,6 +100,15 @@ def main() -> None:
     on_tpu = jax.default_backend() in ("tpu", "axon")
     params = init_params(cfg, 0, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     engine = WhisperEngine(cfg, params)
+    draft_engine = None
+    if args.continuous_spec and (args.draft_path or args.draft_model):
+        from whisperlive_tpu.loader import load_engine
+
+        draft_engine = load_engine(
+            args.draft_model or "distil-large-v3", args.draft_path
+        )
+    elif args.continuous_spec:
+        raise SystemExit("--continuous_spec needs --draft_path/--draft_model")
     continuous = None
     if args.continuous:
         from whisperlive_tpu.engine.continuous import ContinuousScheduler
@@ -106,6 +124,8 @@ def main() -> None:
             ring=args.ring,
             prompt_pad=args.prompt_pad,
             beam_width=args.beam_size,
+            draft_engine=draft_engine,
+            spec_k=args.spec_k,
         )
         continuous.warmup()
         continuous.start()
@@ -242,6 +262,9 @@ def main() -> None:
         backend._prefix_cache.clear()  # uids repeat across sweeps
         backend._prefix_streak.clear()
         backend._rt_ema.clear()
+        spec_before = (
+            dict(continuous.spec_stats) if continuous is not None else {}
+        )
         asyncio.run(run(n_streams))
 
         latencies_np = np.asarray(latencies)
@@ -271,6 +294,22 @@ def main() -> None:
                 "steps_per_chunk": args.steps_per_chunk if args.continuous else None,
             },
         }
+        if args.continuous_spec and continuous is not None:
+            d = {
+                k: continuous.spec_stats[k] - spec_before.get(k, 0)
+                for k in continuous.spec_stats
+            }
+            acc = (
+                max(0.0, (d["committed"] - d["rounds"]) / (d["rounds"] * args.spec_k))
+                if d["rounds"] else 0.0
+            )
+            result["detail"].update(
+                spec_k=args.spec_k,
+                spec_windows=d["windows"],
+                spec_rounds=d["rounds"],
+                spec_committed=d["committed"],
+                spec_acceptance=round(acc, 3),
+            )
         print(json.dumps(result), flush=True)
 
     scheduler.stop()

@@ -272,3 +272,36 @@ def test_spec_temperature_retry_progresses(engine, distil_draft, rng):
             assert r.segments[0].temperature == pytest.approx(0.9)
     finally:
         sched.stop()
+
+
+def test_spec_acceptance_stats(engine, distil_draft, rng):
+    """Measured-acceptance bookkeeping (spec_stats/acceptance_rate): a
+    perfect self-draft scores near 1.0; an unrelated random draft near 0.
+    The committed count must equal rounds + accepted by construction."""
+
+    def run(draft):
+        sched = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=2,
+                                    prompt_pad=16, ring=160,
+                                    draft_engine=draft, spec_k=3)
+        sched.start()
+        try:
+            for i in range(2):
+                req = BatchRequest(audio=_audio(rng, 2.0 + i), options=OPTS,
+                                   uid=f"acc{i}")
+                sched.submit(req).result(timeout=300)
+        finally:
+            sched.stop()
+        return sched
+
+    hi = run(engine)  # self-draft: every proposal agrees
+    assert hi.spec_stats["windows"] == 2
+    assert hi.spec_stats["committed"] >= hi.spec_stats["rounds"]
+    assert hi.acceptance_rate() > 0.7, hi.spec_stats
+
+    lo = run(distil_draft)  # unrelated weights: near-zero agreement
+    assert lo.spec_stats["windows"] == 2
+    assert lo.acceptance_rate() < 0.3, lo.spec_stats
+    # plain mode never populates stats
+    plain = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=2,
+                                prompt_pad=16, ring=64)
+    assert plain.acceptance_rate() == 0.0

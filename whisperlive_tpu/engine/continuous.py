@@ -1486,6 +1486,20 @@ class ContinuousScheduler:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.max_batch_size = n_slots  # interface parity with BatchScheduler
+        # speculative observability (host-side, cumulative): every window's
+        # committed tokens vs verify rounds consumed — each round commits
+        # 1 + accepted, so accepted = committed - rounds and the proposal
+        # count is rounds * spec_k
+        self.spec_stats = {"windows": 0, "rounds": 0, "committed": 0}
+
+    def acceptance_rate(self) -> float:
+        """Cumulative draft-acceptance fraction of the speculative
+        continuous path (0.0 when not in spec mode / nothing harvested)."""
+        rounds = self.spec_stats["rounds"]
+        if not self.cb.spec_k or rounds == 0:
+            return 0.0
+        accepted = self.spec_stats["committed"] - rounds
+        return max(0.0, min(1.0, accepted / (rounds * self.cb.spec_k)))
 
     # ------------------------------------------------------------------
 
@@ -1865,6 +1879,20 @@ class ContinuousScheduler:
             ns_prob = float(status[b * K, 4])
             # winning beam lane (status col 5; 0 when beam_width == 1)
             row = b * K + int(status[b * K, 5])
+            if self.cb.spec_k:
+                # measured acceptance: committed tokens vs verify rounds
+                # (each round writes a k+2-column block from the join base;
+                # the last committed column's age names the final round)
+                valid = status[row, 6 + self.cb.ring:] > 0.5
+                ages = (
+                    np.nonzero(valid)[0] - info.join_step
+                ) % self.cb.ring
+                if ages.size:
+                    rounds = int(ages.max()) // (self.cb.spec_k + 2) + 1
+                    self.spec_stats["windows"] += 1
+                    self.spec_stats["rounds"] += rounds
+                    self.spec_stats["committed"] += int(valid.sum())
+                    wl_metrics.track_speculative_window(self.acceptance_rate())
             toks = self.cb.unroll_row(status[row], info.join_step, gen_len)
             if info.prefix:
                 toks = np.concatenate(

@@ -74,17 +74,30 @@ def main(argv=None) -> int:
 
     # ---- 1. audio pool ------------------------------------------------------
     def synth_clip() -> np.ndarray:
-        """Speech-like synthetic audio: harmonics + syllabic AM + noise."""
+        """Synthetic audio shaped like streaming windows: a variable-length
+        signal (0.5-14 s) then silence, mixing a speech-like family
+        (harmonics + syllabic AM + noise) with a pure AM-tone family — the
+        latter matches scripts/bench_streaming.py's stream audio so the
+        distilled draft's measured acceptance there reflects in-distribution
+        behavior, the same way a real-speech draft serves real speech."""
         t = np.arange(mel_ops.N_SAMPLES) / 16000.0
-        f0 = rng.uniform(90, 240)
-        sig = sum(
-            rng.uniform(0.1, 0.4) * np.sin(2 * np.pi * f0 * (h + 1) * t)
-            for h in range(4)
-        )
-        am = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(2.5, 5.0) * t)
-        return (sig * am * 0.2 + rng.normal(0, 0.01, t.shape)).astype(
-            np.float32
-        )
+        if rng.random() < 0.5:
+            f0 = rng.uniform(90, 240)
+            sig = sum(
+                rng.uniform(0.1, 0.4) * np.sin(2 * np.pi * f0 * (h + 1) * t)
+                for h in range(4)
+            )
+            am = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(2.5, 5.0) * t)
+            out = sig * am * 0.2 + rng.normal(0, 0.01, t.shape)
+        else:
+            tone = rng.uniform(100, 420)
+            am = rng.uniform(2.0, 4.0)
+            out = 0.2 * np.sin(2 * np.pi * am * t) * np.sin(
+                2 * np.pi * tone * t
+            )
+        n_live = int(rng.uniform(0.5, 14.0) * 16000)
+        out[n_live:] = 0.0
+        return out.astype(np.float32)
 
     clips: list[np.ndarray] = []
     if args.audio_dir:
@@ -137,39 +150,91 @@ def main(argv=None) -> int:
         tokens_in[i, : len(s)] = s
         loss_mask[i, len(prompt) - 1 : max(len(s) - 1, len(prompt) - 1)] = 1.0
 
-    mels = np.asarray(
-        mel_ops.log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg_t.n_mels)
-    )
+    # ---- 3. precompute the frozen-teacher constants --------------------------
+    # The teacher is frozen, so its encoder features and teacher-forced
+    # logits are CONSTANTS of the (clip, pseudo-label) pool. Computing them
+    # once turns every KD step into a student-only fwd/bwd (~100x fewer
+    # FLOPs at large-v3, where a single encoder pass is ~8 TFLOP), and
+    # keeping the pools device-resident with the batch gather inside jit
+    # avoids re-uploading ~30 MB/step through the slow host<->device relay
+    # (~40 MB/s measured, BENCH_NOTES).
+    from whisperlive_tpu.models import whisper as wmod
+    from whisperlive_tpu.training import decoder_forward_train
 
-    # ---- 3. KD training ------------------------------------------------------
     teacher_params = teacher_eng.params
+    P = len(seqs)
+    tok_dev = jnp.asarray(tokens_in)
+    mask_dev = jnp.asarray(loss_mask)
+    eb = 8
+    logger.info(
+        "precomputing encoder features + teacher logits (%d clips)...", P
+    )
+    enc_parts, tl_parts = [], []
+    for i in range(0, P, eb):
+        pad = max(0, i + eb - P)
+        clip_b = np.concatenate(
+            [audio[i : i + eb]]
+            + ([np.zeros((pad, audio.shape[1]), np.float32)] if pad else [])
+        )
+        tok_b = jnp.concatenate(
+            [tok_dev[i : i + eb]]
+            + ([jnp.zeros((pad, tok_dev.shape[1]), jnp.int32)] if pad else [])
+        )
+        mel_b = mel_ops.log_mel_spectrogram(
+            jnp.asarray(clip_b), n_mels=cfg_t.n_mels
+        )
+        enc_b = wmod.encode(teacher_params, cfg_t, mel_b)
+        tl_b = decoder_forward_train(teacher_params, cfg_t, tok_b, enc_b)
+        keep = eb - pad
+        enc_parts.append(enc_b[:keep].astype(jnp.bfloat16))
+        tl_parts.append(tl_b[:keep].astype(jnp.bfloat16))
+    enc_dev = jnp.concatenate(enc_parts)
+    tl_dev = jnp.concatenate(tl_parts)
+
+    # ---- 4. KD training ------------------------------------------------------
     opt = make_optimizer(
         learning_rate=args.lr, warmup_steps=min(20, args.steps // 10 + 1),
         total_steps=args.steps,
     )
-    state = distill.init_distill_state(teacher_params, opt, args.layers)
-    step = jax.jit(distill.make_distill_step(cfg_s, cfg_t, opt))
+    # student trains in f32 regardless of the (possibly bf16) teacher —
+    # Adam in bf16 loses the small late-training updates
+    dec0 = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32),
+        distill.init_student_from_teacher(teacher_params, args.layers)[
+            "decoder"
+        ],
+    )
+    state = distill.DistillState(
+        dec0, opt.init(dec0), jnp.zeros((), jnp.int32)
+    )
+    raw_step = distill.make_distill_step(cfg_s, cfg_t, opt)
 
-    n_train = int(len(seqs) * 0.9)
-    hold = slice(n_train, len(seqs))
+    @jax.jit
+    def step(st, idx):
+        batch = {
+            "enc": jnp.take(enc_dev, idx, axis=0),
+            "t_logits": jnp.take(tl_dev, idx, axis=0),
+            "tokens_in": jnp.take(tok_dev, idx, axis=0),
+            "loss_mask": jnp.take(mask_dev, idx, axis=0),
+        }
+        return raw_step(st, teacher_params, batch)
+
+    n_train = int(P * 0.9)
+    hold = slice(n_train, P)
 
     def acceptance(st) -> float:
         return distill.measure_acceptance(
             teacher_params, distill.student_params(teacher_params, st),
-            cfg_t, cfg_s, mels[hold], tokens_in[hold], loss_mask[hold],
+            cfg_t, cfg_s, None, tokens_in[hold], loss_mask[hold],
+            enc=enc_dev[hold],
         )
 
     acc0 = acceptance(state)
     logger.info("held-out teacher-forced agreement BEFORE: %.3f", acc0)
     t0 = time.monotonic()
     for i in range(args.steps):
-        idx = rng.integers(0, n_train, args.batch)
-        batch = {
-            "mel": jnp.asarray(mels[idx]),
-            "tokens_in": jnp.asarray(tokens_in[idx]),
-            "loss_mask": jnp.asarray(loss_mask[idx]),
-        }
-        state, loss = step(state, teacher_params, batch)
+        idx = jnp.asarray(rng.integers(0, n_train, args.batch), jnp.int32)
+        state, loss = step(state, idx)
         if i % 25 == 0 or i == args.steps - 1:
             logger.info("step %4d  loss %.4f  (%.1fs)", i, float(loss),
                         time.monotonic() - t0)
@@ -177,7 +242,7 @@ def main(argv=None) -> int:
     logger.info("held-out teacher-forced agreement AFTER: %.3f (was %.3f)",
                 acc1, acc0)
 
-    # ---- 4. save a draft checkpoint ------------------------------------------
+    # ---- 5. save a draft checkpoint ------------------------------------------
     draft = distill.student_params(teacher_params, state)
     draft = jax.tree.map(lambda x: np.asarray(x, np.float32), draft)
     convert_mod.save_converted(args.out, cfg_s, draft)

@@ -307,6 +307,71 @@ def test_silero_onnx_loader_roundtrip(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_silero_onnx_loader_v5_golden_layout(tmp_path):
+    """Golden fixture mimicking the REAL silero v5 export
+    (reference whisper_live/vad.py:111-128 downloads exactly this
+    artifact): `_model.*` initializer names, an STFT basis buffer the
+    loader must skip, a parallel `_model_8k.*` branch whose conv/LSTM
+    shapes collide with the 16 kHz ones AND precedes them in graph
+    order, torch-LSTMCell weights ([4H, C], ifgo gate order — no
+    permute) with TWO separate biases (bias_ih + bias_hh) the cell
+    sums, and a Conv1d head [1, H, 1]."""
+    from whisperlive_tpu.audio import silero_vad as sv
+
+    p = _rand_silero_params(5)
+    h4 = 4 * sv.HIDDEN
+    r = np.random.default_rng(6)
+    g = lambda *s: r.standard_normal(s).astype(np.float32)  # noqa: E731
+    bias_hh = g(h4) * 0.1
+
+    # adversarial graph order: the 8 kHz decoy branch comes FIRST
+    tensors = [("_model.stft.forward_basis_buffer", g(258, 1, 256))]
+    for i, (c_out, c_in) in enumerate(
+        zip(sv.ENC_CHANNELS, (65,) + sv.ENC_CHANNELS[:-1])
+    ):
+        tensors.append(
+            (f"_model_8k.encoder.{i}.reparam_conv.weight", g(c_out, c_in, 3))
+        )
+        tensors.append((f"_model_8k.encoder.{i}.reparam_conv.bias", g(c_out)))
+    tensors += [
+        ("_model_8k.decoder.rnn.weight_ih", g(h4, sv.ENC_CHANNELS[-1])),
+        ("_model_8k.decoder.rnn.weight_hh", g(h4, sv.HIDDEN)),
+        ("_model_8k.decoder.rnn.bias_ih", g(h4)),
+        ("_model_8k.decoder.rnn.bias_hh", g(h4)),
+        ("_model_8k.decoder.decoder.2.weight", g(1, sv.HIDDEN, 1)),
+        ("_model_8k.decoder.decoder.2.bias", g(1)),
+    ]
+    for i, _ in enumerate(sv.ENC_CHANNELS):
+        tensors.append((f"_model.encoder.{i}.reparam_conv.weight",
+                        np.transpose(p[f"enc{i}_w"], (2, 1, 0))))
+        tensors.append((f"_model.encoder.{i}.reparam_conv.bias",
+                        p[f"enc{i}_b"]))
+    tensors += [
+        ("_model.decoder.rnn.weight_ih",
+         np.ascontiguousarray(p["lstm_wx"].T)),
+        ("_model.decoder.rnn.weight_hh",
+         np.ascontiguousarray(p["lstm_wh"].T)),
+        ("_model.decoder.rnn.bias_ih", p["lstm_b"] - bias_hh),
+        ("_model.decoder.rnn.bias_hh", bias_hh),
+        ("_model.decoder.decoder.2.weight",
+         p["out_w"].reshape(1, sv.HIDDEN, 1)),
+        ("_model.decoder.decoder.2.bias", p["out_b"]),
+    ]
+    path = str(tmp_path / "silero_v5.onnx")
+    from conftest import write_onnx_file
+    write_onnx_file(path, tensors)
+    loaded = sv.load_silero_onnx(path)
+    for k in p:
+        np.testing.assert_allclose(loaded[k], p[k], atol=1e-5, err_msg=k)
+
+    sig = (np.random.default_rng(7).standard_normal(512 * 4) * 0.2).astype(
+        np.float32
+    )
+    a = sv.SileroShapedVAD(p).update(sig)
+    b = sv.SileroShapedVAD(loaded).update(sig)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_silero_shaped_roc_beats_energy():
     """The shipped silero-shaped weights must separate synthetic speech
     from music/babble/tones far better than the energy heuristic (held-out

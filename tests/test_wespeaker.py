@@ -125,6 +125,55 @@ def test_onnx_roundtrip_torch_export_layout(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_onnx_roundtrip_anonymous_names(tmp_path):
+    """Same graph as the torch-layout roundtrip but with STRIPPED
+    initializer names (`onnx::Conv_N` / bare numbers, as newer torch
+    exporters emit) — ingestion must fall back to pure graph order +
+    shape signatures, with BN roles filled in the ONNX
+    BatchNormalization input order (scale, B, mean, var)."""
+    from conftest import write_onnx_file
+
+    p = _rand_params(7)
+    cfg = ws.config_of(p)
+    tensors = []
+    counter = [0]
+
+    def nm(kind):
+        counter[0] += 1
+        return (f"onnx::{kind}_{counter[0]}" if counter[0] % 2
+                else str(1000 + counter[0]))
+
+    def emit_bn(prefix):
+        # ONNX BatchNormalization input order: scale, B, input_mean, input_var
+        for role in ("g", "b", "m", "v"):
+            tensors.append((nm("BatchNormalization"), p[f"{prefix}_{role}"]))
+
+    def to_onnx_conv(w):
+        return np.transpose(w, (3, 2, 1, 0))
+
+    tensors.append((nm("Conv"), to_onnx_conv(p["stem_w"])))
+    emit_bn("stem_bn")
+    for name, _ci, _co, _st, ds in ws._block_specs(cfg):
+        tensors.append((nm("Conv"), to_onnx_conv(p[f"{name}_c1_w"])))
+        emit_bn(f"{name}_bn1")
+        tensors.append((nm("Conv"), to_onnx_conv(p[f"{name}_c2_w"])))
+        emit_bn(f"{name}_bn2")
+        if ds:
+            tensors.append((nm("Conv"), to_onnx_conv(p[f"{name}_ds_w"])))
+            emit_bn(f"{name}_dsbn")
+    perm = ws.pool_permutation(cfg)
+    onnx_rows = np.empty_like(p["emb_w"])
+    onnx_rows[perm] = p["emb_w"]
+    tensors.append((nm("MatMul"), onnx_rows.T))
+    tensors.append((nm("Add"), p["emb_b"]))
+
+    path = str(tmp_path / "wespeaker_anon.onnx")
+    write_onnx_file(path, tensors)
+    loaded = ws.load_wespeaker_onnx(path, cfg)
+    for k in p:
+        np.testing.assert_allclose(loaded[k], p[k], atol=1e-6, err_msg=k)
+
+
 def test_onnx_wrong_family_raises_with_inventory(tmp_path):
     from conftest import write_onnx_file
 

@@ -30,6 +30,7 @@ uses the jax forward at the bottom.
 from __future__ import annotations
 
 import os
+import re
 import struct
 from typing import Optional
 
@@ -335,6 +336,12 @@ def load_silero_onnx(path: str) -> dict:
     tensors = read_onnx_initializers(path)
     inv = {name: t.shape for name, t in tensors.items()}
     items = list(tensors.items())  # insertion = graph order
+    # the real silero v5 file packages a parallel 8 kHz branch
+    # (`_model_8k.*`) whose LSTM/inner-conv tensors collide in shape with
+    # the 16 kHz ones — push the 8k branch behind the 16 kHz tensors so
+    # graph-order matching picks the 16 kHz weights (stable sort keeps
+    # relative order within each branch)
+    items.sort(key=lambda kv: "8k" in kv[0].lower())
     used: set[str] = set()
     params = init_silero_params()
 
@@ -371,12 +378,16 @@ def load_silero_onnx(path: str) -> dict:
         low = n.lower()
         return any(s in low for s in subs)
 
+    def is_recurrent_name(n):
+        # token-wise, so `rnn.weight_ih` (real silero v5 names) is NOT
+        # mistaken for a recurrent hint by a substring ".r" match
+        segs = re.split(r"[^a-z0-9]+", n.lower())
+        return "recurrent" in n.lower() or "hh" in segs or "r" in segs
+
     def is_wx(n, t):
         if t.size != h4 * ENC_CHANNELS[-1] or t.ndim not in (2, 3):
             return False
-        if name_hints(n, "hh", "_r", ".r", "recurrent"):
-            return False
-        return True
+        return not is_recurrent_name(n)
 
     wx = take(is_wx, f"LSTM input weights (4H x {ENC_CHANNELS[-1]})")
     wh = take(
@@ -392,6 +403,19 @@ def load_silero_onnx(path: str) -> dict:
     # concatenated Wb|Rb bias marks an ONNX-LSTM-op export -> permute; a
     # 4H bias marks torch-convention weights -> already ifgo.
     onnx_lstm = bb.size == 2 * h4
+    if not onnx_lstm:
+        # torch LSTMCell exports (the real silero v5 layout:
+        # `_model.decoder.rnn.bias_ih` + `bias_hh`) carry TWO separate 4H
+        # biases that the cell sums — missing the second silently halves
+        # the bias, so consume it when present
+        try:
+            b2 = take(
+                lambda n, t: t.size == h4 and name_hints(n, "bias"),
+                "second LSTM bias (bias_hh)",
+            )
+            bb = bb + b2.reshape(-1).astype(np.float32)
+        except ValueError:
+            pass  # single merged bias (this repo's own exports)
 
     def gates(arr_4h_first: np.ndarray) -> np.ndarray:
         if not onnx_lstm:

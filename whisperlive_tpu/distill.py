@@ -82,19 +82,32 @@ def distill_loss(
     teacher_params: wmod.Params,
     student_cfg: wmod.WhisperConfig,
     teacher_cfg: wmod.WhisperConfig,
-    mel: jax.Array,  # [B, 3000, n_mels]
+    mel: jax.Array | None,  # [B, 3000, n_mels] (or None with enc given)
     tokens_in: jax.Array,  # [B, T] teacher-forced inputs
     loss_mask: jax.Array,  # [B, T] f32
     kl_weight: float = 0.8,
     ce_weight: float = 1.0,
     temperature: float = 2.0,
+    enc: jax.Array | None = None,  # [B, 1500, d] precomputed encoder feats
+    t_logits: jax.Array | None = None,  # [B, T, V] precomputed teacher logits
 ) -> jax.Array:
     """KD objective on one batch. The teacher (and the shared encoder) is
-    inside stop_gradient; only the student DECODER takes gradients."""
-    enc = jax.lax.stop_gradient(wmod.encode(teacher_params, teacher_cfg, mel))
-    t_logits = jax.lax.stop_gradient(
-        decoder_forward_train(teacher_params, teacher_cfg, tokens_in, enc)
-    )
+    inside stop_gradient; only the student DECODER takes gradients.
+
+    The teacher is FROZEN, so its encoder features and teacher-forced
+    logits are constants of the (clip, pseudo-label) pool — callers can
+    precompute them once (scripts/distill_draft.py) and pass `enc` /
+    `t_logits` to skip the dominant per-step FLOPs (a full encoder pass
+    is ~8 TFLOP at large-v3; the student fwd/bwd is ~100x less)."""
+    if enc is None:
+        enc = jax.lax.stop_gradient(
+            wmod.encode(teacher_params, teacher_cfg, mel)
+        )
+    if t_logits is None:
+        t_logits = jax.lax.stop_gradient(
+            decoder_forward_train(teacher_params, teacher_cfg, tokens_in, enc)
+        )
+    t_logits = t_logits.astype(jnp.float32)
     s_params = {
         "encoder": teacher_params["encoder"],
         "decoder": student_decoder,
@@ -153,12 +166,14 @@ def make_distill_step(
             teacher_params,
             student_cfg,
             teacher_cfg,
-            batch["mel"],
+            batch.get("mel"),
             batch["tokens_in"],
             batch["loss_mask"],
             kl_weight=kl_weight,
             ce_weight=ce_weight,
             temperature=temperature,
+            enc=batch.get("enc"),
+            t_logits=batch.get("t_logits"),
         )
         updates, new_opt = optimizer.update(
             grads, state.opt_state, state.student_decoder
@@ -193,13 +208,17 @@ def measure_acceptance(
     student: wmod.Params,
     teacher_cfg: wmod.WhisperConfig,
     student_cfg: wmod.WhisperConfig,
-    mel: np.ndarray,
+    mel: np.ndarray | None,
     tokens_in: np.ndarray,
     loss_mask: np.ndarray,
+    enc: np.ndarray | None = None,
 ) -> float:
     """Teacher-forced greedy agreement rate — the upper bound on the
     speculative acceptance this draft achieves at k=1 on this data."""
-    enc = wmod.encode(teacher_params, teacher_cfg, jnp.asarray(mel))
+    if enc is None:
+        enc = wmod.encode(teacher_params, teacher_cfg, jnp.asarray(mel))
+    else:
+        enc = jnp.asarray(enc)
     t = np.asarray(jnp.argmax(
         decoder_forward_train(teacher_params, teacher_cfg,
                               jnp.asarray(tokens_in), enc), axis=-1))

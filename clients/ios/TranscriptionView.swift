@@ -39,6 +39,7 @@ struct TranscriptionView: View {
             }
             Button(streaming ? "Stop" : "Start transcribing") {
                 if streaming {
+                    client.stopStreaming()  // END_OF_AUDIO, then close
                     client.disconnect()
                 } else {
                     client.host = host
@@ -49,10 +50,35 @@ struct TranscriptionView: View {
                 streaming.toggle()
             }
             .buttonStyle(.borderedProminent)
+            statusLine
             if let lang = client.detectedLanguage {
                 Text("Language: \(lang)").font(.caption)
             }
         }
         .padding()
+    }
+
+    /// Surfaces WAIT / ERROR / WARNING / DISCONNECT states from the
+    /// server (reference AudioWebSocket.swift:188-199 logs these; here
+    /// they reach the user).
+    @ViewBuilder private var statusLine: some View {
+        switch client.status {
+        case .idle:
+            EmptyView()
+        case .connecting:
+            Text("Connecting…").font(.caption).foregroundColor(.secondary)
+        case .waiting(let minutes):
+            Text("Server full — estimated wait \(minutes, specifier: "%.1f") min")
+                .font(.caption).foregroundColor(.orange)
+        case .ready:
+            Text("Connected").font(.caption).foregroundColor(.green)
+        case .warning(let message):
+            Text("Warning: \(message)").font(.caption).foregroundColor(.orange)
+        case .error(let message):
+            Text("Error: \(message)").font(.caption).foregroundColor(.red)
+        case .disconnected:
+            Text("Disconnected by server (session time limit)")
+                .font(.caption).foregroundColor(.red)
+        }
     }
 }

@@ -2,8 +2,12 @@
 //
 // Same wire protocol as the Python client: JSON handshake, binary float32
 // PCM at 16 kHz mono, "END_OF_AUDIO" terminator; server pushes
-// {uid, segments: [...]} JSON. (Role equivalent of the reference's
-// Audio-Transcription-iOS AudioWebSocket/AudioStream.)
+// {uid, segments: [...]} JSON plus {uid, status: WAIT|ERROR|WARNING,
+// message} and {uid, message: SERVER_READY|DISCONNECT} control frames.
+// Role equivalent of the reference's Audio-Transcription-iOS
+// AudioWebSocket/AudioStream (AudioWebSocket.swift:63-215): reconnect
+// with exponential backoff and a retry cap, keep-alive pings, WAIT/ERROR/
+// WARNING surfacing, server-ready send gating, END_OF_AUDIO on stop.
 
 import AVFoundation
 import Foundation
@@ -17,15 +21,34 @@ public struct TranscriptSegment: Identifiable, Equatable {
     public let speaker: String?
 }
 
-public final class WhisperLiveClient: NSObject, ObservableObject {
+/// Connection lifecycle surfaced to the UI.
+public enum ClientStatus: Equatable {
+    case idle
+    case connecting
+    /// Server is at capacity; associated value is the estimated wait in
+    /// minutes (the server sends a number in "message").
+    case waiting(Double)
+    case ready
+    case warning(String)
+    case error(String)
+    case disconnected
+}
+
+public final class WhisperLiveClient: NSObject, ObservableObject, URLSessionWebSocketDelegate {
     @Published public private(set) var segments: [TranscriptSegment] = []
     @Published public private(set) var isConnected = false
     @Published public private(set) var detectedLanguage: String?
+    @Published public private(set) var status: ClientStatus = .idle
 
     private var webSocket: URLSessionWebSocketTask?
     private let uid = UUID().uuidString
     private let engine = AVAudioEngine()
     private var session: URLSession!
+    private var pingTimer: Timer?
+    private var retryCount = 0
+    private let maxRetries = 3
+    private var intentionalClose = false
+    private var serverReady = false
 
     public var host: String = "localhost"
     public var port: Int = 9090
@@ -37,12 +60,22 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
 
     public override init() {
         super.init()
-        session = URLSession(configuration: .default, delegate: nil, delegateQueue: .main)
+        session = URLSession(configuration: .default, delegate: self, delegateQueue: .main)
     }
 
     // MARK: - Connection
 
     public func connect() {
+        intentionalClose = false
+        retryCount = 0
+        openSocket()
+    }
+
+    private func openSocket() {
+        guard retryCount <= maxRetries else {
+            setStatus(.error("maximum reconnect attempts exceeded"))
+            return
+        }
         var components = URLComponents()
         components.scheme = "ws"
         components.host = host
@@ -51,10 +84,30 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
             components.queryItems = [URLQueryItem(name: "token", value: key)]
         }
         guard let url = components.url else { return }
+        setStatus(.connecting)
+        serverReady = false
         webSocket = session.webSocketTask(with: url)
         webSocket?.resume()
         sendHandshake()
         receiveLoop()
+        startPing()
+    }
+
+    /// Exponential backoff capped at 5 s, like the reference client.
+    private func reconnect() {
+        guard !intentionalClose else { return }
+        stopPing()
+        serverReady = false
+        DispatchQueue.main.async { self.isConnected = false }
+        retryCount += 1
+        guard retryCount <= maxRetries else {
+            setStatus(.error("maximum reconnect attempts exceeded"))
+            return
+        }
+        let delay = min(5.0, pow(2.0, Double(retryCount)))
+        DispatchQueue.global().asyncAfter(deadline: .now() + delay) { [weak self] in
+            self?.openSocket()
+        }
     }
 
     private func sendHandshake() {
@@ -70,7 +123,9 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
                 withJSONObject: options.compactMapValues { $0 }),
             let text = String(data: data, encoding: .utf8)
         else { return }
-        webSocket?.send(.string(text)) { _ in }
+        webSocket?.send(.string(text)) { [weak self] error in
+            if error != nil { self?.reconnect() }
+        }
     }
 
     private func receiveLoop() {
@@ -78,7 +133,7 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
             guard let self = self else { return }
             switch result {
             case .failure:
-                DispatchQueue.main.async { self.isConnected = false }
+                self.reconnect()
             case .success(let message):
                 if case .string(let text) = message { self.handleMessage(text) }
                 self.receiveLoop()
@@ -92,9 +147,38 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
             json["uid"] as? String == uid
         else { return }
 
-        if let message = json["message"] as? String, message == "SERVER_READY" {
-            DispatchQueue.main.async { self.isConnected = true }
+        // {"status": WAIT|ERROR|WARNING, "message": ...}
+        if let statusField = json["status"] as? String {
+            switch statusField {
+            case "WAIT":
+                let minutes = (json["message"] as? NSNumber)?.doubleValue
+                    ?? Double(json["message"] as? String ?? "") ?? 0
+                setStatus(.waiting(minutes))
+            case "ERROR":
+                setStatus(.error(json["message"] as? String ?? "server error"))
+            case "WARNING":
+                setStatus(.warning(json["message"] as? String ?? ""))
+            default:
+                break
+            }
             return
+        }
+        if let message = json["message"] as? String {
+            if message == "SERVER_READY" {
+                serverReady = true
+                retryCount = 0
+                setStatus(.ready)
+                DispatchQueue.main.async { self.isConnected = true }
+                return
+            }
+            if message == "DISCONNECT" {
+                // server-side session timeout: do not auto-reconnect (the
+                // server evicted us on purpose), surface it instead
+                intentionalClose = true
+                setStatus(.disconnected)
+                DispatchQueue.main.async { self.isConnected = false }
+                return
+            }
         }
         if let lang = json["language"] as? String {
             DispatchQueue.main.async { self.detectedLanguage = lang }
@@ -131,6 +215,29 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
         segments = out
     }
 
+    private func setStatus(_ s: ClientStatus) {
+        DispatchQueue.main.async { self.status = s }
+    }
+
+    // MARK: - Keep-alive
+
+    private func startPing() {
+        stopPing()
+        let timer = Timer.scheduledTimer(withTimeInterval: 15.0, repeats: true) {
+            [weak self] _ in
+            self?.webSocket?.sendPing { error in
+                if error != nil { self?.reconnect() }
+            }
+        }
+        RunLoop.main.add(timer, forMode: .common)
+        pingTimer = timer
+    }
+
+    private func stopPing() {
+        pingTimer?.invalidate()
+        pingTimer = nil
+    }
+
     // MARK: - Microphone streaming
 
     public func startStreaming() throws {
@@ -150,6 +257,10 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
         input.installTap(onBus: 0, bufferSize: 4096, format: inputFormat) {
             [weak self] buffer, _ in
             guard let self = self else { return }
+            // drop microphone frames until the server has accepted the
+            // session — sending early races the handshake (the reference
+            // gates sends the same way)
+            guard self.serverReady, self.webSocket?.state == .running else { return }
             let ratio = 16000.0 / inputFormat.sampleRate
             let capacity = AVAudioFrameCount(Double(buffer.frameLength) * ratio + 16)
             guard
@@ -163,7 +274,9 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
             guard error == nil, let ch = out.floatChannelData else { return }
             let data = Data(
                 bytes: ch[0], count: Int(out.frameLength) * MemoryLayout<Float>.size)
-            self.webSocket?.send(.data(data)) { _ in }
+            self.webSocket?.send(.data(data)) { [weak self] error in
+                if error != nil { self?.reconnect() }
+            }
         }
         engine.prepare()
         try engine.start()
@@ -172,15 +285,28 @@ public final class WhisperLiveClient: NSObject, ObservableObject {
     public func stopStreaming() {
         engine.inputNode.removeTap(onBus: 0)
         engine.stop()
-        if let data = "END_OF_AUDIO".data(using: .utf8) {
+        if webSocket?.state == .running, let data = "END_OF_AUDIO".data(using: .utf8) {
             webSocket?.send(.data(data)) { _ in }
         }
     }
 
     public func disconnect() {
+        intentionalClose = true
         stopStreaming()
+        stopPing()
         webSocket?.cancel(with: .normalClosure, reason: nil)
         webSocket = nil
         isConnected = false
+        setStatus(.idle)
+    }
+
+    // MARK: - URLSessionWebSocketDelegate
+
+    public func urlSession(
+        _ session: URLSession, webSocketTask: URLSessionWebSocketTask,
+        didCloseWith closeCode: URLSessionWebSocketTask.CloseCode, reason: Data?
+    ) {
+        stopPing()
+        reconnect()
     }
 }

@@ -42,6 +42,11 @@ def main() -> None:
                         help="decode-step-level continuous batching (default)")
     parser.add_argument("--no_continuous", dest="continuous", action="store_false")
     parser.add_argument("--continuous_slots", type=int, default=16)
+    parser.add_argument("--beam_mode", choices=("full", "refresh"),
+                        default="full",
+                        help="with --beam_size>1: 'refresh' = hybrid beam "
+                             "(greedy continuous partials, beamed full "
+                             "re-decodes on the window scheduler)")
     parser.add_argument("--beam_size", type=int, default=1,
                         help="lockstep beam lanes per slot (slot pool "
                              "shrinks to continuous_slots/beam_size)")
@@ -114,7 +119,8 @@ def main() -> None:
         from whisperlive_tpu.engine.continuous import ContinuousScheduler
 
         n_slots = args.continuous_slots
-        if args.beam_size > 1:
+        hybrid_beam = args.beam_size > 1 and args.beam_mode == "refresh"
+        if args.beam_size > 1 and not hybrid_beam:
             n_slots = max(2, args.continuous_slots // args.beam_size)
         continuous = ContinuousScheduler(
             engine,
@@ -123,12 +129,25 @@ def main() -> None:
             cross_ctx=args.cross_ctx,
             ring=args.ring,
             prompt_pad=args.prompt_pad,
-            beam_width=args.beam_size,
+            beam_width=1 if hybrid_beam else args.beam_size,
             draft_engine=draft_engine,
             spec_k=args.spec_k,
         )
         continuous.warmup()
         continuous.start()
+        if hybrid_beam:
+            # the beamed full re-decodes run on the window scheduler —
+            # warm its beamed program for the buckets it will hit
+            from whisperlive_tpu.serving.backends import (
+                transcribe_options_from_session,
+            )
+            buckets = [b for b in engine.batch_buckets if b <= args.batch_max_size]
+            engine.warmup(
+                batch_sizes=set(buckets),
+                options=transcribe_options_from_session(
+                    SessionOptions(), beam_size=args.beam_size
+                ),
+            )
         if args.tail_cap_s == 0 or args.tail_cap_s > continuous.max_window_s:
             # without a tail cap, tails outgrow the continuous content cap
             # (~12.8 s) mid-run and overflow to the WINDOW scheduler — warm
@@ -199,7 +218,8 @@ def main() -> None:
             return result
 
     backend = MeasuringBackend(scheduler, continuous_scheduler=continuous,
-                               beam_size=args.beam_size)
+                               beam_size=args.beam_size,
+                               beam_mode=args.beam_mode)
     backend.request_timeout_s = 180.0  # survive rare cold-shape compiles
 
     chunk_samples = int(16000 * args.chunk_ms / 1000)
@@ -288,6 +308,7 @@ def main() -> None:
                 "duration_s": args.seconds,
                 "mode": "continuous" if args.continuous else "window",
                 "beam_size": args.beam_size,
+                "beam_mode": args.beam_mode if args.beam_size > 1 else None,
                 "tokens_per_s": args.tokens_per_s,
                 "tail_cap_s": args.tail_cap_s,
                 "continuous_slots": args.continuous_slots if args.continuous else None,

@@ -81,6 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Beam width for streaming decodes (1=greedy; the "
                              "reference's transcriber defaults to 5 — wider "
                              "beams shrink the effective device batch).")
+    parser.add_argument("--beam_mode", choices=("full", "refresh"),
+                        default="full",
+                        help="With --beam_size > 1: 'full' beams every "
+                             "decode on a lane-multiplied continuous pool "
+                             "(slot budget / beam_size); 'refresh' keeps "
+                             "the continuous pool greedy at full slot "
+                             "count and beams only the full re-decodes "
+                             "(periodic WL_PREFIX_REFRESH windows + "
+                             "post-commit windows) on the window "
+                             "scheduler — greedy partial latency, beamed "
+                             "durable output. Composes with "
+                             "--continuous_spec.")
     parser.add_argument("--draft_model", type=str, default=None,
                         help="Distil-family draft size for speculative "
                              "decoding of lone greedy window requests "
@@ -180,13 +192,28 @@ def create_backend(args):
         )
     spec_decoder = None
     draft_engine = None
-    if (args.draft_model or args.draft_path) and args.beam_size > 1:
+    hybrid_beam = args.beam_size > 1 and args.beam_mode == "refresh"
+    if (args.draft_model or args.draft_path) and args.beam_size > 1 \
+            and not hybrid_beam:
         # every server-built window request carries beam_size, and the
         # speculative route requires beam 1 — don't spend HBM + minutes of
         # warmup compiles on a path that can never fire
         logging.warning(
-            "--draft_model is ignored with --beam_size %d: the speculative "
-            "route serves greedy requests only", args.beam_size,
+            "--draft_model is ignored with --beam_size %d --beam_mode full: "
+            "the speculative route serves greedy requests only",
+            args.beam_size,
+        )
+    elif (args.draft_model or args.draft_path) and hybrid_beam:
+        # hybrid beam: partials are greedy on the continuous pool, so the
+        # draft composes with --continuous_spec there; the window-side
+        # SpeculativeDecoder route can never fire (window requests carry
+        # the beam), so skip its warmup
+        from whisperlive_tpu.loader import load_engine
+
+        draft_engine = load_engine(
+            args.draft_model or "distil-large-v3", args.draft_path,
+            compute_dtype=compute_dtype,
+            shardings=shardings,
         )
     elif args.draft_model or args.draft_path:
         from whisperlive_tpu.engine.speculative import SpeculativeDecoder
@@ -230,7 +257,18 @@ def create_backend(args):
         # Resident state scales with slots*beams — shrink the slot pool
         # to bound HBM.
         n_slots = args.continuous_slots
-        if args.beam_size > 1:
+        pool_beam = args.beam_size
+        if hybrid_beam:
+            # hybrid: the pool stays greedy at FULL slot count; beamed
+            # full re-decodes route to the window scheduler (backends.py
+            # hybrid_beam)
+            pool_beam = 1
+            logging.info(
+                "hybrid beam serving: greedy continuous pool (%d slots), "
+                "beam-%d full re-decodes on the window scheduler",
+                n_slots, args.beam_size,
+            )
+        elif args.beam_size > 1:
             n_slots = max(2, args.continuous_slots // args.beam_size)
             logging.info(
                 "continuous beam serving: %d slots x %d lanes",
@@ -262,7 +300,7 @@ def create_backend(args):
             n_slots=n_slots,
             steps_per_chunk=args.steps_per_chunk,
             cross_ctx=args.continuous_cross_ctx,
-            beam_width=args.beam_size,
+            beam_width=pool_beam,
             draft_engine=cont_draft,
             spec_k=args.spec_k,
         )
@@ -275,7 +313,8 @@ def create_backend(args):
             "--batch_max_size", args.batch_max_size * args.beam_size)
     return TpuBackend(scheduler, model_name=args.model if not ckpt else ckpt,
                       beam_size=args.beam_size,
-                      continuous_scheduler=continuous), "tpu"
+                      continuous_scheduler=continuous,
+                      beam_mode=args.beam_mode), "tpu"
 
 
 def main(argv=None) -> None:

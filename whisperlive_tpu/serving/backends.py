@@ -17,6 +17,7 @@ Two implementations:
 from __future__ import annotations
 
 import asyncio
+import dataclasses
 import os
 import logging
 import time
@@ -88,6 +89,7 @@ class TpuBackend:
         model_name: str | None = None,
         beam_size: int = 1,
         continuous_scheduler=None,
+        beam_mode: str = "full",
     ):
         self.scheduler = scheduler
         # Decode-step-level continuous batching (engine/continuous.py):
@@ -100,6 +102,27 @@ class TpuBackend:
         self.continuous_scheduler = continuous_scheduler
         self.model_name = model_name
         self.beam_size = beam_size
+        # Hybrid beam serving (beam_mode="refresh"): incremental partial
+        # windows decode GREEDY on the continuous pool (built with
+        # beam_width=1, full slot count), while full re-decodes — the
+        # periodic WL_PREFIX_REFRESH windows and the post-commit
+        # from-scratch windows — keep beam_size>1, which _pick_scheduler
+        # routes to the window scheduler's batched beam program. The
+        # beamed hypothesis re-seeds the prefix cache, so greedy partials
+        # always EXTEND a beam-derived hypothesis; committed text must
+        # survive the next beamed full re-decode to persist. This keeps
+        # beam-5 quality on everything durable at greedy-partial latency
+        # (the reference decodes beam-5 always; a fully-beamed continuous
+        # pool divides the slot budget by the lane count and saturates,
+        # BENCH_NOTES round 3).
+        self.hybrid_beam = (
+            beam_mode == "refresh"
+            and beam_size > 1
+            and continuous_scheduler is not None
+            and getattr(continuous_scheduler, "beam_width", 1) == 1
+        )
+        # observability: how the hybrid split actually routed
+        self.hybrid_stats = {"greedy_partials": 0, "beamed_fulls": 0}
         self.use_vad_default = use_vad_default
         self._vads: dict[str, object] = {}
         self._vad_threshold = vad_threshold
@@ -253,6 +276,35 @@ class TpuBackend:
             options, language, beam_size=self.beam_size
         )
         topts = self._adjust_options(topts, chunk)
+        # Resolve the incremental-prefix plan BEFORE routing: hybrid beam
+        # mode splits on it (prefix windows decode greedy on the
+        # continuous pool; full re-decodes keep the beam and route to the
+        # window scheduler). Mutations are applied only after routing.
+        prefix_eligible = (
+            self.incremental
+            and window_anchor_s is not None
+            # the ring repetition penalty cannot see prompt-region prefix
+            # tokens, so a non-default penalty would diverge from the
+            # from-scratch decode it must reproduce — decode fully instead
+            and topts.repetition_penalty == 1.0
+        )
+        prefix_plan: tuple | None = None  # ("use", toks)|("refresh",)|("evict",)
+        if prefix_eligible and uid in self._prefix_cache:
+            anchor, toks = self._prefix_cache[uid]
+            if abs(anchor - window_anchor_s) < 1e-6:
+                streak = self._prefix_streak.get(uid, 0)
+                if self.prefix_refresh and streak >= self.prefix_refresh:
+                    prefix_plan = ("refresh",)  # periodic full re-decode
+                else:
+                    prefix_plan = ("use", self._trim_prefix(toks))
+            else:
+                prefix_plan = ("evict",)  # commit moved the tail start
+        hybrid = self.hybrid_beam and topts.beam_size > 1
+        if hybrid and prefix_plan is not None and prefix_plan[0] == "use" \
+                and prefix_plan[1]:
+            # greedy incremental partial; the beam rides the periodic
+            # refresh + post-commit full re-decodes
+            topts = dataclasses.replace(topts, beam_size=1)
         req = BatchRequest(
             audio=chunk,
             options=topts,
@@ -263,32 +315,32 @@ class TpuBackend:
         )
         scheduler = self._pick_scheduler(topts, len(chunk) / 16000.0)
         on_continuous = scheduler is self.continuous_scheduler
+        if hybrid:
+            key = "greedy_partials" if topts.beam_size == 1 else "beamed_fulls"
+            self.hybrid_stats[key] += 1
         if on_continuous:
             # Late-bound audio: if the request queues behind a full slot
             # pool, the scheduler re-snapshots the stream's current tail at
             # slot-grant time (continuous.py::_rebind_audio) instead of
             # decoding the stale submit-time snapshot.
             req.refresh_audio = refresh_audio
-        use_prefix = (
-            self.incremental
-            and on_continuous
-            and window_anchor_s is not None
-            # the ring repetition penalty cannot see prompt-region prefix
-            # tokens, so a non-default penalty would diverge from the
-            # from-scratch decode it must reproduce — decode fully instead
-            and topts.repetition_penalty == 1.0
-        )
-        if use_prefix and uid in self._prefix_cache:
-            anchor, toks = self._prefix_cache[uid]
-            if abs(anchor - window_anchor_s) < 1e-6:
-                streak = self._prefix_streak.get(uid, 0)
-                if self.prefix_refresh and streak >= self.prefix_refresh:
-                    self._prefix_streak[uid] = 0  # periodic full re-decode
-                else:
-                    req.prefix_tokens = self._trim_prefix(toks)
-                    self._prefix_streak[uid] = streak + 1 if req.prefix_tokens else 0
-            else:
-                del self._prefix_cache[uid]  # commit moved the tail start
+        # hybrid full re-decodes run on the window scheduler but still
+        # participate in the prefix cache — the beamed hypothesis is what
+        # the greedy partials extend
+        use_prefix = prefix_eligible and (on_continuous or hybrid)
+        if use_prefix and prefix_plan is not None:
+            kind = prefix_plan[0]
+            if kind == "refresh":
+                self._prefix_streak[uid] = 0
+            elif kind == "use":
+                if on_continuous:
+                    req.prefix_tokens = prefix_plan[1]
+                self._prefix_streak[uid] = (
+                    self._prefix_streak.get(uid, 0) + 1
+                    if req.prefix_tokens else 0
+                )
+            else:  # evict
+                self._prefix_cache.pop(uid, None)
                 self._prefix_streak.pop(uid, None)
         t_submit = time.monotonic()
         scheduler.submit(req)

@@ -982,7 +982,7 @@ class WhisperEngine:
             )
         return results
 
-    def transcribe_batch(
+    def transcribe_batch_async(
         self,
         audio: np.ndarray,  # [B_bucket, N_SAMPLES] float32
         prompts: list[list[int]],
@@ -990,14 +990,19 @@ class WhisperEngine:
         lang_known: Sequence[bool],
         options: TranscribeOptions,
         seed: int = 0,
-    ) -> tuple[list[DecodeResult], list[tuple[str, float]], Any]:
-        """Attempt-1 transcription of a window batch.
-
-        Items with lang_known[i] == False get their prompt's language token
-        spliced in from on-device detection. Two dispatches: prepare, then a
-        fused language-ID+decode program. Returns (results,
-        [(language, prob)] per item). Gate failures should be retried via
-        decode_with_fallback at the next temperatures."""
+    ) -> "_PendingBatch":
+        """Dispatch attempt-1 transcription of a window batch WITHOUT
+        fetching results: both device programs (prepare + fused
+        language-ID/decode) are enqueued and a _PendingBatch handle is
+        returned; .resolve() forces the device->host fetch. JAX dispatch
+        is asynchronous, so a caller can upload + enqueue window batch
+        N+1 before resolving batch N — overlapping the host-side fixed
+        cost (audio upload, program dispatch, result round-trip) with
+        batch N's device compute. That fixed cost measured 643 ms per
+        window-batch through the relay (bench.py r4), on par with the
+        compute itself. bench.py pipelines at depth 2; the seek-loop
+        paths cannot (each window's prompt conditions on the previous
+        window's tokens)."""
         b = audio.shape[0]
         _, cross_kv = self.prepare(audio)
         n_real = len(prompts)
@@ -1034,17 +1039,30 @@ class WhisperEngine:
                 options.no_repeat_ngram_size,
                 *_rule_statics(options),
             )
-        results = self._extract_results(tokens, gen_len, sum_lp, ns_prob, temps, n_real)
-        langs: list[tuple[str, float]] = []
-        if self.tokenizer.spec.multilingual:
-            lang_probs = np.asarray(lang_probs)
-            codes = self.tokenizer.spec.language_codes
-            for i in range(n_real):
-                j = int(np.argmax(lang_probs[i]))
-                langs.append((codes[j], float(lang_probs[i][j])))
-        else:
-            langs = [("en", 1.0)] * n_real
-        return results, langs, cross_kv
+        return _PendingBatch(
+            self, tokens, gen_len, sum_lp, ns_prob, lang_probs, temps,
+            n_real, cross_kv,
+        )
+
+    def transcribe_batch(
+        self,
+        audio: np.ndarray,  # [B_bucket, N_SAMPLES] float32
+        prompts: list[list[int]],
+        sot_indices: Sequence[int],
+        lang_known: Sequence[bool],
+        options: TranscribeOptions,
+        seed: int = 0,
+    ) -> tuple[list[DecodeResult], list[tuple[str, float]], Any]:
+        """Attempt-1 transcription of a window batch.
+
+        Items with lang_known[i] == False get their prompt's language token
+        spliced in from on-device detection. Two dispatches: prepare, then a
+        fused language-ID+decode program. Returns (results,
+        [(language, prob)] per item). Gate failures should be retried via
+        decode_with_fallback at the next temperatures."""
+        return self.transcribe_batch_async(
+            audio, prompts, sot_indices, lang_known, options, seed=seed
+        ).resolve()
 
     def align_words(
         self,
@@ -1181,3 +1199,39 @@ class WhisperEngine:
         for item in pending:
             results[item] = best_failed_attempt(options, history[item])
         return [r for r in results if r is not None]
+
+
+class _PendingBatch:
+    """An in-flight window batch: both device programs are enqueued, the
+    outputs are still device arrays. resolve() forces the device->host
+    fetch and builds DecodeResults — callers pipeline by dispatching the
+    next batch before resolving this one (transcribe_batch_async)."""
+
+    def __init__(
+        self, engine, tokens, gen_len, sum_lp, ns_prob, lang_probs,
+        temps, n_real, cross_kv,
+    ):
+        self._engine = engine
+        self._outs = (tokens, gen_len, sum_lp, ns_prob)
+        self._lang_probs = lang_probs
+        self._temps = temps
+        self._n_real = n_real
+        self.cross_kv = cross_kv
+
+    def resolve(self):
+        """-> (results, [(language, prob)] per item, cross_kv)."""
+        eng = self._engine
+        tokens, gen_len, sum_lp, ns_prob = self._outs
+        results = eng._extract_results(
+            tokens, gen_len, sum_lp, ns_prob, self._temps, self._n_real
+        )
+        langs: list[tuple[str, float]] = []
+        if eng.tokenizer.spec.multilingual:
+            lang_probs = np.asarray(self._lang_probs)
+            codes = eng.tokenizer.spec.language_codes
+            for i in range(self._n_real):
+                j = int(np.argmax(lang_probs[i]))
+                langs.append((codes[j], float(lang_probs[i][j])))
+        else:
+            langs = [("en", 1.0)] * self._n_real
+        return results, langs, self.cross_kv

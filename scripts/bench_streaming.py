@@ -285,7 +285,12 @@ def main() -> None:
         spec_before = (
             dict(continuous.spec_stats) if continuous is not None else {}
         )
+        tick_before = (
+            dict(continuous.tick_stats) if continuous is not None else {}
+        )
+        row_t0 = time.monotonic()
         asyncio.run(run(n_streams))
+        row_wall = time.monotonic() - row_t0
 
         latencies_np = np.asarray(latencies)
         updates = np.asarray(updates_per_stream, np.float64)
@@ -315,6 +320,34 @@ def main() -> None:
                 "steps_per_chunk": args.steps_per_chunk if args.continuous else None,
             },
         }
+        if continuous is not None:
+            # dispatch-cost decomposition of the worker loop over this row:
+            # where a tick's wall time goes (insert = upload+encode
+            # dispatch, step = decode-chunk dispatch + syncing status
+            # fetch, harvest = host assembly). step_ms_avg bounds the
+            # per-partial floor: a partial needs ceil(tail/steps_per_chunk)
+            # ticks, each >= one dispatch+fetch round trip through the
+            # relay plus the chunk's device compute.
+            td = {
+                k: continuous.tick_stats[k] - tick_before.get(k, 0)
+                for k in continuous.tick_stats
+            }
+            n_ticks = max(td["ticks"], 1)
+            result["detail"].update(
+                ticks=td["ticks"],
+                ticks_per_s=round(td["ticks"] / max(row_wall, 1e-9), 2),
+                step_ms_avg=round(td["step_s"] / n_ticks * 1e3, 1),
+                insert_ms_avg=round(
+                    td["insert_s"] / max(td["insert_calls"], 1) * 1e3, 1
+                ),
+                insert_calls=td["insert_calls"],
+                insert_windows=td["insert_windows"],
+                harvest_ms_avg=round(td["harvest_s"] / n_ticks * 1e3, 1),
+                loop_busy_frac=round(
+                    (td["insert_s"] + td["step_s"] + td["harvest_s"])
+                    / max(row_wall, 1e-9), 3,
+                ),
+            )
         if args.continuous_spec and continuous is not None:
             d = {
                 k: continuous.spec_stats[k] - spec_before.get(k, 0)

@@ -1491,6 +1491,17 @@ class ContinuousScheduler:
         # 1 + accepted, so accepted = committed - rounds and the proposal
         # count is rounds * spec_k
         self.spec_stats = {"windows": 0, "rounds": 0, "committed": 0}
+        # dispatch-cost observability (host-side, cumulative): wall time
+        # the worker loop spends in each phase of a tick — insert
+        # (audio upload + encode dispatch), step (decode-chunk dispatch +
+        # the status fetch that syncs it), harvest (host-side unroll +
+        # result assembly). Through a relay, step time = per-dispatch
+        # fixed cost + chunk compute; the bench reports this split so a
+        # latency floor can be attributed to code vs link.
+        self.tick_stats = {
+            "ticks": 0, "insert_s": 0.0, "step_s": 0.0, "harvest_s": 0.0,
+            "insert_calls": 0, "insert_windows": 0,
+        }
 
     def acceptance_rate(self) -> float:
         """Cumulative draft-acceptance fraction of the speculative
@@ -1664,6 +1675,8 @@ class ContinuousScheduler:
             g_free, free = free[: len(group)], free[len(group):]
             try:
                 self._insert_take(group, g_free, enc_ctx=enc_ctx)
+                self.tick_stats["insert_calls"] += 1
+                self.tick_stats["insert_windows"] += len(group)
             except Exception as e:
                 # the taken requests are no longer in _pending and not yet
                 # in _slots — the worker-loop catch-all cannot see them, so
@@ -2015,6 +2028,11 @@ class ContinuousScheduler:
                 t2 = time.monotonic()
                 self._harvest(status)
                 t3 = time.monotonic()
+                ts = self.tick_stats
+                ts["ticks"] += 1
+                ts["insert_s"] += t1 - t0
+                ts["step_s"] += t2 - t1
+                ts["harvest_s"] += t3 - t2
                 if logger.isEnabledFor(logging.DEBUG):
                     logger.debug(
                         "cb tick: insert %.0fms step %.0fms harvest %.0fms "

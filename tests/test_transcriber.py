@@ -612,3 +612,49 @@ def test_batched_chunk_length(engine, rng):
     assert len(calls) == 2  # 8 s / 4 s windows
     segments, info = result
     assert info.duration == pytest.approx(8.0)
+
+
+def test_pipelined_batches_match_sync(engine, rng):
+    """Depth-2 pipelining (transcribe_batch_async): dispatching batch N+1
+    before resolving batch N must be token-identical to the sequential
+    path — the pending handle only defers the device->host fetch, never
+    the computation (bench.py and BatchedTranscriber rely on this to
+    overlap the per-batch fixed dispatch cost with device compute)."""
+    from whisperlive_tpu.ops import mel as mel_ops
+
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=10,
+    )
+    p, s = engine.build_prompt(opts, language="en")
+    batches = []
+    for i in range(3):
+        audio = np.zeros((2, mel_ops.N_SAMPLES), np.float32)
+        audio[:, : 16000 * 2] = (
+            rng.standard_normal((2, 16000 * 2)) * 0.1
+        )
+        batches.append(audio)
+
+    sync = [
+        engine.transcribe_batch(a, [p, p], [s, s], [True, True], opts, seed=i)
+        for i, a in enumerate(batches)
+    ]
+
+    pending, piped = [], []
+    for i, a in enumerate(batches):
+        pending.append(
+            engine.transcribe_batch_async(
+                a, [p, p], [s, s], [True, True], opts, seed=i
+            )
+        )
+        if len(pending) > 1:
+            piped.append(pending.pop(0).resolve())
+    piped.extend(h.resolve() for h in pending)
+
+    for (res_s, langs_s, _), (res_p, langs_p, _) in zip(sync, piped):
+        assert langs_s == langs_p
+        for rs, rp in zip(res_s, res_p):
+            np.testing.assert_array_equal(rs.tokens, rp.tokens)
+            assert rs.avg_logprob == pytest.approx(rp.avg_logprob)
+            assert rs.no_speech_prob == pytest.approx(rp.no_speech_prob)

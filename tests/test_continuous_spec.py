@@ -305,3 +305,43 @@ def test_spec_acceptance_stats(engine, distil_draft, rng):
     plain = ContinuousScheduler(engine, n_slots=1, steps_per_chunk=2,
                                 prompt_pad=16, ring=64)
     assert plain.acceptance_rate() == 0.0
+
+
+def test_spec_zero_recompiles_after_warmup(engine, distil_draft, rng):
+    """Spec mode's live path (insert buckets, spec round program, release,
+    align) must be fully compiled by warmup() — same invariant as the
+    plain path's test_zero_recompiles_after_warmup: a cold compile during
+    serving stalls the shared lockstep loop for every stream."""
+    opts = TranscribeOptions(
+        language="en", temperatures=(0.0,), log_prob_threshold=None,
+        no_speech_threshold=None, compression_ratio_threshold=None,
+        max_new_tokens=10,
+    )
+    sched = ContinuousScheduler(engine, n_slots=4, steps_per_chunk=2,
+                                prompt_pad=64, ring=60,
+                                draft_engine=distil_draft, spec_k=3)
+    sched.warmup()
+    cb = sched.cb
+    tracked = {
+        "insert": cb._insert_fn,
+        "spec": cb._spec_fn,
+        "release": cb._release_fn,
+        "align": engine._align_fn,
+    }
+    before = {k: f._cache_size() for k, f in tracked.items()}
+
+    sched.start()
+    try:
+        for wave in ([2.0], [1.5, 2.0, 2.5], [1.0, 1.5, 2.0, 2.5]):
+            futs = []
+            for i, sec in enumerate(wave):
+                req = BatchRequest(audio=_audio(rng, sec), options=opts,
+                                   uid=f"sw{len(wave)}-{i}")
+                futs.append(sched.submit(req))
+            for f in futs:
+                f.result(timeout=180)
+    finally:
+        sched.stop()
+
+    after = {k: f._cache_size() for k, f in tracked.items()}
+    assert after == before, f"recompiled after warmup: {before} -> {after}"

@@ -15,6 +15,7 @@ from whisperlive_tpu import training
 from whisperlive_tpu.engine.tokenizer import TokenSpec, WhisperTokenizer
 from whisperlive_tpu.models.whisper import WHISPER_CONFIGS, init_params
 from whisperlive_tpu.ops.mel import N_SAMPLES, log_mel_spectrogram
+from whisperlive_tpu.parallel import multihost
 from whisperlive_tpu.parallel.mesh import EngineShardings
 
 
@@ -41,11 +42,16 @@ def make_batch(tokenizer, cfg, audio_batch, texts, max_len=128):
 
 
 def main() -> None:
+    # multi-host: run this same script on every host with WL_COORDINATOR /
+    # WL_NUM_PROCS / WL_PROC_ID set — dp then spans hosts (gradients
+    # all-reduce over DCN) while tp stays on each host's ICI, and each
+    # host feeds its own shard via multihost.local_batch_to_global
+    multihost.init_multihost()
     cfg = WHISPER_CONFIGS["tiny"]
     tokenizer = WhisperTokenizer(TokenSpec(cfg.n_vocab, multilingual=True), language="en")
 
     n = len(jax.devices())
-    shardings = EngineShardings.create(tp=2 if n % 2 == 0 else 1)
+    shardings = multihost.multihost_shardings(tp=2 if n % 2 == 0 else 1)
     optimizer = training.make_optimizer(learning_rate=1e-5, warmup_steps=10)
     params = init_params(cfg)  # or convert.load_hf_checkpoint(...)[1]
     params = jax.device_put(params, shardings.param_shardings(params))
@@ -53,13 +59,24 @@ def main() -> None:
     step = jax.jit(training.make_train_step(cfg, optimizer), donate_argnums=0)
 
     rng = np.random.default_rng(0)
+    nproc = jax.process_count()
+    local_b = shardings.dp * 2 // nproc  # this host's share of the batch
     for i in range(5):  # replace with a real data loader
-        audio = rng.standard_normal((shardings.dp * 2, N_SAMPLES)).astype(np.float32) * 0.1
-        texts = ["hello world"] * (shardings.dp * 2)
+        audio = rng.standard_normal((local_b, N_SAMPLES)).astype(np.float32) * 0.1
+        texts = ["hello world"] * local_b
         batch = make_batch(tokenizer, cfg, audio, texts)
-        batch = {k: jax.device_put(v, shardings.batch_sharding(v.ndim)) for k, v in batch.items()}
+        if nproc > 1:
+            batch = {
+                k: multihost.local_batch_to_global(
+                    np.asarray(v), shardings.batch_sharding(np.ndim(v))
+                )
+                for k, v in batch.items()
+            }
+        else:
+            batch = {k: jax.device_put(v, shardings.batch_sharding(v.ndim)) for k, v in batch.items()}
         state, loss = step(state, batch)
-        print(f"step {i}: loss {float(loss):.4f}")
+        if multihost.is_primary():
+            print(f"step {i}: loss {float(loss):.4f}")
 
 
 if __name__ == "__main__":

@@ -209,15 +209,20 @@ def main(argv=None) -> int:
     )
     raw_step = distill.make_distill_step(cfg_s, cfg_t, opt)
 
+    # the teacher tree and the device-resident pools ride as jit ARGUMENTS,
+    # not closure captures: a captured array is embedded in the compile
+    # payload as a constant, and at large-v3 that is a multi-GB request the
+    # remote-compile relay rejects (HTTP 413) — as parameters they stay on
+    # device and only shapes ship with the program
     @jax.jit
-    def step(st, idx):
+    def step(st, idx, tparams, enc_all, tl_all, tok_all, mask_all):
         batch = {
-            "enc": jnp.take(enc_dev, idx, axis=0),
-            "t_logits": jnp.take(tl_dev, idx, axis=0),
-            "tokens_in": jnp.take(tok_dev, idx, axis=0),
-            "loss_mask": jnp.take(mask_dev, idx, axis=0),
+            "enc": jnp.take(enc_all, idx, axis=0),
+            "t_logits": jnp.take(tl_all, idx, axis=0),
+            "tokens_in": jnp.take(tok_all, idx, axis=0),
+            "loss_mask": jnp.take(mask_all, idx, axis=0),
         }
-        return raw_step(st, teacher_params, batch)
+        return raw_step(st, tparams, batch)
 
     n_train = int(P * 0.9)
     hold = slice(n_train, P)
@@ -234,7 +239,9 @@ def main(argv=None) -> int:
     t0 = time.monotonic()
     for i in range(args.steps):
         idx = jnp.asarray(rng.integers(0, n_train, args.batch), jnp.int32)
-        state, loss = step(state, idx)
+        state, loss = step(
+            state, idx, teacher_params, enc_dev, tl_dev, tok_dev, mask_dev
+        )
         if i % 25 == 0 or i == args.steps - 1:
             logger.info("step %4d  loss %.4f  (%.1fs)", i, float(loss),
                         time.monotonic() - t0)

@@ -154,8 +154,12 @@ def save_checkpoint(path: str, state: TrainState, cfg: wmod.WhisperConfig) -> No
     meta = {k: v for k, v in dc.asdict(cfg).items()
             if k not in ("dtype", "fused_encoder_attention")}
     meta["step"] = int(state.step)
-    with open(os.path.join(path, "train_meta.json"), "w") as f:
-        json.dump(meta, f)
+    # multi-host: orbax's array save above is collective (all processes
+    # call it; shards stream from their owning hosts), but the metadata
+    # file is plain IO — primary writes it once
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "train_meta.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def load_checkpoint(
@@ -175,8 +179,22 @@ def load_checkpoint(
     step = meta.pop("step")
     cfg = wmod.WhisperConfig(**meta)
     ckpt = ocp.PyTreeCheckpointer()
-    params = ckpt.restore(os.path.join(path, "params"))
     import numpy as np
+
+    # restore as plain host arrays: a checkpoint written by a multi-host
+    # run carries per-array sharding metadata naming a mesh that does not
+    # exist in the restoring process — forcing np.ndarray sidesteps it
+    # (the caller re-shards for its own topology)
+    p_skel = jax.eval_shape(lambda: wmod.init_params(cfg, 0))
+    params = ckpt.restore(
+        os.path.join(path, "params"),
+        args=ocp.args.PyTreeRestore(
+            restore_args=jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), p_skel
+            ),
+            item=p_skel,
+        ),
+    )
 
     skeleton = jax.eval_shape(optimizer.init, params)
     opt_state = ckpt.restore(

@@ -736,7 +736,9 @@ def test_session_loop_drives_prefix_via_anchor(engine, rng):
             client.add_frames(_audio(rng, 2.0))
             client.start()
             try:
-                for _ in range(200):  # wait for >= 2 decodes
+                # generous budget: under host contention (parallel suite
+                # runs share one core) a decode can take tens of seconds
+                for _ in range(600):  # wait for >= 2 decodes
                     await asyncio.sleep(0.1)
                     if len(captured) >= 2:
                         break

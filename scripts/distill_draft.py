@@ -49,6 +49,17 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--audio_dir", default=None,
                     help="Directory of wav/flac clips (synthetic if unset).")
+    ap.add_argument("--enc_ctx", type=int, default=0,
+                    help="Encoder context positions the draft will SERVE "
+                         "at (0 = full 30 s windows, the offline-CLI "
+                         "path). Streaming serves short tails at reduced "
+                         "context (512 by default) and a draft must be "
+                         "distilled AT that context: the encoder's output "
+                         "distribution shifts with position count, so a "
+                         "full-context draft's agreement does not "
+                         "transfer (measured 0.985 -> 0.34 on random "
+                         "weights, BENCH_NOTES round 4). Use --enc_ctx "
+                         "512 for --continuous_spec serving drafts.")
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -95,10 +106,12 @@ def main(argv=None) -> int:
             out = 0.2 * np.sin(2 * np.pi * am * t) * np.sin(
                 2 * np.pi * tone * t
             )
-        n_live = int(rng.uniform(0.5, 14.0) * 16000)
+        n_live = int(rng.uniform(0.5, live_cap_s) * 16000)
         out[n_live:] = 0.0
         return out.astype(np.float32)
 
+    enc_ctx = args.enc_ctx or 0
+    live_cap_s = min(14.0, enc_ctx * 0.02) if enc_ctx else 14.0
     clips: list[np.ndarray] = []
     if args.audio_dir:
         from whisperlive_tpu.audio.io import load_audio
@@ -125,13 +138,45 @@ def main(argv=None) -> int:
         max_new_tokens=args.seq - 8,
     )
     prompt, sot = teacher_eng.build_prompt(opts, language="en")
-    logger.info("pseudo-labeling %d clips with the teacher...", len(audio))
+    logger.info("pseudo-labeling %d clips with the teacher (enc_ctx=%s)...",
+                len(audio), enc_ctx or "full")
+    from whisperlive_tpu.models import whisper as wmod
+
+    def encode_serving(params, cfg, clip_b):
+        """Encoder features at the context the draft will serve at.
+
+        Streaming inserts encode short tails at a reduced position count
+        (continuous.py _insert: mel sliced to the audio bucket, encoder
+        positional table sliced to match) — the encoder's output is a
+        DIFFERENT function of the same audio at different context sizes,
+        so pseudo-labels, KD logits, student forwards and the acceptance
+        eval must all run at the serving context."""
+        import jax.numpy as _jnp
+
+        mel_b = mel_ops.log_mel_spectrogram(
+            _jnp.asarray(clip_b), n_mels=cfg.n_mels
+        )
+        if enc_ctx:
+            mel_b = mel_b[:, : 2 * enc_ctx]
+        return wmod.encode(params, cfg, mel_b)
+
+    def quantize_like_engine(cross):
+        if teacher_eng.cross_kv_bits == 8:
+            return wmod.quantize_cross_kv(cross)
+        if teacher_eng.cross_kv_bits == 4:
+            return wmod.quantize_cross_kv_int4(cross)
+        return cross
+
     seqs = []
     bs = max(b for b in teacher_eng.batch_buckets if b <= 8)
     for i in range(0, len(audio), bs):
         chunk = audio[i : i + bs]
         pad = np.zeros((bs - len(chunk), audio.shape[1]), np.float32)
-        _, cross = teacher_eng.prepare(np.concatenate([chunk, pad]))
+        clip_b = np.concatenate([chunk, pad])
+        enc_b = encode_serving(teacher_eng.params, cfg_t, clip_b)
+        cross = quantize_like_engine(
+            wmod.compute_cross_kv(teacher_eng.params, cfg_t, enc_b)
+        )
         results = teacher_eng.decode_batch(
             cross, [prompt] * bs, [sot] * bs, opts,
             temperatures=[0.0] * bs,
@@ -180,10 +225,7 @@ def main(argv=None) -> int:
             [tok_dev[i : i + eb]]
             + ([jnp.zeros((pad, tok_dev.shape[1]), jnp.int32)] if pad else [])
         )
-        mel_b = mel_ops.log_mel_spectrogram(
-            jnp.asarray(clip_b), n_mels=cfg_t.n_mels
-        )
-        enc_b = wmod.encode(teacher_params, cfg_t, mel_b)
+        enc_b = encode_serving(teacher_params, cfg_t, clip_b)
         tl_b = decoder_forward_train(teacher_params, cfg_t, tok_b, enc_b)
         keep = eb - pad
         enc_parts.append(enc_b[:keep].astype(jnp.bfloat16))

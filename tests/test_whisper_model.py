@@ -433,3 +433,37 @@ def test_decode_window_parity(rng, hf_model, converted):
                 np.asarray(logits2)[i, j], ref_logits[i, pos2[i, j]],
                 atol=2e-3, rtol=1e-3,
             )
+
+
+def test_dequantize_decoder_roundtrip(rng, converted):
+    """dequantize_decoder_weights rebuilds dense weights carrying EXACTLY
+    the int8-dequant values (w8 * s) the serving kernels compute with, so
+    training-path forwards (distillation) can match serving numerics."""
+    from whisperlive_tpu.models import whisper as wmod
+    from whisperlive_tpu.training import decoder_forward_train
+
+    cfg, params = converted
+    q = wmod.quantize_decoder_weights(params)
+    dq = wmod.dequantize_decoder_weights(q)
+
+    # exact reconstruction of the dequantized values
+    lw = q["decoder"]["layers"]["attn"]["q"]
+    want = np.asarray(lw["w8"], np.float32) * np.asarray(
+        lw["s"], np.float32
+    )[..., None, :]
+    np.testing.assert_array_equal(
+        np.asarray(dq["decoder"]["layers"]["attn"]["q"]["w"]), want
+    )
+    assert "embed" in dq["decoder"] and "embed8" not in dq["decoder"]
+    # idempotent on an unquantized tree
+    assert wmod.dequantize_decoder_weights(params) is params
+
+    # the training-path forward over the dequantized tree tracks the
+    # quantized serving decoder: logits close to the f32 tree's (same
+    # bound as the int8 serving test) and a usable teacher for KD
+    mel = _rand_mel(rng, cfg, 1)
+    enc = wmod.encode(params, cfg, jnp.asarray(mel))
+    tok = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, 8)), jnp.int32)
+    ref = np.asarray(decoder_forward_train(params, cfg, tok, enc))
+    out = np.asarray(decoder_forward_train(dq, cfg, tok, enc))
+    assert np.abs(ref - out).max() < 0.15

@@ -929,6 +929,47 @@ def quantize_decoder_weights(params: Params) -> Params:
     return {"encoder": params["encoder"], "decoder": new_dec}
 
 
+def dequantize_decoder_weights(params: Params, dtype=jnp.float32) -> Params:
+    """Inverse of quantize_decoder_weights: rebuild DENSE decoder weights
+    carrying exactly the values the serving kernels dequantize to
+    (w8 * s, embed8 * embed_s — including the int8 rounding error).
+
+    Purpose: training-path forwards (training.decoder_forward_train) can
+    then reproduce the int8-SERVING decoder's numerics. Distilling a
+    speculative draft against these logits optimizes agreement with the
+    argmax the serving verifier actually applies — KD against the raw
+    float teacher mis-targets wherever quantization flips an argmax
+    (negligible for trained weights, fatal for random-weight benches).
+    No-op on an unquantized tree."""
+
+    def is_q(node):
+        return isinstance(node, dict) and "w8" in node
+
+    def deq(p):
+        out = {
+            "w": (
+                p["w8"].astype(jnp.float32)
+                * p["s"].astype(jnp.float32)[..., None, :]
+            ).astype(dtype)
+        }
+        if "b" in p:
+            out["b"] = p["b"]
+        return out
+
+    dec = params["decoder"]
+    if "embed8" not in dec:
+        return params
+    new_dec = {k: v for k, v in dec.items() if k not in ("embed8", "embed_s")}
+    new_dec["layers"] = jax.tree.map(
+        lambda n: deq(n) if is_q(n) else n, dec["layers"], is_leaf=is_q
+    )
+    new_dec["embed"] = (
+        dec["embed8"].astype(jnp.float32)
+        * dec["embed_s"].astype(jnp.float32)[:, None]
+    ).astype(dtype)
+    return {"encoder": params["encoder"], "decoder": new_dec}
+
+
 def cast_params(params: Params, dtype) -> Params:
     """Cast matmul weights to `dtype`, keep layernorm params in f32."""
 

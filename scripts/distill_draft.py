@@ -294,7 +294,10 @@ def main(argv=None) -> int:
     # ---- 5. save a draft checkpoint ------------------------------------------
     draft = distill.student_params(teacher_params, state)
     draft = jax.tree.map(lambda x: np.asarray(x, np.float32), draft)
-    convert_mod.save_converted(args.out, cfg_s, draft)
+    convert_mod.save_converted(
+        args.out, cfg_s, draft,
+        extra_meta={"distill_enc_ctx": enc_ctx or cfg_t.n_audio_ctx},
+    )
     logger.info(
         "draft saved to %s — serve with: whisperlive-tpu-transcribe "
         "--draft_path %s, or SpeculativeDecoder(target, draft_engine)",

@@ -167,7 +167,13 @@ def load_hf_checkpoint(model_dir: str) -> tuple[WhisperConfig, Params]:
 # --------------------------------------------------------------------------
 
 
-def save_converted(path: str, cfg: WhisperConfig, params: Params) -> None:
+def save_converted(
+    path: str, cfg: WhisperConfig, params: Params, extra_meta: dict | None = None
+) -> None:
+    """extra_meta rides in config.json under keys WhisperConfig ignores on
+    load (load_converted filters to config fields) — e.g. a distilled
+    draft records `distill_enc_ctx` so serving can warn when a draft is
+    deployed at a different encoder context than it was trained for."""
     import dataclasses
 
     import orbax.checkpoint as ocp
@@ -176,6 +182,8 @@ def save_converted(path: str, cfg: WhisperConfig, params: Params) -> None:
     ckpt = ocp.PyTreeCheckpointer()
     ckpt.save(os.path.join(path, "params"), params, force=True)
     meta = {k: v for k, v in dataclasses.asdict(cfg).items() if k != "dtype"}
+    if extra_meta:
+        meta.update(extra_meta)
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(meta, f)
 
@@ -183,9 +191,13 @@ def save_converted(path: str, cfg: WhisperConfig, params: Params) -> None:
 def load_converted(path: str) -> tuple[WhisperConfig, Params]:
     import orbax.checkpoint as ocp
 
+    import dataclasses
+
     path = os.path.abspath(path)
+    fields = {f.name for f in dataclasses.fields(WhisperConfig)}
     with open(os.path.join(path, "config.json")) as f:
-        cfg = WhisperConfig(**json.load(f))
+        meta = json.load(f)
+    cfg = WhisperConfig(**{k: v for k, v in meta.items() if k in fields})
     ckpt = ocp.PyTreeCheckpointer()
     params = ckpt.restore(os.path.join(path, "params"))
     return cfg, params

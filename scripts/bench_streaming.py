@@ -113,24 +113,16 @@ def main() -> None:
         draft_engine = load_engine(
             args.draft_model or "distil-large-v3", args.draft_path
         )
-        if args.draft_path:
-            # a draft only agrees with the target at the encoder context
-            # it was distilled at (the encode is a different function of
-            # the same audio per position count — BENCH_NOTES round 4)
-            import json as _json
-            import os as _os
+        from whisperlive_tpu.loader import draft_distill_ctx
 
-            meta_p = _os.path.join(args.draft_path, "config.json")
-            if _os.path.exists(meta_p):
-                with open(meta_p) as f:
-                    d_ctx = _json.load(f).get("distill_enc_ctx")
-                if d_ctx and d_ctx != 512:
-                    print(
-                        f"WARNING: draft distilled at enc_ctx={d_ctx}, but "
-                        "continuous streaming encodes short tails at 512 "
-                        "positions — acceptance will collapse. Distill "
-                        "with --enc_ctx 512.", file=sys.stderr,
-                    )
+        d_ctx = draft_distill_ctx(args.draft_path)
+        if d_ctx and d_ctx != 512:
+            print(
+                f"WARNING: draft distilled at enc_ctx={d_ctx}, but "
+                "continuous streaming encodes short tails at 512 "
+                "positions — acceptance will collapse. Distill with "
+                "--enc_ctx 512.", file=sys.stderr,
+            )
     elif args.continuous_spec:
         raise SystemExit("--continuous_spec needs --draft_path/--draft_model")
     continuous = None

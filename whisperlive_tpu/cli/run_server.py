@@ -215,6 +215,7 @@ def create_backend(args):
             compute_dtype=compute_dtype,
             shardings=shardings,
         )
+        _warn_draft_ctx(args, for_continuous=True)
     elif args.draft_model or args.draft_path:
         from whisperlive_tpu.engine.speculative import SpeculativeDecoder
         from whisperlive_tpu.loader import load_engine
@@ -226,6 +227,7 @@ def create_backend(args):
             # encoder output it projects from
             shardings=shardings,
         )
+        _warn_draft_ctx(args, for_continuous=args.continuous_spec)
         spec_decoder = SpeculativeDecoder(engine, draft_engine, k=args.spec_k)
         if not args.no_warmup:
             from whisperlive_tpu.serving.backends import (
@@ -315,6 +317,31 @@ def create_backend(args):
                       beam_size=args.beam_size,
                       continuous_scheduler=continuous,
                       beam_mode=args.beam_mode), "tpu"
+
+
+def _warn_draft_ctx(args, for_continuous: bool) -> None:
+    """A draft only matches its target at the encoder context it was
+    distilled at (BENCH_NOTES round 4): continuous streaming encodes
+    short tails at 512 positions, offline/window serving at the full
+    context — warn when the deployment doesn't match the checkpoint's
+    recorded distill_enc_ctx."""
+    from whisperlive_tpu.loader import draft_distill_ctx
+
+    d_ctx = draft_distill_ctx(args.draft_path)
+    if not d_ctx:
+        return
+    if for_continuous and d_ctx != 512:
+        logging.warning(
+            "draft distilled at enc_ctx=%d but --continuous_spec verifies "
+            "at 512-position tail encodes — acceptance will collapse; "
+            "distill with --enc_ctx 512", d_ctx,
+        )
+    if not for_continuous and d_ctx != 1500:
+        logging.warning(
+            "draft distilled at enc_ctx=%d but window/offline speculation "
+            "verifies at the full 1500-position encode — acceptance will "
+            "collapse; distill with --enc_ctx 0 (full)", d_ctx,
+        )
 
 
 def main(argv=None) -> None:

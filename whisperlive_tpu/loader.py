@@ -75,3 +75,22 @@ def load_engine(
         cfg, params, tokenizer=tokenizer, compute_dtype=compute_dtype,
         decoder_int8=decoder_int8, shardings=shardings,
     )
+
+
+def draft_distill_ctx(ckpt: str | None) -> int | None:
+    """The `distill_enc_ctx` a draft checkpoint was trained at (None when
+    unknown). A draft only agrees with its target at the encoder context
+    it was distilled at — the encoder output is a different function of
+    the same audio per position count (measured 0.985 -> 0.34 argmax
+    agreement on random weights, BENCH_NOTES round 4) — so serving layers
+    warn when deploying a draft at a different context."""
+    import json
+
+    if not ckpt:
+        return None
+    path = os.path.join(os.path.expanduser(ckpt), "config.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get("distill_enc_ctx")
+    except (OSError, ValueError):
+        return None

@@ -91,7 +91,20 @@ def main(argv=None) -> int:
         latter matches scripts/bench_streaming.py's stream audio so the
         distilled draft's measured acceptance there reflects in-distribution
         behavior, the same way a real-speech draft serves real speech."""
-        t = np.arange(mel_ops.N_SAMPLES) / 16000.0
+        # Streaming windows come in two shapes: a growing young stream
+        # (signal from t=0, then silence padding) and — the steady-state
+        # majority under a content cap — a FULLY-FILLED window sliced
+        # mid-stream at arbitrary signal phase. Train on both, with the
+        # window as a slice of a longer signal so phases at the window
+        # start are uniform (the encoder is a different function of the
+        # same tone at a different phase, and a draft must cover the
+        # distribution it will verify against).
+        full = rng.random() < 0.5
+        # full windows are mid-stream slices (arbitrary phase); young
+        # streams anchor at the signal origin (phase 0), like a session
+        # whose audio starts with the connection
+        t0 = rng.uniform(0.0, 60.0) if full else 0.0
+        t = t0 + np.arange(mel_ops.N_SAMPLES) / 16000.0
         if rng.random() < 0.5:
             f0 = rng.uniform(90, 240)
             sig = sum(
@@ -106,7 +119,10 @@ def main(argv=None) -> int:
             out = 0.2 * np.sin(2 * np.pi * am * t) * np.sin(
                 2 * np.pi * tone * t
             )
-        n_live = int(rng.uniform(0.5, live_cap_s) * 16000)
+        if full:  # steady-state: window full of signal
+            n_live = int(live_cap_s * 16000)
+        else:  # young stream: signal then silence
+            n_live = int(rng.uniform(0.5, live_cap_s) * 16000)
         out[n_live:] = 0.0
         return out.astype(np.float32)
 

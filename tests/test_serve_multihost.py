@@ -1,0 +1,105 @@
+"""Multi-host SERVING over REAL processes (parallel/serve_multihost.py).
+
+Two jax.distributed workers (4 virtual CPU devices each) form one
+dp=4 x tp=2 mesh; the leader runs a live ContinuousScheduler whose
+engine broadcasts every device op to the follower, which replays them
+(SPMD op replay). The bar: tokens must be IDENTICAL to a plain
+single-process ContinuousScheduler decode of the same windows — the
+distribution topology must not change the math — and the follower must
+replay the full op stream and exit cleanly.
+
+The reference (collabora/WhisperLive) serves from exactly one process
+(SURVEY §5); this is TPU-native scale-out the reference cannot do."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+import serve_multihost_worker as smw
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def serve_run():
+    """Launch the 2-process serving job once; tests assert on its output."""
+    coord, ops = _free_port(), _free_port()
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_TRACEBACK_FILTERING": "off",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "serve_multihost_worker.py"),
+             str(i), "2", str(coord), str(ops), "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("WLMHS "):
+                d = json.loads(line[6:])
+                results[d["proc"]] = d
+    assert set(results) == {0, 1}, f"missing worker output: {outs}"
+    return results
+
+
+def _reference_tokens():
+    """The same three windows through a plain single-process scheduler
+    (this pytest process's own devices, no mesh)."""
+    import jax.numpy as jnp
+
+    from whisperlive_tpu.engine.continuous import ContinuousScheduler
+    from whisperlive_tpu.engine.engine import WhisperEngine
+    from whisperlive_tpu.engine.scheduler import BatchRequest
+    from whisperlive_tpu.models.whisper import init_params
+
+    cfg = smw.serving_config()
+    eng = WhisperEngine(
+        cfg, init_params(cfg, 0), compute_dtype=jnp.float32,
+        batch_buckets=(1, 2),
+    )
+    sched = ContinuousScheduler(eng, **smw.POOL)
+    sched.start()
+    try:
+        return [
+            list(map(int, sched.submit(BatchRequest(
+                audio=a, options=smw.serving_options(), uid=f"r{i}",
+            )).result(timeout=600).raw_tokens))
+            for i, a in enumerate(smw.request_audio())
+        ]
+    finally:
+        sched.stop()
+
+
+def test_multihost_serving_token_parity(serve_run):
+    """dp x tp over two processes decodes exactly what one process does."""
+    assert serve_run[0]["tokens"] == _reference_tokens()
+
+
+def test_follower_replayed_full_stream(serve_run):
+    """The follower consumed a real op stream: at least one init_state,
+    three inserts, and the step/release traffic behind three windows."""
+    assert serve_run[1]["ops"] >= 8

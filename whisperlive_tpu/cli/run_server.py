@@ -139,16 +139,22 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compilation_cache", type=str,
                         default="~/.cache/whisper-live-tpu/xla-cache",
                         help="Persistent XLA compilation cache dir ('' to disable).")
+    parser.add_argument("--multihost_ops_port", type=int, default=19090,
+                        help="TCP port of the multi-host serving op log "
+                             "(parallel/serve_multihost.py). Active when "
+                             "WL_COORDINATOR/WL_NUM_PROCS/WL_PROC_ID are "
+                             "set: process 0 serves and broadcasts every "
+                             "device op; the others replay them. All "
+                             "hosts must launch with IDENTICAL flags.")
     return parser
 
 
-def create_backend(args):
-    """Build the (backend, name) pair the server serves with."""
-    from whisperlive_tpu.serving.backends import FakeBackend, TpuBackend
-
-    if args.fake_transcriber:
-        return FakeBackend(), "fake"
-
+def _build_engine(args, multihost_active: bool = False):
+    """Engine + shardings from the CLI flags. Shared by the single-host
+    server, the multi-host leader, and multi-host followers — follower
+    engines must be constructed EXACTLY like the leader's (the op-replay
+    handshake checks a signature, but identical params/geometry are on
+    the operator: launch every host with the same flags/checkpoint)."""
     import jax
 
     if args.compilation_cache:
@@ -157,7 +163,6 @@ def create_backend(args):
         jax.config.update("jax_compilation_cache_dir", path)
 
     from whisperlive_tpu.engine.engine import WhisperEngine
-    from whisperlive_tpu.engine.scheduler import BatchScheduler
     from whisperlive_tpu.loader import resolve_model
 
     ckpt = args.tpu_model_path or args.faster_whisper_custom_model_path or args.trt_model_path
@@ -170,17 +175,84 @@ def create_backend(args):
         compute_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.compute_dtype]
 
     shardings = None
-    if args.tp > 1 or (args.dp or 1) > 1:
+    if multihost_active:
+        from whisperlive_tpu.parallel import multihost
+
+        # the GLOBAL mesh: dp spans hosts, tp stays on each host's ICI
+        shardings = multihost.multihost_shardings(tp=args.tp, dp=args.dp)
+    elif args.tp > 1 or (args.dp or 1) > 1:
         from whisperlive_tpu.parallel.mesh import EngineShardings
 
         shardings = EngineShardings.create(tp=args.tp, dp=args.dp)
 
     engine = WhisperEngine(cfg, params, tokenizer=tokenizer,
                            compute_dtype=compute_dtype, shardings=shardings)
-    if not args.no_warmup:
+    return engine, shardings, compute_dtype, ckpt
+
+
+def _continuous_pool_kwargs(args, shardings, engine) -> dict:
+    """Geometry of the continuous slot pool — one definition so the
+    multi-host leader and followers derive identical engines."""
+    n_slots = args.continuous_slots
+    pool_beam = args.beam_size
+    hybrid_beam = args.beam_size > 1 and args.beam_mode == "refresh"
+    if hybrid_beam:
+        pool_beam = 1
+    elif args.beam_size > 1:
+        n_slots = max(2, args.continuous_slots // args.beam_size)
+    if shardings is not None and shardings.dp > 1:
+        n_slots *= shardings.dp
+    return dict(
+        n_slots=n_slots,
+        steps_per_chunk=args.steps_per_chunk,
+        cross_ctx=args.continuous_cross_ctx,
+        beam_width=pool_beam,
+        spec_k=args.spec_k,
+    )
+
+
+def create_backend(args, multihost_active: bool = False):
+    """Build the (backend, name) pair the server serves with."""
+    from whisperlive_tpu.serving.backends import FakeBackend, TpuBackend
+
+    if args.fake_transcriber:
+        return FakeBackend(), "fake"
+
+    from whisperlive_tpu.engine.scheduler import BatchScheduler
+
+    if multihost_active:
+        # Only continuous-engine ops are replayed on follower hosts, so
+        # multi-host serving is continuous-only (backends.py coerces
+        # stray window-path options) — modes that REQUIRE the window
+        # scheduler cannot run.
+        if not args.continuous_batching:
+            raise SystemExit(
+                "multi-host serving requires continuous batching "
+                "(drop --no_continuous_batching)"
+            )
+        if args.beam_size > 1 and args.beam_mode == "refresh":
+            raise SystemExit(
+                "--beam_mode refresh routes full re-decodes through the "
+                "window scheduler, which multi-host serving cannot replay; "
+                "use --beam_mode full"
+            )
+        if args.continuous_cross_ctx is None:
+            # default the content cap to the FULL encoder context so no
+            # window is long enough to need the (absent) window path
+            args.continuous_cross_ctx = 0  # resolved to full below
+
+    engine, shardings, compute_dtype, ckpt = _build_engine(
+        args, multihost_active
+    )
+    if multihost_active and args.continuous_cross_ctx == 0:
+        args.continuous_cross_ctx = engine.cfg.n_audio_ctx
+    if not args.no_warmup and not multihost_active:
         # every bucket the scheduler can produce — a cold compile at runtime
         # stalls all live streams for minutes on this class of deployment —
         # and with the SAME beam policy the backend will serve with
+        # (multi-host: the WINDOW programs are never replayed on follower
+        # hosts, so dispatching them here would stall the global mesh —
+        # only the continuous warmup below runs, through the op log)
         from whisperlive_tpu.serving.backends import transcribe_options_from_session
         from whisperlive_tpu.serving.session import SessionOptions
 
@@ -193,7 +265,23 @@ def create_backend(args):
     spec_decoder = None
     draft_engine = None
     hybrid_beam = args.beam_size > 1 and args.beam_mode == "refresh"
-    if (args.draft_model or args.draft_path) and args.beam_size > 1 \
+    if multihost_active and (args.draft_model or args.draft_path):
+        # window-path speculation can't run (not replayed); the draft
+        # serves --continuous_spec only
+        from whisperlive_tpu.loader import load_engine
+
+        draft_engine = load_engine(
+            args.draft_model or "distil-large-v3", args.draft_path,
+            compute_dtype=compute_dtype, shardings=shardings,
+        )
+        if not args.continuous_spec:
+            logging.warning(
+                "multi-host serving uses a draft only with "
+                "--continuous_spec; window-path speculation is disabled"
+            )
+        else:
+            _warn_draft_ctx(args, for_continuous=True)
+    elif (args.draft_model or args.draft_path) and args.beam_size > 1 \
             and not hybrid_beam:
         # every server-built window request carries beam_size, and the
         # speculative route requires beam 1 — don't spend HBM + minutes of
@@ -248,7 +336,11 @@ def create_backend(args):
         batch_window_ms=args.batch_window_ms,
         spec_decoder=spec_decoder,
     )
-    scheduler.start()
+    if not multihost_active:
+        # multi-host: the window scheduler stays constructed (TpuBackend
+        # reads engine metadata from it) but never started — its device
+        # ops are not replayed on follower hosts
+        scheduler.start()
     continuous = None
     if args.continuous_batching:
         from whisperlive_tpu.engine.continuous import ContinuousScheduler
@@ -257,32 +349,24 @@ def create_backend(args):
         # beamed serving KEEPS continuous batching and incremental
         # decoding (T>0 fallback retries become best-of-K sampling).
         # Resident state scales with slots*beams — shrink the slot pool
-        # to bound HBM.
-        n_slots = args.continuous_slots
-        pool_beam = args.beam_size
+        # to bound HBM. Geometry shared with multi-host followers via
+        # _continuous_pool_kwargs.
+        pool = _continuous_pool_kwargs(args, shardings, engine)
         if hybrid_beam:
-            # hybrid: the pool stays greedy at FULL slot count; beamed
-            # full re-decodes route to the window scheduler (backends.py
-            # hybrid_beam)
-            pool_beam = 1
             logging.info(
                 "hybrid beam serving: greedy continuous pool (%d slots), "
                 "beam-%d full re-decodes on the window scheduler",
-                n_slots, args.beam_size,
+                pool["n_slots"], args.beam_size,
             )
         elif args.beam_size > 1:
-            n_slots = max(2, args.continuous_slots // args.beam_size)
             logging.info(
                 "continuous beam serving: %d slots x %d lanes",
-                n_slots, args.beam_size,
+                pool["n_slots"], args.beam_size,
             )
         if shardings is not None and shardings.dp > 1:
-            # dp replicas each carry a full slot pool; rows shard over the
-            # mesh's data axis inside one scheduler/program
-            n_slots *= shardings.dp
             logging.info(
                 "dp x tp serving: %d slots total over dp=%d x tp=%d",
-                n_slots, shardings.dp, shardings.tp,
+                pool["n_slots"], shardings.dp, shardings.tp,
             )
         cont_draft = None
         if args.continuous_spec:
@@ -297,14 +381,27 @@ def create_backend(args):
                     "speculative continuous batching: k=%d verify rounds "
                     "on the lockstep loop", args.spec_k,
                 )
+        cb = None
+        if multihost_active:
+            import jax
+
+            from whisperlive_tpu.parallel import serve_multihost as smh
+
+            leader = smh.OpLeader(
+                args.multihost_ops_port,
+                n_followers=jax.process_count() - 1,
+                host="0.0.0.0",
+            )
+            cb = smh.MultihostContinuousEngine(
+                engine, leader=leader, draft_engine=cont_draft, **pool
+            )
+            logging.info(
+                "multi-host serving: leading %d follower hosts over the "
+                "op log (port %d)",
+                jax.process_count() - 1, args.multihost_ops_port,
+            )
         continuous = ContinuousScheduler(
-            engine,
-            n_slots=n_slots,
-            steps_per_chunk=args.steps_per_chunk,
-            cross_ctx=args.continuous_cross_ctx,
-            beam_width=pool_beam,
-            draft_engine=cont_draft,
-            spec_k=args.spec_k,
+            engine, draft_engine=cont_draft, cb=cb, **pool
         )
         if not args.no_warmup:
             continuous.warmup()
@@ -316,7 +413,8 @@ def create_backend(args):
     return TpuBackend(scheduler, model_name=args.model if not ckpt else ckpt,
                       beam_size=args.beam_size,
                       continuous_scheduler=continuous,
-                      beam_mode=args.beam_mode), "tpu"
+                      beam_mode=args.beam_mode,
+                      continuous_only=multihost_active), "tpu"
 
 
 def _warn_draft_ctx(args, for_continuous: bool) -> None:
@@ -344,6 +442,40 @@ def _warn_draft_ctx(args, for_continuous: bool) -> None:
         )
 
 
+def _run_multihost_follower(args) -> None:
+    """A non-primary host of a multi-host serving job: build the same
+    engines the leader builds, then replay its op log until it stops."""
+    import jax
+
+    from whisperlive_tpu.parallel import serve_multihost as smh
+
+    engine, shardings, compute_dtype, _ = _build_engine(args, True)
+    if args.continuous_cross_ctx in (None, 0):
+        args.continuous_cross_ctx = engine.cfg.n_audio_ctx
+    cont_draft = None
+    if args.continuous_spec and (args.draft_model or args.draft_path):
+        from whisperlive_tpu.loader import load_engine
+
+        cont_draft = load_engine(
+            args.draft_model or "distil-large-v3", args.draft_path,
+            compute_dtype=compute_dtype, shardings=shardings,
+        )
+    pool = _continuous_pool_kwargs(args, shardings, engine)
+    cb = smh.MultihostContinuousEngine(
+        engine, draft_engine=cont_draft, **pool
+    )
+    leader_host = os.environ.get("WL_COORDINATOR", "127.0.0.1:0").rsplit(":", 1)[0]
+    logging.info(
+        "multi-host follower %d/%d: replaying ops from %s:%d",
+        jax.process_index(), jax.process_count(),
+        leader_host, args.multihost_ops_port,
+    )
+    chan = smh.OpFollower((leader_host, args.multihost_ops_port))
+    smh.run_follower(cb, chan)
+    chan.close()
+    logging.info("multi-host follower: leader stopped; exiting")
+
+
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
@@ -358,7 +490,24 @@ def main(argv=None) -> None:
 
         start_profiler(args.profile_dir)
 
-    backend, name = create_backend(args)
+    # Multi-host serving: WL_COORDINATOR/WL_NUM_PROCS/WL_PROC_ID on every
+    # host (same env contract as multi-host training) turn the fleet into
+    # ONE sliced engine — process 0 serves, the rest replay its op log.
+    from whisperlive_tpu.parallel import multihost
+
+    multihost_active = multihost.init_multihost()
+    if multihost_active and args.fake_transcriber:
+        raise SystemExit("--fake_transcriber has no multi-host mode")
+    if multihost_active and not multihost.is_primary():
+        _run_multihost_follower(args)
+        return
+    if multihost_active and args.enable_rest:
+        # REST offline files ride the window scheduler's seek loop, which
+        # followers cannot replay
+        logging.warning("multi-host serving disables the REST API")
+        args.enable_rest = False
+
+    backend, name = create_backend(args, multihost_active=multihost_active)
 
     from whisperlive_tpu.serving.server import TranscriptionServer
 

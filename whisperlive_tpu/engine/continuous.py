@@ -1219,8 +1219,29 @@ class ContinuousEngine:
 
     # ------------------------------------------------------------------
 
+    # Multi-host serving hook (parallel/serve_multihost.py): True on the
+    # replicated-op engine, where every device op must run on EVERY host
+    # (SPMD over a multi-process mesh). Gates the primary-only device ops
+    # (word-ts cross-KV slice, align warmup) that would desync followers.
+    multihost = False
+
+    def _fetch(self, x, dtype=None) -> np.ndarray:
+        """Device->host fetch of a state array. The multihost engine
+        overrides this to first reshard to fully-replicated (a collective
+        every host executes) so the primary can read cross-host shards."""
+        return np.asarray(x, dtype)
+
+    def _stage(self, x, dtype=None):
+        """Host->device staging of a jit argument. The multihost engine
+        overrides this to device_put replicated over the GLOBAL mesh — a
+        jnp.asarray would commit to one local device, which cannot feed
+        a program compiled over a multi-process mesh."""
+        return jnp.asarray(x, dtype) if dtype is not None else jnp.asarray(x)
+
     def init_state(self, seed: int = 0) -> None:
-        self.state = self._init_fn(jax.random.PRNGKey(seed))
+        self.state = self._init_fn(
+            self._stage(np.asarray(jax.random.PRNGKey(seed)))
+        )
 
     def insert(
         self,
@@ -1318,26 +1339,26 @@ class ContinuousEngine:
             self.state, lang_probs = self._insert_fn(
                 eng.params,
                 self.state,
-                jnp.asarray(audio),
-                jnp.asarray(parr),
-                jnp.asarray(plen),
-                jnp.asarray(pad(sot_idx), jnp.int32),
-                jnp.asarray(pad(lang_known)),
-                jnp.asarray(pad(list(slot_ids)), jnp.int32),
-                jnp.asarray(pad(temps), jnp.float32),
-                jnp.asarray(pad(ts_en)),
-                jnp.asarray(pad(rep), jnp.float32),
-                jnp.asarray(pad(max_new), jnp.int32),
-                jnp.asarray(pad(list(last_ts)), jnp.int32),
-                jnp.asarray(pad(list(has_prefix))),
-                jnp.asarray(pad(list(pfx_last_ts))),
-                jnp.asarray(pad(list(pfx_penult_ts))),
-                jnp.asarray(pad(list(length_penalty)), jnp.float32),
+                self._stage(audio),
+                self._stage(parr),
+                self._stage(plen),
+                self._stage(pad(sot_idx), jnp.int32),
+                self._stage(pad(lang_known)),
+                self._stage(pad(list(slot_ids)), jnp.int32),
+                self._stage(pad(temps), jnp.float32),
+                self._stage(pad(ts_en)),
+                self._stage(pad(rep), jnp.float32),
+                self._stage(pad(max_new), jnp.int32),
+                self._stage(pad(list(last_ts)), jnp.int32),
+                self._stage(pad(list(has_prefix))),
+                self._stage(pad(list(pfx_last_ts))),
+                self._stage(pad(list(pfx_penult_ts))),
+                self._stage(pad(list(length_penalty)), jnp.float32),
                 self.draft.params if self.draft is not None else None,
             )
         if not need_langs:
             return None
-        return np.asarray(lang_probs[:j], np.float32)
+        return self._fetch(lang_probs, np.float32)[:j]
 
     def step(self) -> np.ndarray:
         """Run one chunk of decode steps; returns the packed per-ROW
@@ -1361,19 +1382,19 @@ class ContinuousEngine:
                 self.state = self._step_fn(
                     eng.params, self.state, self.steps_per_chunk
                 )
-        return np.asarray(self.state["status"], np.float32)
+        return self._fetch(self.state["status"], np.float32)
 
     def release(self, slot_ids: list[int]) -> None:
         mask = np.zeros((self.n_slots,), bool)
         mask[list(slot_ids)] = True
         rows = np.repeat(mask, self.beam_width)  # all K lanes of each slot
         with self.eng._lock:
-            self.state = self._release_fn(self.state, jnp.asarray(rows))
+            self.state = self._release_fn(self.state, self._stage(rows))
 
     def harvest_all(self) -> np.ndarray:
         """Fetch the whole sampled ring in ONE device->host roundtrip
         (per-slot fetches each pay full relay latency). [B, ring] int32."""
-        return np.asarray(self.state["sampled"], np.int32)
+        return self._fetch(self.state["sampled"], np.int32)
 
     @staticmethod
     def unroll(row: np.ndarray, join_step: int, gen_len: int, ring: int) -> np.ndarray:
@@ -1448,15 +1469,25 @@ class ContinuousScheduler:
         beam_width: int = 1,
         draft_engine: Optional[WhisperEngine] = None,
         spec_k: int = 4,
+        cb: "ContinuousEngine | None" = None,
     ):
         self.engine = engine
-        self.cb = ContinuousEngine(
-            engine, n_slots=n_slots, prompt_pad=prompt_pad, ring=ring,
-            steps_per_chunk=steps_per_chunk, options=options,
-            cross_ctx=cross_ctx, enc_buckets=enc_buckets,
-            beam_width=beam_width, draft_engine=draft_engine,
-            spec_k=spec_k,
-        )
+        if cb is not None:
+            # Injected slot engine (multi-host serving hands in a
+            # MultihostContinuousEngine whose ops broadcast to follower
+            # processes — parallel/serve_multihost.py); it must wrap the
+            # same WhisperEngine this scheduler builds prompts with.
+            if cb.eng is not engine:
+                raise ValueError("injected ContinuousEngine wraps a different engine")
+            self.cb = cb
+        else:
+            self.cb = ContinuousEngine(
+                engine, n_slots=n_slots, prompt_pad=prompt_pad, ring=ring,
+                steps_per_chunk=steps_per_chunk, options=options,
+                cross_ctx=cross_ctx, enc_buckets=enc_buckets,
+                beam_width=beam_width, draft_engine=draft_engine,
+                spec_k=spec_k,
+            )
         self.beam_width = self.cb.beam_width
         # routing hints for TpuBackend: windows longer than the continuous
         # cross-KV content cap — or suppress configs other than the one
@@ -1485,7 +1516,9 @@ class ContinuousScheduler:
         self._gstep = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        self.max_batch_size = n_slots  # interface parity with BatchScheduler
+        # interface parity with BatchScheduler (reflects the injected
+        # engine's pool when one was handed in)
+        self.max_batch_size = self.cb.n_slots
         # speculative observability (host-side, cumulative): every window's
         # committed tokens vs verify rounds consumed — each round commits
         # 1 + accepted, so accepted = committed - rounds and the proposal
@@ -1598,11 +1631,14 @@ class ContinuousScheduler:
         # word-timestamps sessions align against the slot's content-capped
         # cross-KV: a separate specialization of the align program (ctx =
         # cross_ctx, not the window path's full context) — warm it at every
-        # prompt bucket a real hypothesis can hit
-        try:
-            eng._warm_align(self.cb.state["cross_kv"])
-        except Exception:
-            logger.exception("continuous align warmup failed")
+        # prompt bucket a real hypothesis can hit. Skipped in multi-host
+        # serving: align runs on the assemble thread, a second op stream
+        # the follower replay cannot order against the lockstep loop.
+        if not self.cb.multihost:
+            try:
+                eng._warm_align(self.cb.state["cross_kv"])
+            except Exception:
+                logger.exception("continuous align warmup failed")
         # fresh state for serving (warmup slots held dummy data)
         self.cb.init_state()
         self._gstep = 0
@@ -1957,14 +1993,18 @@ class ContinuousScheduler:
                     # retry at the next temperature: just another insert
                     self._pending.append((info.req, info.temp_index + 1))
                     continue
-            if info.options.word_timestamps:
+            if info.options.word_timestamps and not self.cb.multihost:
                 # Word alignment fetches the [L,H,T,ctx] cross-attention
                 # maps over the relay and runs host DTW — hundreds of ms
                 # that must NOT stall the shared lockstep loop. Slice the
                 # slot's cross-KV NOW (a fresh device buffer, immune to
                 # the state donation of the next step dispatch — so the
                 # slot can be released immediately) and hand the heavy
-                # part to the assemble thread.
+                # part to the assemble thread. (Multi-host serving skips
+                # this: assemble-thread device ops interleave non-
+                # deterministically with the lockstep loop and would
+                # desync the follower op replay — parallel/
+                # serve_multihost.py. Words degrade to segment timings.)
                 idx = jnp.asarray([b * self.cb.beam_width])  # lanes share cross
                 sub_cross = jax.tree.map(
                     lambda a: jnp.take(a, idx, axis=2),

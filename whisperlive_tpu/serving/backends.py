@@ -90,8 +90,17 @@ class TpuBackend:
         beam_size: int = 1,
         continuous_scheduler=None,
         beam_mode: str = "full",
+        continuous_only: bool = False,
     ):
         self.scheduler = scheduler
+        # Multi-host serving (parallel/serve_multihost.py): ONLY the
+        # continuous engine's ops are replayed on follower processes, so
+        # every request must ride the continuous path. Requests the
+        # window scheduler would normally absorb get their options
+        # coerced to the continuous program's baked semantics (warned
+        # once per uid) and over-cap windows are clamped.
+        self.continuous_only = continuous_only
+        self._coerce_warned: set[str] = set()
         # Decode-step-level continuous batching (engine/continuous.py):
         # requests join a running decode instead of waiting for the
         # previous window batch — including word-timestamps sessions
@@ -213,6 +222,49 @@ class TpuBackend:
             return self.scheduler
         return self.continuous_scheduler
 
+    def _coerce_to_continuous(
+        self, topts: TranscribeOptions, chunk: np.ndarray, uid: str
+    ) -> tuple[TranscribeOptions, np.ndarray]:
+        """Force a request onto the continuous path (continuous_only
+        serving — multi-host mode has no replayable window scheduler).
+        Options the continuous step program cannot honor are replaced by
+        its baked values; windows over the content cap are clamped."""
+        cs = self.continuous_scheduler
+        changed = []
+        if topts.no_repeat_ngram_size > 0:
+            topts = dataclasses.replace(topts, no_repeat_ngram_size=0)
+            changed.append("no_repeat_ngram_size")
+        key = getattr(cs, "suppress_key", None)
+        if key is not None and key != (
+            topts.suppress_tokens, topts.suppress_blank
+        ):
+            topts = dataclasses.replace(
+                topts, suppress_tokens=key[0], suppress_blank=key[1]
+            )
+            changed.append("suppress config")
+        if (
+            topts.max_initial_timestamp is not None
+            and float(topts.max_initial_timestamp) != 1.0
+        ):
+            topts = dataclasses.replace(topts, max_initial_timestamp=1.0)
+            changed.append("max_initial_timestamp")
+        pool_beam = getattr(cs, "beam_width", 1)
+        if max(topts.beam_size, 1) != pool_beam:
+            topts = dataclasses.replace(topts, beam_size=pool_beam)
+            changed.append("beam_size")
+        max_s = getattr(cs, "max_window_s", None)
+        if max_s is not None and len(chunk) / 16000.0 > max_s:
+            chunk = chunk[: int(max_s * 16000)]
+            changed.append("window length (clamped)")
+        if changed and uid not in self._coerce_warned:
+            self._coerce_warned.add(uid)
+            logger.warning(
+                "continuous-only serving coerced %s for uid=%s (multi-host "
+                "mode serves the continuous path only)",
+                ", ".join(changed), uid,
+            )
+        return topts, chunk
+
     def _vad_for(self, uid: str, options: SessionOptions):
         from whisperlive_tpu.audio.vad import VoiceActivityDetector
 
@@ -305,6 +357,8 @@ class TpuBackend:
             # greedy incremental partial; the beam rides the periodic
             # refresh + post-commit full re-decodes
             topts = dataclasses.replace(topts, beam_size=1)
+        if self.continuous_only and self.continuous_scheduler is not None:
+            topts, chunk = self._coerce_to_continuous(topts, chunk, uid)
         req = BatchRequest(
             audio=chunk,
             options=topts,

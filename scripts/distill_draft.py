@@ -62,9 +62,16 @@ def main(argv=None) -> int:
                          "512 for --continuous_spec serving drafts.")
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for the CI "
+                         "smoke) — the env var is too late under the "
+                         "axon sitecustomize")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from whisperlive_tpu import distill
@@ -75,11 +82,18 @@ def main(argv=None) -> int:
     from whisperlive_tpu.training import make_optimizer
 
     rng = np.random.default_rng(args.seed)
-    # decoder_int8=False: training differentiates the raw decoder weights;
-    # the serving default would quantize them away (embed -> embed8/w8)
-    teacher_eng = load_engine(
-        args.model, args.tpu_model_path, decoder_int8=False
-    )
+    # The teacher's numerics must match the SERVING verifier the draft
+    # will be judged against, so load it exactly as serving does (decoder
+    # int8 on TPU): pseudo-labels then decode through the REAL int8
+    # kernels. The training-path forwards (KD logits, student init,
+    # acceptance eval) cannot run the serving kernels — they get a DENSE
+    # tree rebuilt from the quantized one below
+    # (models/whisper.py::dequantize_decoder_weights), carrying the
+    # dequantized values including the int8 rounding error. KD against
+    # the raw float teacher mis-targets wherever quantization flips an
+    # argmax (only the student's decoder is trained; the teacher is
+    # frozen either way).
+    teacher_eng = load_engine(args.model, args.tpu_model_path)
     cfg_t = teacher_eng.cfg
     cfg_s = distill.student_config(cfg_t, n_text_layer=args.layers)
 
@@ -222,7 +236,13 @@ def main(argv=None) -> int:
     from whisperlive_tpu.models import whisper as wmod
     from whisperlive_tpu.training import decoder_forward_train
 
-    teacher_params = teacher_eng.params
+    # dense training-forward tree reproducing the int8 serving decoder's
+    # values (no-op when the engine loaded unquantized, e.g. on CPU);
+    # bf16 on TPU matches the serving kernels' dequant-in-VMEM compute
+    teacher_params = wmod.dequantize_decoder_weights(
+        teacher_eng.params,
+        dtype=jnp.bfloat16 if teacher_eng.decoder_int8 else jnp.float32,
+    )
     P = len(seqs)
     tok_dev = jnp.asarray(tokens_in)
     mask_dev = jnp.asarray(loss_mask)

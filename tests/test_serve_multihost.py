@@ -103,3 +103,76 @@ def test_follower_replayed_full_stream(serve_run):
     """The follower consumed a real op stream: at least one init_state,
     three inserts, and the step/release traffic behind three windows."""
     assert serve_run[1]["ops"] >= 8
+
+
+def test_op_channel_auth_accepts_shared_secret():
+    """Mutual HMAC handshake: an unauthenticated probe is rejected
+    without occupying the follower slot, the real follower (same secret)
+    authenticates, and frames flow only after auth."""
+    import threading
+
+    from whisperlive_tpu.parallel import serve_multihost as smh
+
+    port = _free_port()
+    leader_box = {}
+
+    def lead():
+        leader_box["leader"] = smh.OpLeader(
+            port, n_followers=1, secret=b"podkey", accept_timeout_s=20.0
+        )
+
+    t = threading.Thread(target=lead)
+    t.start()
+    # a port-scanner probe: garbage digest — must be rejected, and must
+    # NOT consume the single follower slot (retry the connect: the
+    # leader thread binds asynchronously)
+    import time as _time
+
+    deadline = _time.monotonic() + 10
+    while True:
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=5)
+            break
+        except OSError:
+            if _time.monotonic() >= deadline:
+                raise
+            _time.sleep(0.05)
+    with s:
+        s.sendall(b"\x00" * 32)
+        # leader closes on bad digest
+        assert s.recv(64) == b""
+    chan = smh.OpFollower(("127.0.0.1", port), secret=b"podkey")
+    t.join(timeout=10)
+    assert not t.is_alive()
+    leader = leader_box["leader"]
+    leader.publish("ping", {"x": 1})
+    assert chan.next() == ("ping", {"x": 1})
+    chan.close()
+    leader.close()
+
+
+def test_op_channel_rejects_wrong_secret():
+    """A follower with the wrong key never completes the handshake (and
+    never unpickles a byte): the leader times out with zero accepted
+    followers; the follower errors out."""
+    import threading
+
+    from whisperlive_tpu.parallel import serve_multihost as smh
+
+    port = _free_port()
+    errs = {}
+
+    def lead():
+        try:
+            smh.OpLeader(port, n_followers=1, secret=b"right",
+                         accept_timeout_s=2.5)
+        except Exception as e:
+            errs["leader"] = e
+
+    t = threading.Thread(target=lead)
+    t.start()
+    with pytest.raises((OSError, ConnectionError)):
+        smh.OpFollower(("127.0.0.1", port), secret=b"wrong",
+                       connect_timeout_s=2.0)
+    t.join(timeout=10)
+    assert isinstance(errs.get("leader"), TimeoutError)

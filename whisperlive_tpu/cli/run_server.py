@@ -145,7 +145,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "WL_COORDINATOR/WL_NUM_PROCS/WL_PROC_ID are "
                              "set: process 0 serves and broadcasts every "
                              "device op; the others replay them. All "
-                             "hosts must launch with IDENTICAL flags.")
+                             "hosts must launch with IDENTICAL flags. "
+                             "The channel is HMAC-authenticated with "
+                             "WL_OPS_SECRET (set it on every host).")
+    parser.add_argument("--multihost_ops_host", type=str, default=None,
+                        help="Interface the leader binds the op log on. "
+                             "Default: the WL_COORDINATOR host (the pod-"
+                             "internal interface the followers already "
+                             "reach) — NOT 0.0.0.0; the op stream carries "
+                             "every session's raw audio.")
     return parser
 
 
@@ -387,10 +395,16 @@ def create_backend(args, multihost_active: bool = False):
 
             from whisperlive_tpu.parallel import serve_multihost as smh
 
+            # Bind the pod-internal interface the followers already reach
+            # (the coordinator host IS this leader process), never
+            # 0.0.0.0 — the op stream carries every session's raw audio.
+            ops_host = args.multihost_ops_host or os.environ.get(
+                "WL_COORDINATOR", "127.0.0.1:0"
+            ).rsplit(":", 1)[0]
             leader = smh.OpLeader(
                 args.multihost_ops_port,
                 n_followers=jax.process_count() - 1,
-                host="0.0.0.0",
+                host=ops_host,
             )
             cb = smh.MultihostContinuousEngine(
                 engine, leader=leader, draft_engine=cont_draft, **pool

@@ -40,9 +40,17 @@ gracefully). Sessions needing word timestamps belong on a single-host
 replica behind the cluster router (serving/cluster.py).
 
 Trust model: the op channel carries pickled numpy/scalar payloads
-between the pod's own hosts — the same trust domain as jax.distributed
-itself (whose control channel is equally unauthenticated). Bind the
-leader port on the pod-internal interface, never a public one.
+between the pod's own hosts. Because unpickling attacker bytes is
+arbitrary code execution, the channel is authenticated BEFORE any
+pickle flows: each side must present an HMAC-SHA256 digest keyed by the
+shared secret (WL_OPS_SECRET, same env contract as WL_COORDINATOR) —
+the leader rejects unauthenticated followers (a squatter can neither
+occupy a follower slot nor receive the op stream), and a follower
+refuses a leader that cannot prove the key (a squatted port cannot feed
+it pickles). The digests are fixed-length raw bytes, so nothing is
+unpickled pre-auth. Still bind the leader port on the pod-internal
+interface (run_server derives the default from WL_COORDINATOR), never
+a public one: the secret gates access, the bind bounds exposure.
 
 Reference: collabora/WhisperLive has no multi-host serving (SURVEY §5 —
 TRT-LLM pinned to world_size=1); this subsystem is TPU-native headroom:
@@ -66,7 +74,10 @@ Usage (same script on every host; see tests/serve_multihost_worker.py):
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import logging
+import os
 import pickle
 import socket
 import struct
@@ -83,6 +94,40 @@ logger = logging.getLogger(__name__)
 
 _HDR = struct.Struct("<I")  # frame = u32 length + pickle payload
 
+# --- channel authentication (pre-pickle, fixed-length raw bytes) -------
+
+_AUTH_LEN = hashlib.sha256().digest_size
+
+
+def ops_secret() -> bytes:
+    """Shared op-channel secret (WL_OPS_SECRET on every host). An empty
+    secret still runs the handshake (the digests must match) but provides
+    no protection against an attacker who knows the protocol — warn."""
+    secret = os.environ.get("WL_OPS_SECRET", "")
+    if not secret:
+        logger.warning(
+            "WL_OPS_SECRET is not set: the multi-host op channel is "
+            "unauthenticated — anyone reaching the leader port can join "
+            "as a follower (receiving all session audio) or squat the "
+            "port and feed followers pickles. Set the same secret on "
+            "every host."
+        )
+    return secret.encode()
+
+
+def _auth_digest(secret: bytes, role: str) -> bytes:
+    return hmac.new(secret, f"wl-ops-{role}-v1".encode(), hashlib.sha256).digest()
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("op-log peer closed during auth")
+        buf.extend(chunk)
+    return bytes(buf)
+
 
 class OpLeader:
     """Leader side of the op log: accepts follower connections, then
@@ -96,15 +141,44 @@ class OpLeader:
         n_followers: int,
         host: str = "127.0.0.1",
         accept_timeout_s: float = 120.0,
+        secret: Optional[bytes] = None,
     ):
+        if secret is None:
+            secret = ops_secret()
         self._srv = socket.create_server((host, port), backlog=max(n_followers, 1))
         self._srv.settimeout(accept_timeout_s)
         self.conns: list[socket.socket] = []
-        for _ in range(n_followers):
+        deadline = time.monotonic() + accept_timeout_s
+        want = _auth_digest(secret, "follower")
+        reply = _auth_digest(secret, "leader")
+        while len(self.conns) < n_followers:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"only {len(self.conns)}/{n_followers} followers "
+                    "authenticated before the accept deadline"
+                )
             conn, addr = self._srv.accept()
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            # Auth BEFORE the connection occupies a follower slot: the
+            # peer must present the follower digest within a short
+            # window, or a port-scanner/squatter would both stall the
+            # real follower and receive every session's raw audio.
+            try:
+                conn.settimeout(10.0)
+                got = _recv_exact(conn, _AUTH_LEN)
+                if not hmac.compare_digest(got, want):
+                    raise ConnectionError("bad follower auth digest")
+                conn.sendall(reply)  # prove the leader knows the key too
+                conn.settimeout(None)
+            except (OSError, ConnectionError) as e:
+                logger.warning(
+                    "rejecting unauthenticated op-log connection from "
+                    "%s: %s", addr, e,
+                )
+                conn.close()
+                continue
             self.conns.append(conn)
-            logger.info("op-log follower connected from %s", addr)
+            logger.info("op-log follower authenticated from %s", addr)
 
     def publish(self, op: str, payload=None) -> None:
         frame = pickle.dumps((op, payload), protocol=pickle.HIGHEST_PROTOCOL)
@@ -125,13 +199,36 @@ class OpFollower:
     """Follower side: connects (with retry — the leader may bind late)
     and yields ops in publication order."""
 
-    def __init__(self, addr: tuple[str, int], connect_timeout_s: float = 120.0):
+    def __init__(
+        self,
+        addr: tuple[str, int],
+        connect_timeout_s: float = 120.0,
+        secret: Optional[bytes] = None,
+    ):
+        if secret is None:
+            secret = ops_secret()
         deadline = time.monotonic() + connect_timeout_s
         while True:
             try:
                 self._sock = socket.create_connection(addr, timeout=10.0)
+                # Mutual auth before ANY pickle is read: present the
+                # follower digest, then require the leader digest back —
+                # a squatter on the leader port cannot produce it, so it
+                # can never feed this process attacker-controlled
+                # pickles (pickle.loads is code execution). A rejection
+                # (leader closed / wrong digest) retries like a refused
+                # connect: the real leader may simply not be up yet.
+                self._sock.settimeout(10.0)
+                self._sock.sendall(_auth_digest(secret, "follower"))
+                got = _recv_exact(self._sock, _AUTH_LEN)
+                if not hmac.compare_digest(got, _auth_digest(secret, "leader")):
+                    raise ConnectionError("op-log leader failed auth")
                 break
-            except OSError:
+            except (OSError, ConnectionError):
+                try:
+                    self._sock.close()
+                except Exception:
+                    pass
                 if time.monotonic() >= deadline:
                     raise
                 time.sleep(0.2)
@@ -155,11 +252,39 @@ class OpFollower:
         self._sock.close()
 
 
+def params_fingerprint(params, mesh) -> tuple:
+    """Cheap cross-host weight fingerprint: float32 sums of a few leaves,
+    computed by ONE replicated SPMD program (an all-reduce every process
+    dispatches at engine construction, before any op-log traffic — so the
+    replay streams stay aligned) and therefore bit-identical on every
+    host iff the weights are. Catches the silent-wrong-tokens failure of
+    a follower launched with a different checkpoint or seed: slot state
+    is sharded over hosts, so a mismatched follower's shards would flow
+    into the leader's all-gathered results undetected."""
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    leaves.sort(key=lambda kv: jax.tree_util.keystr(kv[0]))
+    picks = [leaves[0], leaves[len(leaves) // 2], leaves[-1]]
+
+    fn = jax.jit(
+        lambda xs: [jnp.sum(x.astype(jnp.float32)) for x in xs],
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    vals = fn([x for _, x in picks])
+    return tuple(
+        (jax.tree_util.keystr(k), float(v)) for (k, _), v in zip(picks, vals)
+    )
+
+
 def engine_signature(cb: ContinuousEngine) -> dict:
     """Everything that must match for two processes' engines to trace
-    identical programs from identical op payloads."""
+    identical programs from identical op payloads — geometry, quantization
+    flags, AND a weight fingerprint (identical host bytes through identical
+    programs still serve garbage if the params differ)."""
     sh = cb.shardings
     return {
+        "params_fp": getattr(cb, "_params_fp", None),
         "n_slots": cb.n_slots,
         "prompt_pad": cb.prompt_pad,
         "ring": cb.ring,
@@ -206,6 +331,14 @@ class MultihostContinuousEngine(ContinuousEngine):
             lambda x: x,
             out_shardings=NamedSharding(self.shardings.mesh, P()),
         )
+        # weight fingerprint for the signature handshake — EVERY process
+        # computes it here (same collective, same construction-time point
+        # in its op stream), leader and follower alike
+        self._params_fp = params_fingerprint(self.eng.params, self.shardings.mesh)
+        if self.draft is not None:
+            self._params_fp = self._params_fp + params_fingerprint(
+                self.draft.params, self.shardings.mesh
+            )
         self._leader = leader
         if leader is not None:
             leader.publish("hello", engine_signature(self))
@@ -303,18 +436,38 @@ def run_follower(
         if op == "stop":
             logger.info("op-log follower replayed %d ops", n - 1)
             return n - 1
-        if op == "init_state":
-            engine.init_state(payload)
-        elif op == "insert":
-            args, kwargs = payload
-            engine.insert(*args, **kwargs)
-        elif op == "step":
-            engine.step()
-        elif op == "release":
-            engine.release(payload)
-        elif op == "harvest_all":
-            engine.harvest_all()
-        elif op == "harvest":
-            engine.harvest(*payload)
-        else:
-            raise RuntimeError(f"unknown op-log opcode {op!r}")
+        # Error parity with the leader: the leader's scheduler catches op
+        # exceptions and keeps serving (_do_inserts logs-and-fails the
+        # requests; the worker-loop catch-all releases slots — both
+        # recovery paths publish their own device ops, which arrive next
+        # on this stream). A deterministic op failure therefore raises
+        # HERE too and must be survived the same way, or this process
+        # dies and the leader's next collective hangs the whole mesh.
+        try:
+            if op == "init_state":
+                engine.init_state(payload)
+            elif op == "insert":
+                args, kwargs = payload
+                engine.insert(*args, **kwargs)
+            elif op == "step":
+                engine.step()
+            elif op == "release":
+                engine.release(payload)
+            elif op == "harvest_all":
+                engine.harvest_all()
+            elif op == "harvest":
+                engine.harvest(*payload)
+            else:
+                # NOT recoverable: an unknown opcode means a protocol
+                # mismatch — continuing would replay a desynced stream
+                raise RuntimeError(f"unknown op-log opcode {op!r}")
+        except Exception:
+            if op not in (
+                "init_state", "insert", "step", "release",
+                "harvest_all", "harvest",
+            ):
+                raise
+            logger.exception(
+                "op-log replay of %r failed (continuing — the leader's "
+                "scheduler survives the same failure)", op,
+            )

@@ -186,9 +186,22 @@ def main() -> None:
     peak_flops, peak_hbm = roofline.nominal_peaks(
         getattr(jax.devices()[0], "device_kind", str(jax.devices()[0]))
     )
-    eff_flops, eff_hbm = roofline.effective_peaks()
+    # Effective envelopes MEASURED under the same depth-2 dispatch overlap
+    # this bench runs (a single-program calibration undercounts them and
+    # utilizations read > 1 — round-4 bench artifact). Probe failure falls
+    # back to the env-overridable static estimates.
+    peaks = {}
+    if os.environ.get("WL_MEASURE_PEAKS", "1") != "0":
+        peaks = roofline.measure_effective_peaks()
+    eff_flops, _ = roofline.effective_peaks()
+    if peaks:
+        eff_flops = peaks["tflops"] * 1e12
     step_hbm = step.bytes / marginal_s
     step_elem_rate = step.elements / marginal_s
+    # speed-of-light fraction of the decode step: modeled lower-bound step
+    # time on the measured envelopes / the measured marginal step time
+    step_roof_s = roofline.step_time_roof(step, peaks)
+    step_sol_frac = step_roof_s / marginal_s
 
     result = {
         "metric": "rtfx_streaming",
@@ -209,12 +222,21 @@ def main() -> None:
             "modeled_gflops_per_window": round(flops_window / 1e9, 1),
             "achieved_tflops": round(achieved_flops / 1e12, 2),
             "mfu": round(achieved_flops / peak_flops, 4),  # vs nominal silicon
-            "mfu_effective": round(achieved_flops / eff_flops, 4),  # vs relay
+            # vs the MEASURED overlapped envelope (bounded by 1 when the
+            # probe ran; the probe results print below so the denominator
+            # is inspectable)
+            "mfu_effective": round(achieved_flops / eff_flops, 4),
             "step_hbm_bytes": int(step.bytes),
             "step_hbm_gbps": round(step_hbm / 1e9, 1),
             "hbm_util": round(step_hbm / peak_hbm, 4),  # vs nominal silicon
-            "hbm_util_effective": round(step_hbm / eff_hbm, 4),  # vs relay
             "step_gelems_per_s": round(step_elem_rate / 1e9, 1),
+            # decode-step speed of light on the measured envelopes:
+            # modeled lower-bound step time / measured step time (<= 1)
+            "step_roof_ms": round(step_roof_s * 1e3, 2),
+            "step_sol_frac": round(step_sol_frac, 3),
+            "measured_peaks": {
+                k: round(v, 1) for k, v in peaks.items()
+            } or None,
         },
     }
     print(json.dumps(result))

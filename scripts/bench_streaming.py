@@ -59,6 +59,12 @@ def main() -> None:
     parser.add_argument("--continuous_spec", action="store_true",
                         help="speculative continuous batching: chunks become "
                              "verify rounds (needs --draft_path/--draft_model)")
+    parser.add_argument("--spec_mixed", action="store_true",
+                        help="mixed speculative routing: full re-decodes on "
+                             "a second spec pool, incremental tails plain "
+                             "(needs --draft_path/--draft_model)")
+    parser.add_argument("--spec_slots", type=int, default=8,
+                        help="slots of the mixed-mode speculative pool")
     parser.add_argument("--draft_path", type=str, default=None,
                         help="converted checkpoint dir of a distilled draft "
                              "(scripts/distill_draft.py output)")
@@ -107,7 +113,9 @@ def main() -> None:
     params = init_params(cfg, 0, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
     engine = WhisperEngine(cfg, params)
     draft_engine = None
-    if args.continuous_spec and (args.draft_path or args.draft_model):
+    if (args.continuous_spec or args.spec_mixed) and (
+        args.draft_path or args.draft_model
+    ):
         from whisperlive_tpu.loader import load_engine
 
         draft_engine = load_engine(
@@ -123,9 +131,12 @@ def main() -> None:
                 "positions — acceptance will collapse. Distill with "
                 "--enc_ctx 512.", file=sys.stderr,
             )
-    elif args.continuous_spec:
-        raise SystemExit("--continuous_spec needs --draft_path/--draft_model")
+    elif args.continuous_spec or args.spec_mixed:
+        raise SystemExit(
+            "--continuous_spec/--spec_mixed need --draft_path/--draft_model"
+        )
     continuous = None
+    spec_sched = None
     if args.continuous:
         from whisperlive_tpu.engine.continuous import ContinuousScheduler
 
@@ -141,11 +152,27 @@ def main() -> None:
             ring=args.ring,
             prompt_pad=args.prompt_pad,
             beam_width=1 if hybrid_beam else args.beam_size,
-            draft_engine=draft_engine,
+            draft_engine=None if args.spec_mixed else draft_engine,
             spec_k=args.spec_k,
         )
         continuous.warmup()
         continuous.start()
+        if args.spec_mixed:
+            # full re-decodes only: fewer slots, larger ring (a spec round
+            # consumes k+2 columns; from-scratch windows decode ~100+
+            # tokens), 4-round ticks (the measured spec-mode setting)
+            spec_sched = ContinuousScheduler(
+                engine,
+                draft_engine=draft_engine,
+                n_slots=args.spec_slots,
+                steps_per_chunk=min(args.steps_per_chunk, 4),
+                cross_ctx=args.cross_ctx,
+                ring=192,
+                prompt_pad=args.prompt_pad,
+                spec_k=args.spec_k,
+            )
+            spec_sched.warmup()
+            spec_sched.start()
         if hybrid_beam:
             # the beamed full re-decodes run on the window scheduler —
             # warm its beamed program for the buckets it will hit
@@ -230,7 +257,8 @@ def main() -> None:
 
     backend = MeasuringBackend(scheduler, continuous_scheduler=continuous,
                                beam_size=args.beam_size,
-                               beam_mode=args.beam_mode)
+                               beam_mode=args.beam_mode,
+                               spec_scheduler=spec_sched)
     backend.request_timeout_s = 180.0  # survive rare cold-shape compiles
 
     chunk_samples = int(16000 * args.chunk_ms / 1000)
@@ -284,6 +312,50 @@ def main() -> None:
 
     import json
 
+    # Continuous-tick roofline (VERDICT r4 item 2): the measured per-tick
+    # step time vs a modeled lower bound for steps_per_chunk lockstep
+    # decode steps over the FULL resident slot pool, on envelopes measured
+    # under dispatch overlap on THIS device. tick_sol_frac near 1 means
+    # the tick is at the device's memory/compute floor (the latency is
+    # compute-floored); well under 1 means code/dispatch headroom remains.
+    tick_roof_ms = None
+    peaks = {}
+    if continuous is not None and os.environ.get("WL_MEASURE_PEAKS", "1") != "0":
+        from whisperlive_tpu.utils import roofline
+
+        peaks = roofline.measure_effective_peaks()
+        cb = continuous.cb
+        step_cost = roofline.decode_step_cost(
+            cfg, cb.n_rows, cb.cache_len, cross_ctx=cb.cross_ctx,
+            cross_kv_bits=engine.cross_kv_bits,
+            weight_bits=8 if engine.decoder_int8 else 16,
+        )
+        if args.continuous_spec:
+            # a verify round: the draft decodes k+1 steps, then the target
+            # scores a (k+1)-token window in ONE pass (weights + resident
+            # KV read once, FLOPs x (k+1), window K/V re-read negligible)
+            d_cost = roofline.decode_step_cost(
+                draft_engine.cfg, cb.n_rows, cb.cache_len,
+                cross_ctx=cb.cross_ctx,
+                cross_kv_bits=draft_engine.cross_kv_bits,
+                weight_bits=8 if draft_engine.decoder_int8 else 16,
+            )
+            import dataclasses as _dc
+
+            win_cost = _dc.replace(
+                step_cost, flops=step_cost.flops * (args.spec_k + 1)
+            )
+            round_roof = (args.spec_k + 1) * roofline.step_time_roof(
+                d_cost, peaks
+            ) + roofline.step_time_roof(win_cost, peaks)
+            tick_roof_ms = args.steps_per_chunk * round_roof * 1e3
+        else:
+            tick_roof_ms = (
+                args.steps_per_chunk
+                * roofline.step_time_roof(step_cost, peaks)
+                * 1e3
+            )
+
     for n_streams in [int(x) for x in args.streams.split(",")]:
         latencies.clear()
         staleness.clear()
@@ -293,11 +365,18 @@ def main() -> None:
         backend._prefix_cache.clear()  # uids repeat across sweeps
         backend._prefix_streak.clear()
         backend._rt_ema.clear()
+        backend._spec_enabled = True  # fresh hysteresis per sweep row
         spec_before = (
             dict(continuous.spec_stats) if continuous is not None else {}
         )
         tick_before = (
             dict(continuous.tick_stats) if continuous is not None else {}
+        )
+        mix_before = (
+            dict(spec_sched.spec_stats) if spec_sched is not None else {}
+        )
+        route_before = (
+            dict(backend.spec_route_stats) if spec_sched is not None else {}
         )
         row_t0 = time.monotonic()
         asyncio.run(run(n_streams))
@@ -359,6 +438,18 @@ def main() -> None:
                     / max(row_wall, 1e-9), 3,
                 ),
             )
+            if tick_roof_ms is not None and td["ticks"]:
+                step_ms = td["step_s"] / n_ticks * 1e3
+                result["detail"].update(
+                    tick_roof_ms=round(tick_roof_ms, 1),
+                    # achieved-vs-roof: fraction of the modeled device
+                    # floor the measured tick reaches (<= ~1; the roof
+                    # assumes the FULL slot pool resident every step)
+                    tick_sol_frac=round(tick_roof_ms / max(step_ms, 1e-9), 3),
+                    measured_peaks={
+                        k: round(v, 1) for k, v in peaks.items()
+                    } or None,
+                )
         if args.continuous_spec and continuous is not None:
             d = {
                 k: continuous.spec_stats[k] - spec_before.get(k, 0)
@@ -375,11 +466,33 @@ def main() -> None:
                 spec_committed=d["committed"],
                 spec_acceptance=round(acc, 3),
             )
+        if spec_sched is not None:
+            d = {
+                k: spec_sched.spec_stats[k] - mix_before.get(k, 0)
+                for k in spec_sched.spec_stats
+            }
+            acc = (
+                max(0.0, (d["committed"] - d["rounds"]) / (d["rounds"] * args.spec_k))
+                if d["rounds"] else 0.0
+            )
+            result["detail"].update(
+                spec_mixed=True,
+                spec_k=args.spec_k,
+                spec_windows=d["windows"],
+                spec_acceptance=round(acc, 3),
+                spec_acceptance_ema=round(spec_sched.acceptance_ema, 3),
+                spec_routing={
+                    k: backend.spec_route_stats[k] - route_before.get(k, 0)
+                    for k in backend.spec_route_stats
+                },
+            )
         print(json.dumps(result), flush=True)
 
     scheduler.stop()
     if continuous is not None:
         continuous.stop()
+    if spec_sched is not None:
+        spec_sched.stop()
 
 
 if __name__ == "__main__":

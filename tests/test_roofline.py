@@ -54,3 +54,32 @@ def test_peaks():
     assert f == roofline.DEFAULT_PEAK[0]
     ef, eb = roofline.effective_peaks()
     assert ef > 0 and eb > 0
+
+
+def test_measure_effective_peaks_and_step_roof():
+    """The overlap probe returns all five envelopes (tiny shapes on CPU),
+    and step_time_roof built on them is positive, scales with batch, and
+    respects the max(compute, stream) form."""
+    from whisperlive_tpu.utils import roofline
+
+    peaks = roofline.measure_effective_peaks(
+        iters=2, n=128, chain=2, elems=1 << 16
+    )
+    assert set(peaks) == {
+        "tflops", "bf16_gbps", "int8_gbps", "bf16_geps", "int8_geps"
+    }
+    assert all(v > 0 for v in peaks.values())
+
+    from whisperlive_tpu.models.whisper import WHISPER_CONFIGS
+
+    cfg = WHISPER_CONFIGS["tiny"]
+    s1 = roofline.decode_step_cost(cfg, 1, 144)
+    s8 = roofline.decode_step_cost(cfg, 8, 144)
+    # the dtype split partitions the total traffic exactly
+    for s in (s1, s8):
+        assert abs((s.int8_bytes + s.bf16_bytes) - s.bytes) < 1e-6 * s.bytes
+    r1 = roofline.step_time_roof(s1, peaks)
+    r8 = roofline.step_time_roof(s8, peaks)
+    assert 0 < r1 < r8
+    # fallback path (no probe) also returns a positive bound
+    assert roofline.step_time_roof(s1, {}) > 0

@@ -112,6 +112,22 @@ def build_parser() -> argparse.ArgumentParser:
                              "draft — at low acceptance each slot's ring "
                              "budget shrinks toward ring/(spec_k+2) tokens "
                              "per window.")
+    parser.add_argument("--continuous_spec_mode", choices=("all", "mixed"),
+                        default="all",
+                        help="With --continuous_spec: 'all' attaches the "
+                             "draft to the main pool (every window is "
+                             "verify rounds); 'mixed' keeps the main pool "
+                             "plain for short incremental tails and routes "
+                             "only FULL re-decodes (~100 steps — where a "
+                             "verify round pays) to a second speculative "
+                             "pool, with acceptance-EMA hysteresis falling "
+                             "back to plain below the ~0.25 breakeven "
+                             "(WL_SPEC_BREAKEVEN/WL_SPEC_REENABLE/"
+                             "WL_SPEC_PROBE_S).")
+    parser.add_argument("--spec_slots", type=int, default=8,
+                        help="Device slots of the mixed-mode speculative "
+                             "pool (full re-decodes only, so fewer than "
+                             "--continuous_slots).")
     parser.add_argument("--profile_dir", type=str,
                         default=os.environ.get("WL_PROFILE_DIR"),
                         help="Write JAX profiler (xprof) traces to this dir.")
@@ -377,11 +393,25 @@ def create_backend(args, multihost_active: bool = False):
                 pool["n_slots"], shardings.dp, shardings.tp,
             )
         cont_draft = None
+        spec_mixed = False
         if args.continuous_spec:
             if draft_engine is None:
                 logging.warning(
                     "--continuous_spec ignored: no draft loaded (give "
                     "--draft_model/--draft_path with --beam_size 1)"
+                )
+            elif args.continuous_spec_mode == "mixed":
+                if multihost_active:
+                    raise SystemExit(
+                        "--continuous_spec_mode mixed needs a second "
+                        "continuous pool, whose ops are not replayed on "
+                        "follower hosts; use 'all' with multi-host serving"
+                    )
+                spec_mixed = True
+                logging.info(
+                    "mixed speculative routing: full re-decodes on a "
+                    "%d-slot spec pool (k=%d), incremental tails plain",
+                    args.spec_slots, args.spec_k,
                 )
             else:
                 cont_draft = draft_engine
@@ -420,6 +450,25 @@ def create_backend(args, multihost_active: bool = False):
         if not args.no_warmup:
             continuous.warmup()
         continuous.start()
+    spec_sched = None
+    if args.continuous_batching and spec_mixed:
+        # The speculative pool serves only full re-decodes: fewer slots,
+        # a larger ring (a spec round consumes spec_k+2 ring columns, and
+        # a from-scratch window decodes ~100+ tokens), and the measured
+        # spec-mode tick of 4 rounds (BENCH_NOTES round 4: halves tick
+        # latency for ~50% higher per-round overhead — better p50).
+        spec_sched = ContinuousScheduler(
+            engine,
+            draft_engine=draft_engine,
+            n_slots=args.spec_slots,
+            steps_per_chunk=min(args.steps_per_chunk, 4),
+            cross_ctx=args.continuous_cross_ctx,
+            ring=192,
+            spec_k=args.spec_k,
+        )
+        if not args.no_warmup:
+            spec_sched.warmup()
+        spec_sched.start()
     if args.beam_size > 1 and args.batch_max_size * args.beam_size > 16:
         logging.warning(
             "batch_max_size*beam_size=%d may exceed HBM; consider lowering "
@@ -428,7 +477,8 @@ def create_backend(args, multihost_active: bool = False):
                       beam_size=args.beam_size,
                       continuous_scheduler=continuous,
                       beam_mode=args.beam_mode,
-                      continuous_only=multihost_active), "tpu"
+                      continuous_only=multihost_active,
+                      spec_scheduler=spec_sched), "tpu"
 
 
 def _warn_draft_ctx(args, for_continuous: bool) -> None:
@@ -443,11 +493,18 @@ def _warn_draft_ctx(args, for_continuous: bool) -> None:
     if not d_ctx:
         return
     if for_continuous and d_ctx != 512:
-        logging.warning(
-            "draft distilled at enc_ctx=%d but --continuous_spec verifies "
-            "at 512-position tail encodes — acceptance will collapse; "
-            "distill with --enc_ctx 512", d_ctx,
+        msg = (
+            f"draft distilled at enc_ctx={d_ctx} but --continuous_spec "
+            "verifies at 512-position tail encodes — acceptance will "
+            "collapse; distill with --enc_ctx 512"
         )
+        if args.continuous_spec and args.continuous_cross_ctx is None:
+            # a misconfigured draft silently serves at ~0 acceptance
+            # (every verify round wasted) — fail fast at startup; a
+            # non-default --continuous_cross_ctx changes the tail-encode
+            # context, so only warn there
+            raise SystemExit(msg)
+        logging.warning("%s", msg)
     if not for_continuous and d_ctx != 1500:
         logging.warning(
             "draft distilled at enc_ctx=%d but window/offline speculation "

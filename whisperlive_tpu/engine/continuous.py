@@ -1524,6 +1524,11 @@ class ContinuousScheduler:
         # 1 + accepted, so accepted = committed - rounds and the proposal
         # count is rounds * spec_k
         self.spec_stats = {"windows": 0, "rounds": 0, "committed": 0}
+        # RECENT acceptance (EMA over harvested windows): the signal the
+        # serving layer's hysteresis keys off — cumulative acceptance
+        # cannot recover from a bad first minute, an EMA can
+        self.acceptance_ema: float = 0.0
+        self._acc_ema_n = 0
         # dispatch-cost observability (host-side, cumulative): wall time
         # the worker loop spends in each phase of a tick — insert
         # (audio upload + encode dispatch), step (decode-chunk dispatch +
@@ -1941,6 +1946,19 @@ class ContinuousScheduler:
                     self.spec_stats["windows"] += 1
                     self.spec_stats["rounds"] += rounds
                     self.spec_stats["committed"] += int(valid.sum())
+                    win_acc = max(
+                        0.0,
+                        (int(valid.sum()) - rounds)
+                        / (rounds * self.cb.spec_k),
+                    )
+                    # seed the EMA with the first window, then track at 0.1
+                    self._acc_ema_n += 1
+                    if self._acc_ema_n == 1:
+                        self.acceptance_ema = win_acc
+                    else:
+                        self.acceptance_ema += 0.1 * (
+                            win_acc - self.acceptance_ema
+                        )
                     wl_metrics.track_speculative_window(self.acceptance_rate())
             toks = self.cb.unroll_row(status[row], info.join_step, gen_len)
             if info.prefix:

@@ -54,6 +54,104 @@ def effective_peaks() -> tuple[float, float]:
     return tf, bw
 
 
+def measure_effective_peaks(
+    depth: int = 2,
+    iters: int = 8,
+    seconds_budget: float = 60.0,
+    n: int = 4096,
+    chain: int = 8,
+    elems: int = 64 * 1024 * 1024,
+) -> dict:
+    """Measure THIS device's effective envelopes UNDER DISPATCH OVERLAP —
+    the denominators utilization numbers must be bounded by when the
+    serving path pipelines dispatches (bench.py runs depth-2; a
+    single-program calibration undercounts the envelope and utilizations
+    read > 1, VERDICT r4 item 5). Probes:
+
+      * tflops      — bf16 matmul chains (MXU envelope)
+      * bf16_gbps / int8_gbps — full reductions over large resident
+        arrays (HBM stream envelope per dtype; the relay chip is
+        ELEMENT-rate-bound, so the dtypes differ by far less than 2x)
+      * bf16_geps / int8_geps — the same probes in elements/s
+
+    Each probe keeps `depth` dispatches in flight and syncs via a scalar
+    device->host fetch (jax.block_until_ready does not sync through the
+    axon relay). Returns {} on probe failure (callers fall back to
+    effective_peaks). Results are environment facts, not model numbers —
+    print them next to any utilization derived from them."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t_start = time.monotonic()
+
+    def overlapped(fn, arg, work_per_call: float) -> float:
+        """Rate of `work_per_call` units/s with `depth` in-flight calls."""
+        pending = []
+        # warmup / compile
+        np.asarray(fn(arg))
+        t0 = time.monotonic()
+        for _ in range(iters):
+            pending.append(fn(arg))
+            if len(pending) >= depth:
+                np.asarray(pending.pop(0))
+        for p in pending:
+            np.asarray(p)
+        return iters * work_per_call / (time.monotonic() - t0)
+
+    out: dict = {}
+    try:
+        x = jnp.ones((n, n), jnp.bfloat16)
+
+        @jax.jit
+        def mm(a):
+            for _ in range(chain):
+                a = a @ a
+            return a.sum(dtype=jnp.float32)
+
+        out["tflops"] = overlapped(mm, x, chain * 2 * n**3) / 1e12
+        if time.monotonic() - t_start > seconds_budget:
+            return out
+
+        # HBM stream: sum-reduce arrays sized well past VMEM (~128 MB
+        # bf16 / 256 M elements int8) so every element streams from HBM
+        elems = 64 * 1024 * 1024
+        big16 = jnp.ones((elems,), jnp.bfloat16)
+        red16 = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
+        out["bf16_gbps"] = overlapped(red16, big16, 2.0 * elems) / 1e9
+        out["bf16_geps"] = out["bf16_gbps"] / 2.0
+
+        big8 = jnp.ones((2 * elems,), jnp.int8)
+        red8 = jax.jit(lambda a: jnp.sum(a.astype(jnp.int32)))
+        out["int8_gbps"] = overlapped(red8, big8, 2.0 * elems) / 1e9
+        out["int8_geps"] = out["int8_gbps"]
+    except Exception:  # pragma: no cover - device-dependent
+        import logging
+
+        logging.getLogger(__name__).exception("effective-peak probe failed")
+    return out
+
+
+def step_time_roof(step: "StepCost", peaks: dict) -> float:
+    """Lower-bound seconds for ONE lockstep decode step on the MEASURED
+    envelopes: max(MXU time, HBM stream time), charging int8 and bf16
+    traffic at their separately measured rates (conservative: assumes the
+    two streams do not overlap each other). The achieved/roof fraction
+    this yields is bounded by 1 whenever the probe measured a true
+    envelope — the honest 'how close to speed-of-light is the step'
+    number (VERDICT r4 items 2 and 5)."""
+    if not peaks:
+        tf, bw = effective_peaks()
+        return max(step.flops / tf, step.bytes / bw)
+    t_mxu = step.flops / (peaks["tflops"] * 1e12)
+    t_hbm = step.int8_bytes / (peaks["int8_gbps"] * 1e9) + step.bf16_bytes / (
+        peaks["bf16_gbps"] * 1e9
+    )
+    return max(t_mxu, t_hbm)
+
+
 @dataclass(frozen=True)
 class StepCost:
     """Per-decode-step cost at a given batch (lockstep: one step advances
@@ -64,6 +162,8 @@ class StepCost:
     kv_bytes: float  # per-item KV reads (int8 cross + bf16 self), summed
     elements: float  # total HBM elements touched (the relay is
     # element-rate-bound, BENCH_NOTES r1 — bytes alone mislead here)
+    int8_bytes: float = 0.0  # dtype split of the traffic, for roofs that
+    bf16_bytes: float = 0.0  # charge each stream at its measured rate
 
     @property
     def bytes(self) -> float:
@@ -105,11 +205,24 @@ def decode_step_cost(
     kv_bytes = batch * (cross_elems * cross_kv_bits / 8.0 + self_elems * 2.0)
     kv_elems = batch * (cross_elems + self_elems)
 
+    int8_bytes = 0.0
+    bf16_bytes = batch * self_elems * 2.0
+    if weight_bits == 8:
+        int8_bytes += float(weight_bytes)
+    else:
+        bf16_bytes += float(weight_bytes)
+    if cross_kv_bits in (4, 8):
+        int8_bytes += batch * cross_elems * cross_kv_bits / 8.0
+    else:
+        bf16_bytes += batch * cross_elems * 2.0
+
     return StepCost(
         flops=flops,
         weight_bytes=float(weight_bytes),
         kv_bytes=float(kv_bytes),
         elements=float(weight_elems + kv_elems),
+        int8_bytes=float(int8_bytes),
+        bf16_bytes=float(bf16_bytes),
     )
 
 

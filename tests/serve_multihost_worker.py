@@ -22,14 +22,45 @@ def serving_config():
     )
 
 
-def serving_options():
+def serving_options(word_timestamps: bool = False):
     from whisperlive_tpu.engine.engine import TranscribeOptions
 
     return TranscribeOptions(
         language="en", temperatures=(0.0,), log_prob_threshold=None,
         no_speech_threshold=None, compression_ratio_threshold=None,
-        max_new_tokens=20,
+        max_new_tokens=20, word_timestamps=word_timestamps,
     )
+
+
+def visible_tokenizer(cfg):
+    """Hermetic tokenizer that decodes every text token visibly: with the
+    real BPE vocab unavailable (zero egress) the default tokenizer decodes
+    random-weight tokens to '' — assemble_result would drop the empty
+    segments, and split_to_word_tokens (the word-timestamps grouper, which
+    reads backend.id_to_piece) would produce no words."""
+    from whisperlive_tpu.engine.tokenizer import TokenSpec, WhisperTokenizer
+
+    class _VisBackend:
+        def encode(self, text):
+            return []
+
+        def decode(self, ids):
+            return "".join(f" t{int(t)}" for t in ids)
+
+        def id_to_piece(self, token_id):
+            return f" t{int(token_id)}"
+
+    return WhisperTokenizer(
+        TokenSpec(cfg.n_vocab, multilingual=True), backend=_VisBackend()
+    )
+
+
+def serialize_words(result) -> list:
+    return [
+        [round(w.start, 3), round(w.end, 3), w.word, round(w.probability, 4)]
+        for s in result.segments
+        for w in (s.words or [])
+    ]
 
 
 def request_audio():
@@ -76,6 +107,7 @@ def main() -> int:
     eng = WhisperEngine(
         cfg, init_params(cfg, 0), compute_dtype=jnp.float32,
         batch_buckets=(1, 2), shardings=sh,
+        tokenizer=visible_tokenizer(cfg),
     )
 
     if proc == 0:
@@ -93,11 +125,24 @@ def main() -> int:
             ]
             tokens = [list(map(int, f.result(timeout=600).raw_tokens))
                       for f in futures]
+            # word-timestamps session: the align program dispatches on
+            # the worker thread and is REPLAYED on the follower (the
+            # round-4 capability gap: words used to degrade to segment
+            # timings in multi-host serving)
+            f_w = sched.submit(BatchRequest(
+                audio=request_audio()[0],
+                options=serving_options(word_timestamps=True), uid="w0",
+            ))
+            res_w = f_w.result(timeout=600)
+            words = serialize_words(res_w)
+            tokens_w = list(map(int, res_w.raw_tokens))
         finally:
             sched.stop()
             cb.stop_followers()
-        print("WLMHS " + json.dumps({"proc": proc, "tokens": tokens}),
-              flush=True)
+        print("WLMHS " + json.dumps({
+            "proc": proc, "tokens": tokens,
+            "words": words, "tokens_w": tokens_w,
+        }), flush=True)
     else:
         cb = smh.MultihostContinuousEngine(eng, **POOL)
         chan = smh.OpFollower(("127.0.0.1", op_port))

@@ -63,7 +63,7 @@ def test_measure_effective_peaks_and_step_roof():
     from whisperlive_tpu.utils import roofline
 
     peaks = roofline.measure_effective_peaks(
-        iters=2, n=128, chain=2, elems=1 << 16
+        iters=2, n=128, chain=2, kv_shape=(2, 2, 64, 8), inner=2
     )
     assert set(peaks) == {
         "tflops", "bf16_gbps", "int8_gbps", "bf16_geps", "int8_geps"

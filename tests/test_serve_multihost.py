@@ -66,9 +66,10 @@ def serve_run():
     return results
 
 
-def _reference_tokens():
-    """The same three windows through a plain single-process scheduler
-    (this pytest process's own devices, no mesh)."""
+def _reference_decode():
+    """The same windows through a plain single-process scheduler (this
+    pytest process's own devices, no mesh): three plain decodes plus the
+    word-timestamps session the leader also ran."""
     import jax.numpy as jnp
 
     from whisperlive_tpu.engine.continuous import ContinuousScheduler
@@ -79,24 +80,56 @@ def _reference_tokens():
     cfg = smw.serving_config()
     eng = WhisperEngine(
         cfg, init_params(cfg, 0), compute_dtype=jnp.float32,
-        batch_buckets=(1, 2),
+        batch_buckets=(1, 2), tokenizer=smw.visible_tokenizer(cfg),
     )
     sched = ContinuousScheduler(eng, **smw.POOL)
     sched.start()
     try:
-        return [
+        tokens = [
             list(map(int, sched.submit(BatchRequest(
                 audio=a, options=smw.serving_options(), uid=f"r{i}",
             )).result(timeout=600).raw_tokens))
             for i, a in enumerate(smw.request_audio())
         ]
+        res_w = sched.submit(BatchRequest(
+            audio=smw.request_audio()[0],
+            options=smw.serving_options(word_timestamps=True), uid="rw",
+        )).result(timeout=600)
+        return tokens, smw.serialize_words(res_w), list(
+            map(int, res_w.raw_tokens)
+        )
     finally:
         sched.stop()
 
 
-def test_multihost_serving_token_parity(serve_run):
+@pytest.fixture(scope="module")
+def reference_decode():
+    return _reference_decode()
+
+
+def test_multihost_serving_token_parity(serve_run, reference_decode):
     """dp x tp over two processes decodes exactly what one process does."""
-    assert serve_run[0]["tokens"] == _reference_tokens()
+    assert serve_run[0]["tokens"] == reference_decode[0]
+
+
+def test_multihost_word_timestamps_parity(serve_run, reference_decode):
+    """Word timestamps survive multi-host serving (VERDICT r4 item 7):
+    the leader's word-ts session must produce the same tokens and the
+    same word timings as a single-process decode. Tokens are exact; word
+    boundaries tolerate one alignment frame (0.02 s) and probabilities a
+    small epsilon — the tp-sharded attention sums in a different order
+    than the unsharded reference, so the DTW input is equal only to
+    float rounding."""
+    _, ref_words, ref_tokens_w = reference_decode
+    assert serve_run[0]["tokens_w"] == ref_tokens_w
+    live_words = serve_run[0]["words"]
+    assert ref_words, "reference produced no words — test proves nothing"
+    assert len(live_words) == len(ref_words)
+    for (ls, le, lw, lp), (rs, re_, rw, rp) in zip(live_words, ref_words):
+        assert lw == rw
+        assert abs(ls - rs) <= 0.021
+        assert abs(le - re_) <= 0.021
+        assert abs(lp - rp) <= 0.01
 
 
 def test_follower_replayed_full_stream(serve_run):

@@ -184,7 +184,7 @@ def test_hysteresis_disables_below_breakeven_and_reenables(stack):
     saved = (sched.acceptance_ema, sched._acc_ema_n, backend.spec_probe_s)
     try:
         # warm EMA below breakeven -> one decision flips the route off
-        sched.acceptance_ema, sched._acc_ema_n = 0.05, 10
+        sched.acceptance_ema, sched._acc_ema_n = 0.05, backend.spec_warm_windows + 1
         backend._spec_enabled = True
         backend.spec_probe_s = 1e9
         assert backend._spec_route() is False
@@ -222,14 +222,17 @@ def test_random_draft_organically_trips_the_breaker(stack):
     sched.acceptance_ema, sched._acc_ema_n = 0.0, 0
     backend._spec_enabled = True
     backend.spec_probe_s = 1e9
+    saved_warm = backend.spec_warm_windows
+    backend.spec_warm_windows = 3  # the EMA sees 6 windows in this test
     try:
         for i in range(6):
             _call(backend, _speech(1.0, seed=10 + i), 0.0, uid=f"h{i}")
             backend.release(f"h{i}")
-        assert sched._acc_ema_n >= 5
+        assert sched._acc_ema_n >= backend.spec_warm_windows
         assert not backend._spec_enabled
         assert routes[-1][0] == "plain"
     finally:
+        backend.spec_warm_windows = saved_warm
         sched.acceptance_ema, sched._acc_ema_n = saved
         backend._spec_enabled = True
 

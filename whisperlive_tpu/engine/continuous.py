@@ -1396,6 +1396,50 @@ class ContinuousEngine:
         (per-slot fetches each pay full relay latency). [B, ring] int32."""
         return self._fetch(self.state["sampled"], np.int32)
 
+    def align_fetch(
+        self, slot: int, tokens_arr: np.ndarray, cross_len: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Run the word-alignment program against THIS slot's resident
+        cross-KV and fetch (logits [1,T,V], attn [L,1,H,T,ctx]) to host.
+
+        A slot-engine device op (not a bare engine call) so the multihost
+        subclass can publish it through the op log: align used to run on
+        the scheduler's assemble thread — a second, non-deterministically
+        interleaved op stream the follower replay could not order against
+        — and was therefore gated off in multi-host serving (VERDICT r4
+        item 7). Dispatching it HERE, on the worker thread at harvest,
+        makes its position in the op stream deterministic; only the pure-
+        host DTW half (engine.align_finish) stays on the assemble pool."""
+        idx = self._stage([slot * self.beam_width], jnp.int32)
+        sub_cross = jax.tree.map(
+            lambda a: jnp.take(a, idx, axis=2), self.state["cross_kv"]
+        )
+        eng = self.eng
+        with eng._lock:
+            logits, cross = eng._align_fn(
+                eng.params, sub_cross, self._stage(tokens_arr, jnp.int32),
+                self._stage([int(cross_len)], jnp.int32),
+            )
+        return (
+            self._fetch(logits, np.float32),
+            self._fetch(cross, np.float32),
+        )
+
+    def warm_align(self) -> None:
+        """Compile the slot-resident align program at every prompt bucket
+        (same rationale as WhisperEngine._warm_align, but through the
+        align_fetch op so multihost followers replay the warmup too)."""
+        if os.environ.get("WL_WARM_ALIGN", "1") == "0":
+            return
+        eng = self.eng
+        for pmax in eng.prompt_buckets:
+            n_text = max(pmax - len(eng.tokenizer.sot_sequence()) - 1, 1)
+            prep = eng.align_prepare([1000 + i for i in range(n_text)])
+            if prep is None:
+                continue
+            arr, _, _ = prep
+            self.align_fetch(0, arr, self.cross_ctx)
+
     @staticmethod
     def unroll(row: np.ndarray, join_step: int, gen_len: int, ring: int) -> np.ndarray:
         """Ring-unroll one slot's tokens from a harvested row."""
@@ -1636,14 +1680,12 @@ class ContinuousScheduler:
         # word-timestamps sessions align against the slot's content-capped
         # cross-KV: a separate specialization of the align program (ctx =
         # cross_ctx, not the window path's full context) — warm it at every
-        # prompt bucket a real hypothesis can hit. Skipped in multi-host
-        # serving: align runs on the assemble thread, a second op stream
-        # the follower replay cannot order against the lockstep loop.
-        if not self.cb.multihost:
-            try:
-                eng._warm_align(self.cb.state["cross_kv"])
-            except Exception:
-                logger.exception("continuous align warmup failed")
+        # prompt bucket a real hypothesis can hit. Goes through the slot
+        # engine's align_fetch op so multi-host followers replay it too.
+        try:
+            self.cb.warm_align()
+        except Exception:
+            logger.exception("continuous align warmup failed")
         # fresh state for serving (warmup slots held dummy data)
         self.cb.init_state()
         self._gstep = 0
@@ -2018,11 +2060,8 @@ class ContinuousScheduler:
                 # slot's cross-KV NOW (a fresh device buffer, immune to
                 # the state donation of the next step dispatch — so the
                 # slot can be released immediately) and hand the heavy
-                # part to the assemble thread. (Multi-host serving skips
-                # this: assemble-thread device ops interleave non-
-                # deterministically with the lockstep loop and would
-                # desync the follower op replay — parallel/
-                # serve_multihost.py. Words degrade to segment timings.)
+                # part (align dispatch + fetch + DTW) to the assemble
+                # thread.
                 idx = jnp.asarray([b * self.cb.beam_width])  # lanes share cross
                 sub_cross = jax.tree.map(
                     lambda a: jnp.take(a, idx, axis=2),
@@ -2030,6 +2069,33 @@ class ContinuousScheduler:
                 )
                 self._assemble_pool.submit(
                     self._assemble_and_resolve, info, res, sub_cross,
+                    final_failed,
+                )
+                continue
+            if info.options.word_timestamps and self.cb.multihost:
+                # Multi-host: assemble-thread DEVICE ops would interleave
+                # non-deterministically with the lockstep loop and desync
+                # the follower op replay — so the align program dispatch
+                # and fetch run HERE (deterministic op-stream position,
+                # published via align_fetch); only the pure-host DTW half
+                # goes to the assemble pool. Costs the worker loop one
+                # align dispatch per word-ts harvest.
+                fetched = None
+                try:
+                    prep = self.engine.align_prepare(
+                        res.tokens, language=info.language,
+                        task=info.options.task,
+                    )
+                    if prep is not None:
+                        arr, sot_len, text_toks = prep
+                        logits, cross = self.cb.align_fetch(
+                            b, arr, info.cross_len or self.cb.cross_ctx
+                        )
+                        fetched = (logits, cross, text_toks, sot_len)
+                except Exception:
+                    logger.exception("multihost align dispatch failed")
+                self._assemble_pool.submit(
+                    self._assemble_resolve_fetched, info, res, fetched,
                     final_failed,
                 )
                 continue
@@ -2049,6 +2115,41 @@ class ContinuousScheduler:
                 language_prob=info.language_prob,
                 cross_kv=sub_cross,
                 item_index=0,
+                prefix_ok=not final_failed,
+                cross_len=info.cross_len or None,
+            )
+            if not info.req.future.done():
+                info.req.future.set_result(result)
+            service_s = time.monotonic() - info.submitted_at
+            self._service_ema += 0.1 * (service_s - self._service_ema)
+            wl_metrics.track_transcription(service_s, info.duration)
+        except Exception as e:
+            if not info.req.future.done():
+                info.req.future.set_exception(e)
+
+    def _assemble_resolve_fetched(
+        self, info: _SlotInfo, res: DecodeResult, fetched, final_failed: bool
+    ) -> None:
+        """Multi-host word-ts assembly: the align program already ran on
+        the worker thread (deterministic op-stream position); here only
+        the pure-host DTW + punctuation merge + result assembly run —
+        no device ops, so this thread never perturbs the op replay."""
+        timings = None
+        if fetched is not None:
+            logits, cross, text_toks, sot_len = fetched
+            try:
+                timings = self.engine.align_finish(
+                    logits, cross, text_toks, sot_len,
+                    num_frames=int(info.duration * 100),
+                )
+            except Exception:
+                logger.exception("multihost align DTW failed")
+        try:
+            result = assemble_result(
+                self.engine, info.req, res, info.duration,
+                language=info.language or "en",
+                language_prob=info.language_prob,
+                timings=timings,
                 prefix_ok=not final_failed,
                 cross_len=info.cross_len or None,
             )

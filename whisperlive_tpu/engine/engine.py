@@ -1091,22 +1091,10 @@ class WhisperEngine:
         sequence length is the same for every language, so no new
         program shapes. None keeps the engine tokenizer's default.
         """
-        from whisperlive_tpu.engine import align as align_mod
-
-        tok = self.tokenizer
-        text_tokens = [int(t) for t in text_tokens if t < tok.eot]
-        if not text_tokens:
+        prep = self.align_prepare(text_tokens, language=language, task=task)
+        if prep is None:
             return []
-        seq_tok = tok
-        if language is not None:
-            seq_tok = WhisperTokenizer(
-                tok.spec, tok.backend, language=language, task=task
-            )
-        seq = seq_tok.sot_sequence() + text_tokens + [tok.eot]
-        sot_len = len(seq) - len(text_tokens) - 1
-        pmax = _bucket(len(seq), self.prompt_buckets)
-        arr = np.zeros((1, pmax), np.int32)
-        arr[0, : len(seq)] = seq[:pmax]
+        arr, sot_len, text_tokens = prep
         sub_cross = jax.tree.map(
             lambda a: jnp.take(a, jnp.asarray([item_index]), axis=2), cross_kv
         )
@@ -1122,8 +1110,63 @@ class WhisperEngine:
                 self.params, sub_cross, jnp.asarray(arr),
                 jnp.asarray([cross_len], np.int32),
             )
-        logits = np.asarray(logits[0], np.float32)  # [T, V]
-        cross = np.asarray(cross[:, 0], np.float32)  # [L, H, T, ctx]
+        return self.align_finish(
+            np.asarray(logits, np.float32), np.asarray(cross, np.float32),
+            text_tokens, sot_len, num_frames, merge=merge,
+            prepend_punctuations=prepend_punctuations,
+            append_punctuations=append_punctuations,
+        )
+
+    def align_prepare(
+        self,
+        text_tokens: Sequence[int],
+        language: str | None = None,
+        task: str = "transcribe",
+    ):
+        """Host-side half 1 of word alignment: the bucketed teacher-forcing
+        token array for [sot-seq + text + eot]. Returns (arr[1, pmax],
+        sot_len, text_tokens) or None when no text tokens remain. Split
+        out so callers that must serialize the DEVICE dispatch elsewhere
+        (the multi-host op log, parallel/serve_multihost.py) can run
+        prepare → align program → align_finish as separate stages."""
+        tok = self.tokenizer
+        text_tokens = [int(t) for t in text_tokens if t < tok.eot]
+        if not text_tokens:
+            return None
+        seq_tok = tok
+        if language is not None:
+            seq_tok = WhisperTokenizer(
+                tok.spec, tok.backend, language=language, task=task
+            )
+        seq = seq_tok.sot_sequence() + text_tokens + [tok.eot]
+        sot_len = len(seq) - len(text_tokens) - 1
+        pmax = _bucket(len(seq), self.prompt_buckets)
+        arr = np.zeros((1, pmax), np.int32)
+        arr[0, : len(seq)] = seq[:pmax]
+        return arr, sot_len, text_tokens
+
+    def align_finish(
+        self,
+        logits: np.ndarray,  # [1, T, V] (or [T, V]) from the align program
+        cross: np.ndarray,  # [L, 1, H, T, ctx] (or [L, H, T, ctx])
+        text_tokens: list[int],
+        sot_len: int,
+        num_frames: int,
+        merge: bool = True,
+        prepend_punctuations: str = "\"'“¿([{-",
+        append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    ):
+        """Host-side half 2 of word alignment: token probabilities + DTW +
+        punctuation merge. Pure numpy — no device ops, so it can run on
+        any thread without touching the engine's dispatch order."""
+        from whisperlive_tpu.engine import align as align_mod
+
+        tok = self.tokenizer
+        if logits.ndim == 3:
+            logits = logits[0]  # [T, V]
+        if cross.ndim == 5:
+            cross = cross[:, 0]  # [L, H, T, ctx]
+        seq_len = sot_len + len(text_tokens) + 1
         # token probability: softmax over the TEXT vocab only (openai
         # find_alignment renormalizes logits[:, :eot]) — the full-vocab
         # sum would let timestamp mass deflate boundary-word probabilities
@@ -1135,7 +1178,7 @@ class WhisperEngine:
             p = np.exp(row)
             probs.append(float(p[t] / p.sum()))
         timings = align_mod.find_alignment_from_attn(
-            cross[:, :, : len(seq), :],
+            cross[:, :, :seq_len, :],
             np.asarray(probs, np.float64),
             tok,
             text_tokens,

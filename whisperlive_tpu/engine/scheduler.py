@@ -118,10 +118,13 @@ def assemble_result(
     item_index: int = 0,
     prefix_ok: bool = True,
     cross_len: int | None = None,
+    timings=None,
 ) -> BatchResult:
     """One decode result -> wire-ready BatchResult (no-speech skip, timestamp
     split, optional word alignment). Shared by the window-level and the
-    continuous schedulers."""
+    continuous schedulers. `timings`: pre-computed word timings (multi-host
+    serving runs the align program elsewhere so its device dispatch stays
+    in the replayed op stream); when given, cross_kv is not touched."""
     segments: list[Segment] = []
     advance_s = duration
     skip = (
@@ -139,8 +142,8 @@ def assemble_result(
             include_unfinished=req.include_unfinished,
         )
         advance_s = min(advance / 100.0, duration)
-        timings = None
-        if req.options.word_timestamps and cross_kv is not None:
+        if req.options.word_timestamps and timings is None \
+                and cross_kv is not None:
             try:
                 timings = eng.align_words(
                     cross_kv, item_index, res.tokens, segment_size,

@@ -30,14 +30,15 @@ local copy (followers discard theirs). State fields that are already
 replicated (the packed `status` plane) skip the collective on every
 host alike, keeping the op streams aligned.
 
-What does NOT run in multihost mode: the word-timestamps cross-KV
-slice and its align program. They run on the scheduler's *assemble
+Word timestamps run in multihost mode too, with one restructuring: the
+single-host scheduler dispatches the align program from its *assemble
 pool* thread, concurrently with the lockstep loop — a second,
 non-deterministically interleaved op stream that would desync the
-replay. `ContinuousScheduler` gates them on `engine.multihost` and
-serves such requests without word timings (assemble_result degrades
-gracefully). Sessions needing word timestamps belong on a single-host
-replica behind the cluster router (serving/cluster.py).
+replay. In multihost mode the scheduler instead dispatches align from
+the WORKER thread at harvest (`ContinuousEngine.align_fetch`, published
+here as the "align" op — a deterministic position in the stream) and
+hands only the pure-host DTW half to the assemble pool. Cost: the
+worker loop absorbs one align dispatch per word-ts harvest.
 
 Trust model: the op channel carries pickled numpy/scalar payloads
 between the pod's own hosts. Because unpickling attacker bytes is
@@ -395,6 +396,16 @@ class MultihostContinuousEngine(ContinuousEngine):
         self._pub("harvest_all")
         return super().harvest_all()
 
+    def align_fetch(self, slot, tokens_arr, cross_len):
+        # word-ts alignment: dispatched from the scheduler's WORKER thread
+        # at harvest (deterministic op-stream position — the assemble pool
+        # only gets the pure-host DTW half), so publishing here keeps
+        # every process's program order identical. The base class fetches
+        # through self._fetch, which replicates sharded outputs on every
+        # host alike.
+        self._pub("align", (slot, np.asarray(tokens_arr), int(cross_len)))
+        return super().align_fetch(slot, tokens_arr, cross_len)
+
     def harvest(
         self, slot: int, join_step: int, gen_len: int, lane: int = 0
     ) -> np.ndarray:
@@ -457,6 +468,8 @@ def run_follower(
                 engine.harvest_all()
             elif op == "harvest":
                 engine.harvest(*payload)
+            elif op == "align":
+                engine.align_fetch(*payload)
             else:
                 # NOT recoverable: an unknown opcode means a protocol
                 # mismatch — continuing would replay a desynced stream
@@ -464,7 +477,7 @@ def run_follower(
         except Exception:
             if op not in (
                 "init_state", "insert", "step", "release",
-                "harvest_all", "harvest",
+                "harvest_all", "harvest", "align",
             ):
                 raise
             logger.exception(

@@ -159,6 +159,14 @@ class TpuBackend:
         self.spec_breakeven = float(os.environ.get("WL_SPEC_BREAKEVEN", "0.25"))
         self.spec_reenable = float(os.environ.get("WL_SPEC_REENABLE", "0.35"))
         self.spec_probe_s = float(os.environ.get("WL_SPEC_PROBE_S", "30"))
+        # EMA warm-up: windows the EMA must see before the breaker may
+        # act. Cold-start full decodes (a fresh stream's first fractional
+        # seconds of audio) measure well below steady-state acceptance
+        # (chip-measured 0.22 cold vs 0.6-0.73 steady, BENCH_NOTES), so a
+        # small warm-up would trip the breaker on startup noise.
+        self.spec_warm_windows = int(
+            os.environ.get("WL_SPEC_WARM_WINDOWS", "16")
+        )
         self._spec_enabled = True
         self._spec_last_probe = 0.0
         self.spec_route_stats = {
@@ -270,7 +278,7 @@ class TpuBackend:
         if sched is None:
             return False
         acc = sched.acceptance_ema
-        warm = sched._acc_ema_n >= 5  # let the EMA see a few windows
+        warm = sched._acc_ema_n >= self.spec_warm_windows
         if self._spec_enabled:
             if warm and acc < self.spec_breakeven:
                 self._spec_enabled = False

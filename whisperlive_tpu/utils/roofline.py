@@ -56,11 +56,12 @@ def effective_peaks() -> tuple[float, float]:
 
 def measure_effective_peaks(
     depth: int = 2,
-    iters: int = 8,
-    seconds_budget: float = 60.0,
+    iters: int = 6,
+    seconds_budget: float = 90.0,
     n: int = 4096,
     chain: int = 8,
-    elems: int = 64 * 1024 * 1024,
+    kv_shape: tuple[int, int, int, int] = (16, 20, 2048, 64),
+    inner: int = 16,
 ) -> dict:
     """Measure THIS device's effective envelopes UNDER DISPATCH OVERLAP —
     the denominators utilization numbers must be bounded by when the
@@ -68,17 +69,22 @@ def measure_effective_peaks(
     single-program calibration undercounts the envelope and utilizations
     read > 1, VERDICT r4 item 5). Probes:
 
-      * tflops      — bf16 matmul chains (MXU envelope)
-      * bf16_gbps / int8_gbps — full reductions over large resident
-        arrays (HBM stream envelope per dtype; the relay chip is
-        ELEMENT-rate-bound, so the dtypes differ by far less than 2x)
-      * bf16_geps / int8_geps — the same probes in elements/s
+      * tflops — bf16 matmul chains (MXU envelope)
+      * int8_gbps / int8_geps — the decode step's ACTUAL dominant int8
+        read: the Pallas cross-attention kernel (ops/attention.py)
+        streaming a large int8 KV HBM->VMEM, looped `inner` times per
+        dispatch so device time dominates the dispatch round trip
+      * bf16_gbps / bf16_geps — the step's bf16 self-KV read pattern:
+        single-query attention over a large bf16 KV (XLA path)
 
-    Each probe keeps `depth` dispatches in flight and syncs via a scalar
-    device->host fetch (jax.block_until_ready does not sync through the
-    axon relay). Returns {} on probe failure (callers fall back to
-    effective_peaks). Results are environment facts, not model numbers —
-    print them next to any utilization derived from them."""
+    The stream probes run the step's own op shapes rather than abstract
+    copies/reductions: a `jnp.sum` reduction measures the VPU reduction
+    pipeline, not the DMA stream (measured 4.5 GB/s vs ~100 GB/s real —
+    the round-5 first-cut mistake), and abstract copies overstate what an
+    attention read can achieve. Each probe keeps `depth` dispatches in
+    flight and syncs via a scalar device->host fetch (block_until_ready
+    does not sync through the axon relay). Returns {} on probe failure
+    (callers fall back to effective_peaks)."""
     import time
 
     import jax
@@ -87,14 +93,14 @@ def measure_effective_peaks(
 
     t_start = time.monotonic()
 
-    def overlapped(fn, arg, work_per_call: float) -> float:
+    def overlapped(fn, args, work_per_call: float) -> float:
         """Rate of `work_per_call` units/s with `depth` in-flight calls."""
         pending = []
         # warmup / compile
-        np.asarray(fn(arg))
+        np.asarray(fn(*args))
         t0 = time.monotonic()
         for _ in range(iters):
-            pending.append(fn(arg))
+            pending.append(fn(*args))
             if len(pending) >= depth:
                 np.asarray(pending.pop(0))
         for p in pending:
@@ -111,22 +117,59 @@ def measure_effective_peaks(
                 a = a @ a
             return a.sum(dtype=jnp.float32)
 
-        out["tflops"] = overlapped(mm, x, chain * 2 * n**3) / 1e12
+        out["tflops"] = overlapped(mm, (x,), chain * 2 * n**3) / 1e12
         if time.monotonic() - t_start > seconds_budget:
             return out
 
-        # HBM stream: sum-reduce arrays sized well past VMEM (~128 MB
-        # bf16 / 256 M elements int8) so every element streams from HBM
-        elems = 64 * 1024 * 1024
-        big16 = jnp.ones((elems,), jnp.bfloat16)
-        red16 = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
-        out["bf16_gbps"] = overlapped(red16, big16, 2.0 * elems) / 1e9
-        out["bf16_geps"] = out["bf16_gbps"] / 2.0
+        from whisperlive_tpu.ops import attention as attn_ops
 
-        big8 = jnp.ones((2 * elems,), jnp.int8)
-        red8 = jax.jit(lambda a: jnp.sum(a.astype(jnp.int32)))
-        out["int8_gbps"] = overlapped(red8, big8, 2.0 * elems) / 1e9
+        b, h, t, hd = kv_shape
+        interp = jax.default_backend() not in ("tpu", "axon")
+        kv_bytes = 2.0 * b * h * t * hd  # K + V, once per inner iteration
+
+        # big trees ride as jit ARGUMENTS (a closure would embed them in
+        # the compile payload — multi-GB relay requests fail, CLAUDE.md)
+        k8 = jnp.ones((b, h, t, hd), jnp.int8)
+        v8 = jnp.ones((b, h, t, hd), jnp.int8)
+        q1 = jnp.ones((b, h, hd), jnp.bfloat16)
+
+        @jax.jit
+        def stream8(q, k, v):
+            def body(_, qq):
+                o = attn_ops.cross_attention_int8(qq, k, v, interpret=interp)
+                return (qq + o.astype(qq.dtype) * 1e-6).astype(qq.dtype)
+
+            return jax.lax.fori_loop(0, inner, body, q).sum(
+                dtype=jnp.float32
+            )
+
+        out["int8_gbps"] = (
+            overlapped(stream8, (q1, k8, v8), inner * kv_bytes) / 1e9
+        )
         out["int8_geps"] = out["int8_gbps"]
+        if time.monotonic() - t_start > seconds_budget:
+            return out
+
+        k16 = jnp.ones((b, h, t, hd), jnp.bfloat16)
+        v16 = jnp.ones((b, h, t, hd), jnp.bfloat16)
+
+        @jax.jit
+        def stream16(q, k, v):
+            def body(_, qq):
+                s = jnp.einsum("bhd,bhtd->bht", qq, k) * (hd ** -0.5)
+                p = jax.nn.softmax(s, axis=-1).astype(k.dtype)
+                o = jnp.einsum("bht,bhtd->bhd", p, v)
+                return (qq + o * 1e-6).astype(qq.dtype)
+
+            return jax.lax.fori_loop(0, inner, body, q).sum(
+                dtype=jnp.float32
+            )
+
+        out["bf16_gbps"] = (
+            overlapped(stream16, (q1, k16, v16), inner * kv_bytes * 2.0)
+            / 1e9
+        )
+        out["bf16_geps"] = out["bf16_gbps"] / 2.0
     except Exception:  # pragma: no cover - device-dependent
         import logging
 
@@ -142,7 +185,9 @@ def step_time_roof(step: "StepCost", peaks: dict) -> float:
     this yields is bounded by 1 whenever the probe measured a true
     envelope — the honest 'how close to speed-of-light is the step'
     number (VERDICT r4 items 2 and 5)."""
-    if not peaks:
+    if not peaks or not all(
+        k in peaks for k in ("tflops", "int8_gbps", "bf16_gbps")
+    ):
         tf, bw = effective_peaks()
         return max(step.flops / tf, step.bytes / bw)
     t_mxu = step.flops / (peaks["tflops"] * 1e12)

@@ -198,10 +198,17 @@ def main() -> None:
         eff_flops = peaks["tflops"] * 1e12
     step_hbm = step.bytes / marginal_s
     step_elem_rate = step.elements / marginal_s
-    # speed-of-light fraction of the decode step: modeled lower-bound step
-    # time on the measured envelopes / the measured marginal step time
-    step_roof_s = roofline.step_time_roof(step, peaks)
-    step_sol_frac = step_roof_s / marginal_s
+    # NOTE on per-step roofs here: the window-path decode program streams
+    # weights (Pallas dequant matmuls), cross-KV (Pallas attention) and
+    # self-KV (XLA) through CONCURRENT DMA pipelines — measured aggregate
+    # ~1.9 GB / ~10 ms/step, ABOVE any single-kernel stream envelope the
+    # probe can measure (chip-measured round 5: probe int8 ~53 GB/s,
+    # bf16 ~103 GB/s; achieved step ~180-220 GB/s mixed). A sequential-
+    # stream roof is therefore not a valid lower bound for this program;
+    # the bounded honest numbers are mfu_effective (vs the measured MXU
+    # envelope) and hbm_util (vs nominal silicon). The continuous-tick
+    # roof in scripts/bench_streaming.py IS validated (0.82-0.89
+    # achieved-vs-roof) — per-slot attention reads dominate there.
 
     result = {
         "metric": "rtfx_streaming",
@@ -230,10 +237,6 @@ def main() -> None:
             "step_hbm_gbps": round(step_hbm / 1e9, 1),
             "hbm_util": round(step_hbm / peak_hbm, 4),  # vs nominal silicon
             "step_gelems_per_s": round(step_elem_rate / 1e9, 1),
-            # decode-step speed of light on the measured envelopes:
-            # modeled lower-bound step time / measured step time (<= 1)
-            "step_roof_ms": round(step_roof_s * 1e3, 2),
-            "step_sol_frac": round(step_sol_frac, 3),
             "measured_peaks": {
                 k: round(v, 1) for k, v in peaks.items()
             } or None,

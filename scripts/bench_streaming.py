@@ -180,6 +180,9 @@ def main() -> None:
                 transcribe_options_from_session,
             )
             buckets = [b for b in engine.batch_buckets if b <= args.batch_max_size]
+            # hybrid serves preemptible (chunked) beamed fulls — enable
+            # BEFORE warmup so the segment programs compile now
+            engine.enable_beam_chunk()
             engine.warmup(
                 batch_sizes=set(buckets),
                 options=transcribe_options_from_session(

@@ -211,3 +211,57 @@ def test_cross_attention_int4_window_matches_jnp(rng):
         )
     )
     np.testing.assert_allclose(out_m, ref(lengths), atol=1e-2, rtol=1e-3)
+
+
+def test_cross_attention_int8_active_skip_matches_masked():
+    """Active-slot DMA skipping (ops/attention.py _cross_attention_int8_skip):
+    ACTIVE rows must be bit-identical to the plain masked kernel — the
+    compaction only reroutes block DMA, never changes math. Inactive rows
+    are unspecified and must not be read."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from whisperlive_tpu.ops.attention import (
+        cross_attention_int8,
+        cross_attention_int8_window,
+    )
+
+    rng = np.random.default_rng(0)
+    b, h, t, hd = 5, 4, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, h, hd)), jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 127, (b, h, t, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 127, (b, h, t, hd)), jnp.int8)
+    lengths = jnp.asarray([64, 17, 64, 33, 8], jnp.int32)
+    active = jnp.asarray([True, False, True, True, False])
+
+    ref = cross_attention_int8(q, k8, v8, lengths=lengths, interpret=True)
+    got = cross_attention_int8(
+        q, k8, v8, lengths=lengths, active=active, interpret=True
+    )
+    for i in range(b):
+        if bool(active[i]):
+            np.testing.assert_array_equal(
+                np.asarray(got[i]), np.asarray(ref[i])
+            )
+
+    # all-inactive: must not crash (clamped to one slot's block)
+    none_active = jnp.zeros((b,), bool)
+    out = cross_attention_int8(
+        q, k8, v8, lengths=lengths, active=none_active, interpret=True
+    )
+    assert out.shape == ref.shape
+
+    # window variant (speculative verify pass)
+    tq = 3
+    qw = jnp.asarray(rng.standard_normal((b, h, tq, hd)), jnp.float32)
+    ref_w = cross_attention_int8_window(
+        qw, k8, v8, lengths=lengths, interpret=True
+    )
+    got_w = cross_attention_int8_window(
+        qw, k8, v8, lengths=lengths, active=active, interpret=True
+    )
+    for i in range(b):
+        if bool(active[i]):
+            np.testing.assert_array_equal(
+                np.asarray(got_w[i]), np.asarray(ref_w[i])
+            )

@@ -173,3 +173,70 @@ def test_language_detection_for_unpinned():
         assert result.language_prob == pytest.approx(0.9)
     finally:
         s.stop()
+
+
+def test_beam_request_runs_beam_program():
+    """Regression (round 5): a beam_size>1 window request must take the
+    SPLIT path (prepare + decode_with_fallback -> the batched beam
+    program). Before the fix, any beamed request without word_timestamps
+    rode the fused detect+decode program — the SAMPLING loop, which has no
+    beam expansion — and silently served greedy output at beam-quality
+    billing (the hybrid-beam serving path's beamed fulls all did this)."""
+    eng = FakeEngine()
+    routes = []
+    orig_fused = eng.transcribe_batch
+    orig_split = eng.decode_with_fallback
+
+    def fused(*a, **kw):
+        routes.append("fused")
+        return orig_fused(*a, **kw)
+
+    def split(*a, **kw):
+        routes.append("split")
+        return orig_split(*a, **kw)
+
+    eng.transcribe_batch = fused
+    eng.decode_with_fallback = split
+    s = BatchScheduler(eng, max_batch_size=2, batch_window_ms=20)
+    s.start()
+    try:
+        req = BatchRequest(
+            audio=np.zeros(16000, np.float32),
+            options=TranscribeOptions(
+                language="en", beam_size=5, temperatures=(0.0,),
+                word_timestamps=False,
+            ),
+        )
+        s.submit(req)
+        req.future.result(timeout=10)
+        assert routes == ["split"]
+
+        # greedy requests keep the fused fast path
+        req_g = BatchRequest(
+            audio=np.zeros(16000, np.float32),
+            options=TranscribeOptions(language="en", beam_size=1),
+        )
+        s.submit(req_g)
+        req_g.future.result(timeout=10)
+        assert routes == ["split", "fused"]
+    finally:
+        s.stop()
+
+
+def test_beam_routing_group_key_separates_programs():
+    """beam_size/patience pick the decode program and its static lane
+    count — heterogeneous requests must not share a device batch."""
+    a = BatchRequest(
+        audio=np.zeros(16000, np.float32),
+        options=TranscribeOptions(language="en", beam_size=1),
+    )
+    b = BatchRequest(
+        audio=np.zeros(16000, np.float32),
+        options=TranscribeOptions(language="en", beam_size=5),
+    )
+    c = BatchRequest(
+        audio=np.zeros(16000, np.float32),
+        options=TranscribeOptions(language="en", beam_size=5, patience=2.0),
+    )
+    assert a.group_key() != b.group_key()
+    assert b.group_key() != c.group_key()

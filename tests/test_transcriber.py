@@ -140,6 +140,38 @@ def test_beam_search_structure(engine, rng):
     assert res.avg_logprob >= res_g.avg_logprob - 1e-3
 
 
+def test_beam_chunked_matches_monolithic(engine, rng):
+    """Preemptible (chunked) beam decode must be TOKEN-EXACT vs the
+    monolithic beam program for any chunk size — segmentation only
+    reroutes where the host syncs, never the math. Covers multi-item
+    batches and a chunk that does not divide the decode length."""
+    from whisperlive_tpu.ops import mel as mel_ops
+
+    audio = np.stack([
+        mel_ops.pad_or_trim((rng.standard_normal(16000 * 3) * 0.1).astype(np.float32)),
+        mel_ops.pad_or_trim((rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)),
+    ])
+    _, cross = engine.prepare(audio)
+    opts = TranscribeOptions(
+        language="en", beam_size=3, temperatures=(0.0,),
+        log_prob_threshold=None, no_speech_threshold=None,
+        compression_ratio_threshold=None, max_new_tokens=17,
+    )
+    p, s = engine.build_prompt(opts)
+    assert engine.beam_chunk == 0
+    base = engine.decode_batch(cross, [p, p], [s, s], opts)
+    try:
+        for chunk in (1, 5, 64):
+            engine.beam_chunk = chunk
+            got = engine.decode_batch(cross, [p, p], [s, s], opts)
+            for r0, r1 in zip(base, got):
+                np.testing.assert_array_equal(r0.tokens, r1.tokens)
+                assert r0.avg_logprob == pytest.approx(r1.avg_logprob)
+                assert r0.no_speech_prob == pytest.approx(r1.no_speech_prob)
+    finally:
+        engine.beam_chunk = 0
+
+
 def test_batched_transcriber_multiple_files(engine, rng):
     from whisperlive_tpu.engine.transcribe import BatchedTranscriber
 

@@ -280,6 +280,10 @@ def create_backend(args, multihost_active: bool = False):
         from whisperlive_tpu.serving.backends import transcribe_options_from_session
         from whisperlive_tpu.serving.session import SessionOptions
 
+        if args.beam_size > 1 and args.beam_mode == "refresh":
+            # hybrid beam serves preemptible (chunked) beamed fulls —
+            # enable BEFORE warmup so the segment programs compile now
+            engine.enable_beam_chunk()
         engine.warmup(
             batch_sizes={b for b in engine.batch_buckets if b <= args.batch_max_size},
             options=transcribe_options_from_session(

@@ -85,6 +85,13 @@ logger = logging.getLogger(__name__)
 
 INSERT_BUCKETS = (1, 2, 4, 8)
 
+# Active-slot DMA skipping (ops/attention.py): the lockstep step passes its
+# write mask into the decode kernels so done lanes awaiting harvest and
+# released slots never stream their cross-KV from HBM. Greedy pools only
+# (beam lanes parent-gather across rows). WL_ACTIVE_SKIP=0 reverts to
+# full reads (e.g. to A/B the saving).
+_ACTIVE_SKIP = os.environ.get("WL_ACTIVE_SKIP", "1") != "0"
+
 
 @dataclasses.dataclass
 class _SlotInfo:
@@ -883,6 +890,7 @@ class ContinuousEngine:
                     params, cfg, tok, pos, slot_w, mask,
                     st["self_kv"], st["cross_kv"],
                     cross_len=st["cross_len"],
+                    active=write if (K == 1 and _ACTIVE_SKIP) else None,
                 )
                 st["logits"] = logits
                 st["gstep"] = gstep + 1
@@ -1025,6 +1033,7 @@ class ContinuousEngine:
                         params_d, cfg_d, tok, pos, prompt_pad + c0 + i,
                         mask, dkv, st["d_cross_kv"],
                         cross_len=st["cross_len"],
+                        active=write if _ACTIVE_SKIP else None,
                     )
                     drs, nxt, seen = emit(drs, dlogits, seen, write, sub)
                     return (drs, nxt, dkv, seen, key), nxt
@@ -1049,6 +1058,7 @@ class ContinuousEngine:
                     params, cfg, win, wpos, prompt_pad + c0, wmask,
                     st["self_kv"], st["cross_kv"],
                     cross_len=st["cross_len"],
+                    active=write if _ACTIVE_SKIP else None,
                 )
                 st["self_kv"] = t_kv
 

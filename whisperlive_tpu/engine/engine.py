@@ -289,6 +289,16 @@ class WhisperEngine:
             self.params = wmod.quantize_decoder_weights(self.params)
         self._lock = threading.Lock()
         self._suppress_cache: dict[tuple, jax.Array] = {}
+        # Preemptible beamed decodes: >0 runs beam search in bounded
+        # segments of this many steps (one host sync per segment) instead
+        # of one monolithic multi-second program, so latency-sensitive
+        # dispatches from other threads (the continuous scheduler's ticks
+        # in hybrid beam serving) interleave onto the device between
+        # segments. 0 = monolithic. WL_BEAM_CHUNK (when set) wins over
+        # callers that auto-enable chunking (TpuBackend hybrid mode).
+        env_chunk = os.environ.get("WL_BEAM_CHUNK")
+        self.beam_chunk = int(env_chunk) if env_chunk else 0
+        self._beam_chunk_forced = env_chunk is not None
 
         cfgc = self.cfg
         spec = self.spec
@@ -396,55 +406,45 @@ class WhisperEngine:
                 no_speech_prob,
             )
 
-        def _decode_beam(
+        def _beam_while(
             params,
             cross_kv,
-            prompts,  # [B, P]
+            prompts,  # [B, P] (untiled)
             prompt_len,  # [B]
-            sot_idx,  # [B]
             suppress_mask,  # [V]
             ts_enabled,  # [B]
             rep_penalty,  # [B]
             max_new,  # []
+            carry,  # (state@BK, self_kv@BK, logits@BK, sum_lp@BK)
             beam_size: int,  # static
-            length_penalty,  # [] f32
-            cache_len_: int = 0,  # static
-            no_repeat_ngram: int = 0,  # static
-            suppress_blank: bool = True,  # static
-            max_init_idx: int = -1,  # static; -1 = spec default
+            no_repeat_ngram: int,  # static
+            suppress_blank: bool,  # static
+            max_init_idx: int,  # static
+            step_cap=None,  # [] int32 — pause the loop at this step
         ):
-            """Batched beam search (T=0; reference default beam_size=5,
-            transcriber_faster_whisper.py:1394-1407). B items x K beams are
-            flattened to a BK batch; each step expands BK x V candidates,
-            keeps the top K per item, and REORDERS the self-KV cache by the
-            surviving beams' parent indices (a batch-dim gather). Finished
-            beams freeze their score and only propose EOT."""
+            """The beam-search while-loop, shared by the monolithic program
+            and the chunked (preemptible) segment program. Each step expands
+            BK x V candidates, keeps the top K per item, and REORDERS the
+            self-KV cache by the surviving beams' parent indices (a
+            batch-dim gather). Finished beams freeze their score and only
+            propose EOT. Tiled invariants are rebuilt from the UNTILED
+            inputs (cheap next to the loop) so the chunked carry stays
+            minimal; `step_cap` bounds the loop so a multi-second beamed
+            decode can yield the device to latency-sensitive dispatches
+            (the continuous scheduler's ticks) between segments."""
             b, prompt_pad = prompts.shape
             k = beam_size
             bk = b * k
-            cache_len = cache_len_ or cfgc.n_text_ctx
-            max_gen = cache_len - prompt_pad
+            max_gen = carry[1].shape[3] - prompt_pad  # self_kv [L,2,BK,C,H,hd]
 
-            # Prefill at B, then tile everything beam-major to BK.
-            self_kv0 = wmod.init_self_kv(cfgc, b, cache_len)
-            last_logits, sot_logits, self_kv0 = wmod.decode_prefill(
-                params, cfgc, prompts, prompt_len, self_kv0, cross_kv,
-                sot_idx=sot_idx,
-            )
-            no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
-
-            def tile(x, axis):
+            def tile(x, axis=0):
                 return jnp.repeat(x, k, axis=axis)
 
-            self_kv = tile(self_kv0, 2)
             cross_bk = jax.tree.map(lambda a: tile(a, 2), cross_kv)
-            prompt_len_bk = tile(prompt_len, 0)
-            ts_enabled_bk = tile(ts_enabled, 0)
-            rep_bk = tile(rep_penalty, 0)
-            logits = tile(last_logits, 0)  # [BK, V]
+            prompt_len_bk = tile(prompt_len)
+            ts_enabled_bk = tile(ts_enabled)
+            rep_bk = tile(rep_penalty)
 
-            state = dec.init_sampler_state(spec, prompt_len_bk, max_gen)
-            sum_lp = jnp.zeros((bk,), jnp.float32)
             # Kill duplicate beams at step 0 so topk picks K distinct tokens
             # from beam 0 of each item.
             beam_rank = jnp.tile(jnp.arange(k), b)  # [BK]
@@ -452,20 +452,23 @@ class WhisperEngine:
             max_steps = jnp.minimum(max_new, max_gen)
             v = cfgc.n_vocab
 
-            def cond(carry):
-                state, *_ = carry
-                return ~jnp.all(state.finished)
-
             sb_vec = None if suppress_blank else jnp.zeros((1,), bool)
             mit_vec = (
                 None if max_init_idx < 0
                 else jnp.full((1,), max_init_idx, jnp.int32)
             )
-            prompts_bk = tile(prompts, 0)  # [BK, P]
+            prompts_bk = tile(prompts)  # [BK, P]
             phist = (
                 dec.right_align_prompt(prompts_bk, prompt_len_bk)
                 if no_repeat_ngram > 0 else None
             )
+
+            def cond(carry):
+                state, *_ = carry
+                go = ~jnp.all(state.finished)
+                if step_cap is not None:
+                    go = go & (state.step < step_cap)
+                return go
 
             def body(carry):
                 state, self_kv, logits, sum_lp = carry
@@ -521,20 +524,125 @@ class WhisperEngine:
                 )
                 return state, self_kv, logits, sum_lp
 
-            state, _, _, sum_lp = jax.lax.while_loop(
-                cond, body, (state, self_kv, logits, sum_lp)
+            return jax.lax.while_loop(cond, body, carry)
+
+        def _beam_prefill(params, cross_kv, prompts, prompt_len, sot_idx,
+                          beam_size: int, cache_len: int):
+            """Prefill at B, then tile the carry beam-major to BK."""
+            b, prompt_pad = prompts.shape
+            k = beam_size
+            max_gen = cache_len - prompt_pad
+            self_kv0 = wmod.init_self_kv(cfgc, b, cache_len)
+            last_logits, sot_logits, self_kv0 = wmod.decode_prefill(
+                params, cfgc, prompts, prompt_len, self_kv0, cross_kv,
+                sot_idx=sot_idx,
             )
-            # Pick the best beam per item by length-penalized score
-            # (CTranslate2 convention: sum / len^penalty).
+            no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, spec.no_speech]
+            state = dec.init_sampler_state(
+                spec, jnp.repeat(prompt_len, k), max_gen
+            )
+            carry = (
+                state,
+                jnp.repeat(self_kv0, k, axis=2),
+                jnp.repeat(last_logits, k, axis=0),  # [BK, V]
+                jnp.zeros((b * k,), jnp.float32),
+            )
+            return carry, no_speech_prob
+
+        def _beam_best(state, sum_lp, length_penalty, beam_size: int):
+            """Pick the best beam per item by length-penalized score
+            (CTranslate2 convention: sum / len^penalty)."""
+            bk = sum_lp.shape[0]
+            b = bk // beam_size
             lengths = jnp.maximum(state.gen_len.astype(jnp.float32), 1.0)
             score = state.sum_logprob / (lengths**length_penalty)
-            best = jnp.argmax(score.reshape(b, k), axis=1) + jnp.arange(b) * k
+            best = (
+                jnp.argmax(score.reshape(b, beam_size), axis=1)
+                + jnp.arange(b) * beam_size
+            )
             return (
                 state.sampled[best],
                 state.gen_len[best],
                 state.sum_logprob[best],
-                no_speech_prob,
             )
+
+        def _decode_beam(
+            params,
+            cross_kv,
+            prompts,  # [B, P]
+            prompt_len,  # [B]
+            sot_idx,  # [B]
+            suppress_mask,  # [V]
+            ts_enabled,  # [B]
+            rep_penalty,  # [B]
+            max_new,  # []
+            beam_size: int,  # static
+            length_penalty,  # [] f32
+            cache_len_: int = 0,  # static
+            no_repeat_ngram: int = 0,  # static
+            suppress_blank: bool = True,  # static
+            max_init_idx: int = -1,  # static; -1 = spec default
+        ):
+            """Batched beam search in ONE device program (T=0; reference
+            default beam_size=5, transcriber_faster_whisper.py:1394-1407).
+            See _beam_while for the loop semantics."""
+            cache_len = cache_len_ or cfgc.n_text_ctx
+            carry, no_speech_prob = _beam_prefill(
+                params, cross_kv, prompts, prompt_len, sot_idx,
+                beam_size, cache_len,
+            )
+            state, _, _, sum_lp = _beam_while(
+                params, cross_kv, prompts, prompt_len, suppress_mask,
+                ts_enabled, rep_penalty, max_new, carry,
+                beam_size, no_repeat_ngram, suppress_blank, max_init_idx,
+            )
+            return (*_beam_best(state, sum_lp, length_penalty, beam_size),
+                    no_speech_prob)
+
+        def _beam_start(
+            params, cross_kv, prompts, prompt_len, sot_idx,
+            beam_size: int,  # static
+            cache_len_: int = 0,  # static
+        ):
+            """Chunked beam, segment 0: prefill -> initial BK carry."""
+            cache_len = cache_len_ or cfgc.n_text_ctx
+            return _beam_prefill(
+                params, cross_kv, prompts, prompt_len, sot_idx,
+                beam_size, cache_len,
+            )
+
+        def _beam_seg(
+            params,
+            cross_kv,
+            prompts,
+            prompt_len,
+            suppress_mask,
+            ts_enabled,
+            rep_penalty,
+            max_new,
+            carry,
+            step_cap,  # [] int32 — run until state.step reaches this
+            beam_size: int,  # static
+            no_repeat_ngram: int = 0,  # static
+            suppress_blank: bool = True,  # static
+            max_init_idx: int = -1,  # static
+        ):
+            """Chunked beam, one bounded segment: identical math to the
+            monolithic program, paused at step_cap. Returns the carry and a
+            scalar `done` so the host loop syncs on ONE boolean per segment
+            — that sync point is exactly where other threads' dispatches
+            (continuous ticks) interleave onto the device."""
+            carry = _beam_while(
+                params, cross_kv, prompts, prompt_len, suppress_mask,
+                ts_enabled, rep_penalty, max_new, carry,
+                beam_size, no_repeat_ngram, suppress_blank, max_init_idx,
+                step_cap=step_cap,
+            )
+            return carry, jnp.all(carry[0].finished)
+
+        def _beam_finish(carry, length_penalty, beam_size: int):
+            state, _, _, sum_lp = carry
+            return _beam_best(state, sum_lp, length_penalty, beam_size)
 
         def _detect(params, cross_kv):
             kv_arr = cross_kv.get("kv", cross_kv.get("kv8", cross_kv.get("kv4")))
@@ -606,6 +714,9 @@ class WhisperEngine:
         self._prepare_mel_fn = jax.jit(_prepare_mel)
         self._decode_fn = jax.jit(_decode, static_argnums=(11, 12, 13, 14))
         self._decode_beam_fn = jax.jit(_decode_beam, static_argnums=(9, 11, 12, 13, 14))
+        self._beam_start_fn = jax.jit(_beam_start, static_argnums=(5, 6))
+        self._beam_seg_fn = jax.jit(_beam_seg, static_argnums=(10, 11, 12, 13))
+        self._beam_finish_fn = jax.jit(_beam_finish, static_argnums=(2,))
         self._detect_decode_fn = jax.jit(_detect_decode, static_argnums=(12, 13, 14, 15))
         self._detect_fn = jax.jit(_detect)
         self._align_fn = jax.jit(_align)
@@ -746,10 +857,20 @@ class WhisperEngine:
             logger.info("warmup: compiling programs for batch=%d", b)
             audio = np.zeros((b, mel_ops.N_SAMPLES), np.float32)
             prompt, sot = self.build_prompt(options, language="en")
-            # the serving hot path: one fused program per batch bucket
-            self.transcribe_batch(
-                audio, [prompt] * b, [sot] * b, [True] * b, options
-            )
+            if options.beam_size > 1:
+                # beamed serving runs the SPLIT path (scheduler routes
+                # beam_size>1 to prepare + detect + the beam program) —
+                # warm that per bucket; the fused greedy program is warmed
+                # by the detect block / a separate greedy warmup call
+                _, cross = self.prepare(audio)
+                if self.tokenizer.spec.multilingual:
+                    self.detect_language_from_cross(cross)
+                self.decode_batch(cross, [prompt] * b, [sot] * b, options)
+            else:
+                # the serving hot path: one fused program per batch bucket
+                self.transcribe_batch(
+                    audio, [prompt] * b, [sot] * b, [True] * b, options
+                )
         if detect:
             # split path (word_timestamps sessions + fallback retries):
             # detect, plain decode and the alignment pass — warmed at the
@@ -916,31 +1037,39 @@ class WhisperEngine:
             options.beam_size,
             int(math.ceil(options.beam_size * max(options.patience, 1.0))),
         )
-        with self._lock:
-            if use_beam:
-                tokens, gen_len, sum_lp, ns_prob = self._decode_beam_fn(
-                    *common_args,
-                    jnp.full((b,), options.repetition_penalty, np.float32),
-                    max_new,
-                    beam_lanes,
-                    jnp.float32(options.length_penalty),
-                    cache_len,
-                    options.no_repeat_ngram_size,
-                    sb_static,
-                    mit_static,
-                )
-            else:
-                tokens, gen_len, sum_lp, ns_prob = self._decode_fn(
-                    *common_args,
-                    jnp.asarray(temps),
-                    jnp.full((b,), options.repetition_penalty, np.float32),
-                    max_new,
-                    jax.random.PRNGKey(seed),
-                    cache_len,
-                    options.no_repeat_ngram_size,
-                    sb_static,
-                    mit_static,
-                )
+        rep_arr = jnp.full((b,), options.repetition_penalty, np.float32)
+        if use_beam and self.beam_chunk > 0:
+            tokens, gen_len, sum_lp, ns_prob = self._decode_beam_chunked(
+                common_args, rep_arr, max_new, beam_lanes,
+                options.length_penalty, cache_len,
+                options.no_repeat_ngram_size, sb_static, mit_static,
+            )
+        else:
+            with self._lock:
+                if use_beam:
+                    tokens, gen_len, sum_lp, ns_prob = self._decode_beam_fn(
+                        *common_args,
+                        rep_arr,
+                        max_new,
+                        beam_lanes,
+                        jnp.float32(options.length_penalty),
+                        cache_len,
+                        options.no_repeat_ngram_size,
+                        sb_static,
+                        mit_static,
+                    )
+                else:
+                    tokens, gen_len, sum_lp, ns_prob = self._decode_fn(
+                        *common_args,
+                        jnp.asarray(temps),
+                        rep_arr,
+                        max_new,
+                        jax.random.PRNGKey(seed),
+                        cache_len,
+                        options.no_repeat_ngram_size,
+                        sb_static,
+                        mit_static,
+                    )
         results = self._extract_results(
             tokens, gen_len, sum_lp, ns_prob, temps, n_tiled
         )
@@ -954,6 +1083,55 @@ class WhisperEngine:
                 key=lambda r: r.avg_logprob)
             for i in range(n_real)
         ]
+
+    def enable_beam_chunk(self, steps: int = 24) -> None:
+        """Opt into preemptible beamed decodes (hybrid beam serving, where
+        beamed fulls share the chip with latency-sensitive continuous
+        ticks). No-op when WL_BEAM_CHUNK pinned a value (including 0) or a
+        caller already set one. Call BEFORE warmup so the segment programs
+        compile then, not on the first live beamed window."""
+        if not self._beam_chunk_forced and not self.beam_chunk:
+            self.beam_chunk = steps
+
+    def _decode_beam_chunked(
+        self, common_args, rep_arr, max_new, beam_lanes,
+        length_penalty, cache_len, no_repeat_ngram, sb_static, mit_static,
+    ):
+        """Preemptible beam decode (beam_chunk > 0): the monolithic beam
+        program holds the device for the whole multi-second decode,
+        starving latency-sensitive dispatches that share the chip (the
+        continuous scheduler's ticks in hybrid beam serving — measured
+        multi-second partial-latency p95 tails, BENCH_NOTES round 5). Run
+        the SAME loop in bounded segments of `beam_chunk` steps instead:
+        after each segment the host syncs on one `done` boolean, and that
+        gap is where other threads' queued programs run. The engine lock is
+        released between segments. Token-exact vs the monolithic program by
+        construction (same body; test_decoding::test_beam_chunked_matches_
+        monolithic). The BK carry rides between segments as jit ARGUMENTS
+        (device-resident, never fetched; big trees as jit arguments is
+        also the relay rule, CLAUDE.md)."""
+        params, cross_kv, prompts, prompt_len, sot_idx, mask, ts_en = common_args
+        with self._lock:
+            carry, ns_prob = self._beam_start_fn(
+                params, cross_kv, prompts, prompt_len, sot_idx,
+                beam_lanes, cache_len,
+            )
+        cap = int(self.beam_chunk)
+        while True:
+            with self._lock:
+                carry, done = self._beam_seg_fn(
+                    params, cross_kv, prompts, prompt_len, mask, ts_en,
+                    rep_arr, max_new, carry, np.int32(cap),
+                    beam_lanes, no_repeat_ngram, sb_static, mit_static,
+                )
+            if bool(np.asarray(done)):  # the preemption sync point
+                break
+            cap += int(self.beam_chunk)
+        with self._lock:
+            tokens, gen_len, sum_lp = self._beam_finish_fn(
+                carry, jnp.float32(length_penalty), beam_lanes
+            )
+        return tokens, gen_len, sum_lp, ns_prob
 
     def _extract_results(
         self, tokens, gen_len, sum_lp, ns_prob, temps, n_real

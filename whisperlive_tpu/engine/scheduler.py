@@ -78,12 +78,23 @@ class BatchRequest:
     submitted_at: float = dataclasses.field(default_factory=time.monotonic)
 
     def group_key(self):
-        # word_timestamps picks the split (alignment-capable) device path,
-        # so batches must be homogeneous in it
+        # word_timestamps picks the split (alignment-capable) device path
+        # and beam_size/patience pick the decode program (beam vs sampling)
+        # and its static lane count, so batches must be homogeneous in
+        # them. The scalar decode knobs (length/repetition penalty,
+        # no_repeat_ngram, first temperature) are batch-global program
+        # inputs taken from batch[0] — mixing them would silently decode
+        # every item at the first request's settings.
         return (
             self.options.suppress_tokens,
             self.options.suppress_blank,
             self.options.word_timestamps,
+            self.options.beam_size,
+            self.options.patience,
+            self.options.length_penalty,
+            self.options.repetition_penalty,
+            self.options.no_repeat_ngram_size,
+            self.options.temperatures,
         )
 
 
@@ -337,9 +348,18 @@ class BatchScheduler:
 
         self._seed += 1
         need_align = batch[0].options.word_timestamps
+        options0 = batch[0].options
+        # Beamed batches must take the split path: the fused detect+decode
+        # program is the SAMPLING loop (greedy at T=0) with no beam
+        # expansion, so routing beam_size>1 through it would silently
+        # serve greedy output at beam-quality billing
+        # (test_scheduler::test_beam_request_runs_beam_program). The split
+        # path's decode_with_fallback runs the batched beam program at
+        # T=0 and escalates to sampling on retries — the reference's
+        # beam->sampling fallback policy.
+        need_split = need_align or options0.beam_size > 1
         cross_kv = None
         used_spec = False
-        options0 = batch[0].options
         if (
             self.spec_decoder is not None
             and n == 1
@@ -370,9 +390,10 @@ class BatchScheduler:
                 seed=self._seed,
             )
             used_spec = True
-        elif need_align:
+        elif need_split:
             # Split path: word-timestamp alignment reuses the window's
-            # cross-KV, so it must stay addressable outside the program.
+            # cross-KV (so it must stay addressable outside the program),
+            # and beamed decodes run the dedicated beam program.
             _, cross_kv = eng.prepare(audio)
             if not all(lang_known) and eng.tokenizer.spec.multilingual:
                 det = eng.detect_language_from_cross(cross_kv)
@@ -409,7 +430,7 @@ class BatchScheduler:
         failed = (
             []
             # split/speculative paths already ran the full fallback cascade
-            if need_align or used_spec
+            if need_split or used_spec
             else [i for i in range(n) if fails_quality_gates(options, results[i])]
         )
         if failed and retry_temps:

@@ -404,7 +404,8 @@ def _cross_len_mask(ckv_t: int, cross_len) -> jax.Array | None:
     return (jnp.arange(ckv_t)[None, :] < cross_len[:, None])[:, None, None, :]
 
 
-def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
+def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None,
+                  active=None):
     """Cross-attention against one layer's (possibly quantized) KV slice.
 
     qc: [B, Tq, H, hd]; ckv: {"kv": [2, B, T, H, hd] bf16, or
@@ -413,6 +414,11 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
     Per-channel scales fold into q (for K) and into the output (for V), so
     the quantized arrays feed the MXU directly. cross_len: optional [B]
     int32 — valid encoder positions per item (reduced-context windows).
+    active: optional [B] bool — rows whose decode output will be DISCARDED
+    by the caller's write mask (done lanes awaiting harvest, released
+    slots); the int8 Pallas kernels skip their K/V DMA entirely and leave
+    their output rows unspecified. Honored only on the int8 TPU fast
+    paths; other paths read everything (correct, just not skipped).
     """
     scale = ckv.get("scale")
     if "kv8" in ckv:
@@ -425,7 +431,8 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
             and jax.default_backend() in ("tpu", "axon")
         ):
             out = cross_attention_int8(
-                q_eff[:, 0], ckv["kv8"][0], ckv["kv8"][1], lengths=cross_len
+                q_eff[:, 0], ckv["kv8"][0], ckv["kv8"][1], lengths=cross_len,
+                active=active if cross_len is not None else None,
             )
             out = out[:, None].astype(dtype) * scale[1][:, 0][:, None].astype(dtype)
             return out, None
@@ -445,6 +452,7 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None):
             out = cross_attention_int8_window(
                 jnp.swapaxes(q_eff, 1, 2), ckv["kv8"][0], ckv["kv8"][1],
                 lengths=cross_len,
+                active=active if cross_len is not None else None,
             )
             out = jnp.swapaxes(out, 1, 2).astype(dtype) * scale[1][:, 0][
                 :, None
@@ -532,7 +540,7 @@ def init_self_kv(cfg: WhisperConfig, batch: int, cache_len: int | None = None) -
 
 def _decoder_block_step(
     x, lp, self_kv, cross_kv, slot_start, attn_mask, n_head, cross_len=None,
-    collect_probs=True,
+    collect_probs=True, active=None,
 ):
     """One decoder layer for Tq query tokens given caches.
 
@@ -570,7 +578,8 @@ def _decoder_block_step(
     # Tq-window int8 kernel cannot return attention maps); only the
     # alignment pass (decode_with_cross_attn) needs the probs.
     cross_out, cross_probs = _cross_attend(
-        qc, cross_kv, x.dtype, collect_probs=collect_probs, cross_len=cross_len
+        qc, cross_kv, x.dtype, collect_probs=collect_probs,
+        cross_len=cross_len, active=active,
     )
     x = x + _linear(_merge_heads(cross_out), lp["cross_attn"]["o"])
 
@@ -589,6 +598,7 @@ def _decoder_forward(
     cross_kv: jax.Array,  # [L, 2, B, Tenc, H, hd]
     collect_cross_attn: bool = False,
     cross_len: jax.Array | None = None,  # [B] valid encoder positions
+    active: jax.Array | None = None,  # [B] rows whose output is discarded
 ):
     p = params["decoder"]
     x = _embed_lookup(p, tokens, cfg.dtype) + p["pos"].astype(cfg.dtype)[
@@ -600,6 +610,7 @@ def _decoder_forward(
         x, new_skv, cross_probs = _decoder_block_step(
             x, lp, skv, ckv, slot_start, attn_mask, cfg.n_text_head,
             cross_len=cross_len, collect_probs=collect_cross_attn,
+            active=active,
         )
         out = (new_skv, cross_probs) if collect_cross_attn else (new_skv, None)
         return x, out
@@ -725,6 +736,7 @@ def decode_window_masked(
     self_kv: jax.Array,
     cross_kv: jax.Array,
     cross_len: jax.Array | None = None,  # [B] valid encoder positions
+    active: jax.Array | None = None,  # [B] rows whose output is discarded
 ):
     """decode_window with a caller-supplied attention mask over cache
     slots — the continuous-batching verify primitive: the ring scheduler's
@@ -735,7 +747,7 @@ def decode_window_masked(
     cache copy before attention). Returns (logits [B, K, V] f32, kv)."""
     x, new_kv, _ = _decoder_forward(
         params, cfg, tokens, pos_idx, slot_start, mask[:, None],
-        self_kv, cross_kv, cross_len=cross_len,
+        self_kv, cross_kv, cross_len=cross_len, active=active,
     )
     return _project_logits(params, x), new_kv
 
@@ -777,6 +789,7 @@ def decode_step_masked(
     self_kv: jax.Array,
     cross_kv: jax.Array,
     cross_len: jax.Array | None = None,  # [B] valid encoder positions
+    active: jax.Array | None = None,  # [B] rows whose output is discarded
 ):
     """decode_step with a caller-supplied attention mask over cache slots.
 
@@ -828,10 +841,13 @@ def decode_step_masked(
         )
         x = x + _linear(_merge_heads(out), lp["attn"]["o"])
 
-        # Cross-attention (cross_len-masked for reduced-context slots).
+        # Cross-attention (cross_len-masked for reduced-context slots;
+        # inactive rows' K/V DMA skipped on the int8 kernel path).
         h = _layer_norm(x, lp["cross_attn_ln"])
         qc = _split_heads(_linear(h, lp["cross_attn"]["q"]), n_head)
-        cross_out, _ = _cross_attend(qc, ckv, x.dtype, cross_len=cross_len)
+        cross_out, _ = _cross_attend(
+            qc, ckv, x.dtype, cross_len=cross_len, active=active
+        )
         x = x + _linear(_merge_heads(cross_out), lp["cross_attn"]["o"])
         x = x + _mlp(_layer_norm(x, lp["mlp_ln"]), lp["mlp"])
 

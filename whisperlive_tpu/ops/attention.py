@@ -200,12 +200,108 @@ def _cross_attn_int8_kernel(*refs, scale: float, masked: bool = True):
         )[0]
 
 
+def _cross_attn_int8_dma_kernel(
+    act_ref,  # [B] int32 SMEM
+    len_ref,  # [B] int32 SMEM
+    q_ref,  # [1, H, hd] or [1, H, Tq, hd] VMEM
+    k_ref,  # [B, H, T, hd] int8, resident in HBM (manually DMA'd)
+    v_ref,  # [B, H, T, hd] int8, HBM
+    o_ref,  # like q, f32 VMEM
+    k_vmem,  # [H, T, hd] int8 scratch
+    v_vmem,  # [H, T, hd] int8 scratch
+    sems,  # DMA semaphores (2,)
+    *,
+    scale: float,
+):
+    """Active-slot DMA-skipping variant of the int8 decode kernels: K/V
+    stay in HBM and are copied HBM->VMEM ONLY for active slots, under an
+    explicit @pl.when guard. (A first cut tried to get the skip for free
+    from the block pipeline by index-mapping inactive cells to a repeated
+    block — chip-measured: the pipeline re-issues DMAs for dynamically
+    equal indices, zero savings. Explicit conditional DMA is definitive.)
+    Inactive cells write nothing: their output rows are unspecified and
+    the caller's write masks must discard them. The per-cell DMA is
+    serialized with its compute (no cross-cell double buffering); at full
+    occupancy this ties the pipelined kernel within ~10% (chip-measured)
+    and at partial occupancy the skipped cells win outright."""
+    i = pl.program_id(0)
+
+    @pl.when(act_ref[i] != 0)
+    def _():
+        ck = pltpu.make_async_copy(k_ref.at[i], k_vmem, sems.at[0])
+        cv = pltpu.make_async_copy(v_ref.at[i], v_vmem, sems.at[1])
+        ck.start()
+        cv.start()
+        ck.wait()
+        cv.wait()
+        n_head = q_ref.shape[1]
+        dtype = q_ref.dtype
+        windowed = q_ref.ndim == 4
+        for h in range(n_head):
+            q = q_ref[0, h] if windowed else q_ref[0, h][None]  # [Tq|1, hd]
+            k = k_vmem[h].astype(dtype)  # [T, hd]
+            scores = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [Tq|1, T]
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < len_ref[i], scores, NEG_INF)
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            v = v_vmem[h].astype(dtype)
+            out = jax.lax.dot_general(
+                probs, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, h] = out if windowed else out[0]
+
+
+def _cross_attention_int8_skip(
+    q: jax.Array,  # [B, H, hd] or [B, H, Tq, hd]
+    k8: jax.Array,
+    v8: jax.Array,
+    lengths: jax.Array,
+    active: jax.Array,  # [B] bool
+    interpret: bool = False,
+) -> jax.Array:
+    """Skip-DMA path shared by the single-query and window int8 kernels.
+    Output rows of INACTIVE slots are unspecified (never written) — the
+    lockstep step's write masks already discard everything derived from
+    them; callers must not read them."""
+    b, h, t, hd = k8.shape
+    qblock = (1,) + q.shape[1:]
+    qmap = (lambda i: (i, 0, 0)) if q.ndim == 3 else (lambda i: (i, 0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_cross_attn_int8_dma_kernel, scale=hd**-0.5),
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(qblock, qmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
+        ],
+        out_specs=pl.BlockSpec(qblock, qmap, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h, t, hd), jnp.int8),
+            pltpu.VMEM((h, t, hd), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        active.astype(jnp.int32), lengths.astype(jnp.int32), q, k8, v8
+    )
+
+
 def cross_attention_int8(
     q: jax.Array,  # [B, H, hd] compute dtype, K-scales already folded in
     k8: jax.Array,  # [B, H, T, hd] int8 (HEAD-MAJOR)
     v8: jax.Array,  # [B, H, T, hd] int8
     lengths: jax.Array | None = None,  # [B] int32 valid positions
     interpret: bool = False,
+    active: jax.Array | None = None,  # [B] bool — skip inactive slots' DMA
 ) -> jax.Array:
     """Single-token cross-attention reading int8 KV directly from HBM.
 
@@ -213,8 +309,15 @@ def cross_attention_int8(
     `lengths` masks positions >= lengths[b] (reduced-context windows share
     the full-size KV region; the tail holds stale data); None compiles the
     UNMASKED kernel, so the full-context serving path pays zero masking
-    overhead (measured ~4% of bulk RTFx)."""
+    overhead (measured ~4% of bulk RTFx). `active` (requires `lengths`)
+    additionally skips the K/V DMA of inactive slots entirely — their
+    output rows are unspecified."""
     b, h, t, hd = k8.shape
+    if active is not None:
+        assert lengths is not None, "active-skip requires per-slot lengths"
+        return _cross_attention_int8_skip(
+            q, k8, v8, lengths, active, interpret=interpret
+        )
     masked = lengths is not None
     specs = [
         pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
@@ -287,12 +390,18 @@ def cross_attention_int8_window(
     v8: jax.Array,  # [B, H, T, hd] int8
     lengths: jax.Array | None = None,  # [B] int32 valid positions
     interpret: bool = False,
+    active: jax.Array | None = None,  # [B] bool — skip inactive slots' DMA
 ) -> jax.Array:
     """Windowed (Tq-token) cross-attention over int8 KV — the speculative
     decode_window path. Same contract as cross_attention_int8 with a query
     window axis; returns [B, H, Tq, hd] float32."""
     b, h, t, hd = k8.shape
     tq = q.shape[2]
+    if active is not None:
+        assert lengths is not None, "active-skip requires per-slot lengths"
+        return _cross_attention_int8_skip(
+            q, k8, v8, lengths, active, interpret=interpret
+        )
     masked = lengths is not None
     specs = [
         pl.BlockSpec((1, h, tq, hd), lambda i: (i, 0, 0, 0),

@@ -133,6 +133,14 @@ class TpuBackend:
         )
         # observability: how the hybrid split actually routed
         self.hybrid_stats = {"greedy_partials": 0, "beamed_fulls": 0}
+        # Hybrid mode shares the chip between multi-second beamed fulls
+        # and latency-sensitive continuous ticks — run the beamed decode
+        # in preemptible segments (engine._decode_beam_chunked) so ticks
+        # interleave between segments instead of queueing behind one
+        # monolithic program. WL_BEAM_CHUNK (incl. =0) overrides.
+        eng = getattr(scheduler, "engine", None)
+        if self.hybrid_beam and hasattr(eng, "enable_beam_chunk"):
+            eng.enable_beam_chunk()
         # Mixed speculative routing (VERDICT r4 item 3): a SECOND
         # continuous pool with a draft attached serves the FULL re-decodes
         # (periodic WL_PREFIX_REFRESH windows + post-commit from-scratch

@@ -86,9 +86,8 @@ def test_cross_attention_int8_kernel_matches_jnp(rng):
     kq = rng.integers(-127, 128, (b, h, t, hd)).astype(np.int8)  # head-major
     vq = rng.integers(-127, 128, (b, h, t, hd)).astype(np.int8)
 
-    out = np.asarray(
-        cross_attention_int8(q, jnp.asarray(kq), jnp.asarray(vq), interpret=True)
-    )
+    kvp = jnp.concatenate([jnp.asarray(kq), jnp.asarray(vq)], axis=-1)
+    out = np.asarray(cross_attention_int8(q, kvp, interpret=True))
 
     k = kq.astype(np.float32).transpose(0, 2, 1, 3)
     v = vq.astype(np.float32).transpose(0, 2, 1, 3)
@@ -111,10 +110,10 @@ def test_cross_attention_int8_length_mask(rng):
     k = (rng.standard_normal((b, h, t, hd)) * 40).astype(np.int8)
     v = (rng.standard_normal((b, h, t, hd)) * 40).astype(np.int8)
     lengths = np.asarray([5, 16], np.int32)
+    kvp = jnp.concatenate([jnp.asarray(k), jnp.asarray(v)], axis=-1)
     out = np.asarray(
         cross_attention_int8(
-            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-            lengths=jnp.asarray(lengths), interpret=True,
+            jnp.asarray(q), kvp, lengths=jnp.asarray(lengths), interpret=True,
         )
     )
     for bi in range(b):
@@ -151,18 +150,14 @@ def test_cross_attention_int8_window_matches_jnp(rng):
                 out[bi, hi] = p @ vq[bi, hi, :n].astype(np.float32)
         return out
 
-    out = np.asarray(
-        cross_attention_int8_window(
-            q, jnp.asarray(kq), jnp.asarray(vq), interpret=True
-        )
-    )
+    kvp = jnp.concatenate([jnp.asarray(kq), jnp.asarray(vq)], axis=-1)
+    out = np.asarray(cross_attention_int8_window(q, kvp, interpret=True))
     np.testing.assert_allclose(out, ref([t, t]), atol=1e-2, rtol=1e-3)
 
     lengths = np.asarray([17, 96], np.int32)
     out_m = np.asarray(
         cross_attention_int8_window(
-            q, jnp.asarray(kq), jnp.asarray(vq),
-            lengths=jnp.asarray(lengths), interpret=True,
+            q, kvp, lengths=jnp.asarray(lengths), interpret=True,
         )
     )
     np.testing.assert_allclose(out_m, ref(lengths), atol=1e-2, rtol=1e-3)
@@ -234,9 +229,10 @@ def test_cross_attention_int8_active_skip_matches_masked():
     lengths = jnp.asarray([64, 17, 64, 33, 8], jnp.int32)
     active = jnp.asarray([True, False, True, True, False])
 
-    ref = cross_attention_int8(q, k8, v8, lengths=lengths, interpret=True)
+    kvp = jnp.concatenate([k8, v8], axis=-1)
+    ref = cross_attention_int8(q, kvp, lengths=lengths, interpret=True)
     got = cross_attention_int8(
-        q, k8, v8, lengths=lengths, active=active, interpret=True
+        q, kvp, lengths=lengths, active=active, interpret=True
     )
     for i in range(b):
         if bool(active[i]):
@@ -247,7 +243,7 @@ def test_cross_attention_int8_active_skip_matches_masked():
     # all-inactive: must not crash (clamped to one slot's block)
     none_active = jnp.zeros((b,), bool)
     out = cross_attention_int8(
-        q, k8, v8, lengths=lengths, active=none_active, interpret=True
+        q, kvp, lengths=lengths, active=none_active, interpret=True
     )
     assert out.shape == ref.shape
 
@@ -255,10 +251,10 @@ def test_cross_attention_int8_active_skip_matches_masked():
     tq = 3
     qw = jnp.asarray(rng.standard_normal((b, h, tq, hd)), jnp.float32)
     ref_w = cross_attention_int8_window(
-        qw, k8, v8, lengths=lengths, interpret=True
+        qw, kvp, lengths=lengths, interpret=True
     )
     got_w = cross_attention_int8_window(
-        qw, k8, v8, lengths=lengths, active=active, interpret=True
+        qw, kvp, lengths=lengths, active=active, interpret=True
     )
     for i in range(b):
         if bool(active[i]):

@@ -442,10 +442,11 @@ class ContinuousEngine:
             hd = cfg_x.n_text_state // cfg_x.n_text_head
             if bits_x == 8:
                 return {
-                    # head-major int8 (models/whisper.py quantize_cross_kv)
+                    # packed head-major int8, K|V in one 128-lane row
+                    # (models/whisper.py quantize_cross_kv)
                     "kv8": jnp.zeros(
-                        (cfg_x.n_text_layer, 2, b, cfg_x.n_text_head,
-                         tcap, hd), jnp.int8
+                        (cfg_x.n_text_layer, 1, b, cfg_x.n_text_head,
+                         tcap, 2 * hd), jnp.int8
                     ),
                     "scale": jnp.zeros(
                         (cfg_x.n_text_layer, 2, b, 1, cfg_x.n_text_head, hd),

@@ -362,16 +362,24 @@ def quantize_cross_kv(cross_kv: Params) -> Params:
     """bf16 cross-KV -> int8 with per-(layer, k/v, batch, head, channel)
     scales over the position axis.
 
-    HEAD-MAJOR layout [L,2,B,H,T,hd]: the Pallas decode kernel
-    (ops/attention.py cross_attention_int8) slices per (batch, head)
-    without any in-kernel reshape. The kernel exists because a jnp
+    PACKED head-major layout [L,1,B,H,T,2*hd] — K in lanes [:hd], V in
+    lanes [hd:] of one 128-lane row (the dummy axis keeps the batch at
+    axis 2 and T at axis 4 like every other cross-KV layout, so engine
+    insert/gather/sharding code is layout-agnostic). The Pallas decode
+    kernels (ops/attention.py cross_attention_int8*) slice per (batch,
+    head) without any in-kernel reshape; K|V share a row because a
+    stacked [2,...] array gets its leading 2 merged into the minor dim by
+    XLA layout assignment, which Mosaic cannot memref_slice for the
+    active-skip DMA path (chip-verified). The kernels exist because a jnp
     `astype` dequant of loop-invariant KV gets hoisted out of the decode
     while_loop, materializing a bf16 copy that erases the int8 savings."""
     kv = cross_kv["kv"].astype(jnp.float32)
     amax = jnp.max(jnp.abs(kv), axis=3, keepdims=True)  # [L,2,B,1,H,hd]
     scale = jnp.maximum(amax, 1e-6) / 127.0
     q = jnp.clip(jnp.round(kv / scale), -127, 127).astype(jnp.int8)
-    return {"kv8": jnp.transpose(q, (0, 1, 2, 4, 3, 5)),
+    l, _, b, t, h, hd = q.shape
+    packed = jnp.transpose(q, (0, 2, 4, 3, 1, 5)).reshape(l, b, h, t, 2 * hd)
+    return {"kv8": packed[:, None],
             "scale": scale.astype(jnp.bfloat16)}
 
 
@@ -409,7 +417,8 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None,
     """Cross-attention against one layer's (possibly quantized) KV slice.
 
     qc: [B, Tq, H, hd]; ckv: {"kv": [2, B, T, H, hd] bf16, or
-    "kv8": [2, B, H, T, hd] int8 head-major, or "kv4": [2, B, H, T, hd/2]
+    "kv8": [1, B, H, T, 2*hd] int8 packed head-major (K lanes [:hd], V
+    lanes [hd:]; see quantize_cross_kv), or "kv4": [2, B, H, T, hd/2]
     packed int4 head-major; "scale": optional [2, B, 1, H, hd]}.
     Per-channel scales fold into q (for K) and into the output (for V), so
     the quantized arrays feed the MXU directly. cross_len: optional [B]
@@ -424,6 +433,8 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None,
     if "kv8" in ckv:
         from whisperlive_tpu.ops.attention import cross_attention_int8
 
+        kvp = ckv["kv8"][0]  # [B, H, T, 2*hd] packed (dummy axis sliced)
+        hd = kvp.shape[-1] // 2
         q_eff = qc * scale[0][:, 0][:, None].astype(qc.dtype)
         if (
             qc.shape[1] == 1
@@ -431,7 +442,7 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None,
             and jax.default_backend() in ("tpu", "axon")
         ):
             out = cross_attention_int8(
-                q_eff[:, 0], ckv["kv8"][0], ckv["kv8"][1], lengths=cross_len,
+                q_eff[:, 0], kvp, lengths=cross_len,
                 active=active if cross_len is not None else None,
             )
             out = out[:, None].astype(dtype) * scale[1][:, 0][:, None].astype(dtype)
@@ -450,7 +461,7 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None,
             from whisperlive_tpu.ops.attention import cross_attention_int8_window
 
             out = cross_attention_int8_window(
-                jnp.swapaxes(q_eff, 1, 2), ckv["kv8"][0], ckv["kv8"][1],
+                jnp.swapaxes(q_eff, 1, 2), kvp,
                 lengths=cross_len,
                 active=active if cross_len is not None else None,
             )
@@ -458,10 +469,11 @@ def _cross_attend(qc, ckv, dtype, collect_probs=False, cross_len=None,
                 :, None
             ].astype(dtype)
             return out, None
-        # fallback (CPU tests, prefill/align): head-major [2, B, H, T, hd]
-        # -> [B, T, H, hd]
-        k = jnp.swapaxes(ckv["kv8"][0], 1, 2).astype(dtype)
-        v = jnp.swapaxes(ckv["kv8"][1], 1, 2).astype(dtype)
+        # fallback (CPU tests, prefill/align): packed head-major
+        # [B, H, T, 2*hd] -> [B, T, H, hd] K and V halves (the lane slices
+        # fuse into the astype/einsum consumers — no extra HBM copy)
+        k = jnp.swapaxes(kvp[..., :hd], 1, 2).astype(dtype)
+        v = jnp.swapaxes(kvp[..., hd:], 1, 2).astype(dtype)
         out, probs = _attention(q_eff, k, v, _cross_len_mask(k.shape[1], cross_len))
         out = out * scale[1][:, 0][:, None].astype(out.dtype)
         return (out, probs) if collect_probs else (out, None)

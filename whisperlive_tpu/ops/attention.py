@@ -155,70 +155,80 @@ def cross_attention_int4(
 
 
 def _cross_attn_int8_kernel(*refs, scale: float, masked: bool = True):
-    """Decode-step cross-attention over int8 KV, dequantized in VMEM.
+    """Decode-step cross-attention over PACKED int8 KV, dequantized in VMEM.
 
-    Per grid cell = one (batch, head-set). Block shapes: q/out [1, H, hd],
-    k/v [1, H, T, hd] int8 head-major. The point of doing this in Pallas
-    rather than `astype` + einsum: KV is loop-invariant across the decode
-    while_loop, so XLA hoists a jnp dequant out of the loop and
-    materializes a full bf16 copy in HBM — the int8 storage then saves no
-    per-step traffic. Here the int8 bytes stream HBM->VMEM and widen
-    on-core, so each step reads exactly half the bf16 bytes. masked=True
-    adds a [B] SMEM lengths ref as the first operand (reduced-context
-    windows); masked=False compiles without it — the full-context serving
-    path pays zero masking overhead."""
+    Per grid cell = one (batch, head-set). Block shapes: q/out [1, H, 2*hd]
+    (query zero-padded into the V lanes), kv [1, H, T, 2*hd] int8
+    head-major with K in lanes [:hd] and V in lanes [hd:].
+
+    The kernel exists because a jnp `astype` dequant of loop-invariant KV
+    gets hoisted out of the decode while_loop by XLA, materializing a bf16
+    copy in HBM that erases the int8 savings — the int8 bytes must stream
+    HBM->VMEM and widen on-core. The PACKED K|V layout exists because a
+    stacked [2, ...] K/V array gets its leading 2 merged into the minor
+    dim by XLA layout assignment, and the resulting 64-of-128-lane views
+    cannot be sliced by Mosaic (memref_slice requires tile-aligned minor
+    dims) — chip-verified failure mode of the active-skip DMA path. With
+    K|V side by side in one 128-lane row, the zero-padded query makes the
+    K-contraction exact (V lanes contribute q=0 terms) and probs @ kv
+    yields the V output in lanes [hd:], sliced off outside the kernel;
+    the MXU pads 64-lane contractions to 128 anyway, so the widened dots
+    are free. masked=True adds a [B] SMEM lengths ref as the first operand
+    (reduced-context windows); masked=False compiles without it — the
+    full-context serving path pays zero masking overhead."""
     if masked:
-        len_ref, q_ref, k_ref, v_ref, o_ref = refs
+        len_ref, q_ref, kv_ref, o_ref = refs
     else:
-        q_ref, k_ref, v_ref, o_ref = refs
+        q_ref, kv_ref, o_ref = refs
         len_ref = None
     n_head = q_ref.shape[1]
     dtype = q_ref.dtype
 
     # heads unrolled statically: one grid cell per batch item keeps the
     # HBM->VMEM DMAs large (per-(b,h) cells measured ~20x slower on the
-    # int4 variant below)
+    # int4 variant above)
     for h in range(n_head):
-        q = q_ref[0, h][None]  # [1, hd] (static head index)
-        k = k_ref[0, h].astype(dtype)  # [T, hd]
+        q = q_ref[0, h][None]  # [1, 2*hd] (static head; V lanes are zero)
+        kv = kv_ref[0, h].astype(dtype)  # [T, 2*hd]
         scores = jax.lax.dot_general(
-            q, k,
+            q, kv,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [1, T]
+        ) * scale  # [1, T] == q . k  (V lanes of q are zero)
         if masked:
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(
                 col < len_ref[pl.program_id(0)], scores, NEG_INF
             )
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        v = v_ref[0, h].astype(dtype)
         o_ref[0, h] = jax.lax.dot_general(
-            probs, v,
+            probs, kv,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[0]
+        )[0]  # [2*hd]; the V output sits in lanes [hd:]
 
 
 def _cross_attn_int8_dma_kernel(
     act_ref,  # [B] int32 SMEM
     len_ref,  # [B] int32 SMEM
-    q_ref,  # [1, H, hd] or [1, H, Tq, hd] VMEM
-    k_ref,  # [B, H, T, hd] int8, resident in HBM (manually DMA'd)
-    v_ref,  # [B, H, T, hd] int8, HBM
+    q_ref,  # [1, H, 2*hd] or [1, H, Tq, 2*hd] VMEM (V lanes zero)
+    kv_ref,  # [B, H, T, 2*hd] int8 packed, resident in HBM (manual DMA)
     o_ref,  # like q, f32 VMEM
-    k_vmem,  # [H, T, hd] int8 scratch
-    v_vmem,  # [H, T, hd] int8 scratch
-    sems,  # DMA semaphores (2,)
+    kv_vmem,  # [H, T, 2*hd] int8 scratch
+    sem,  # DMA semaphore
     *,
     scale: float,
 ):
-    """Active-slot DMA-skipping variant of the int8 decode kernels: K/V
-    stay in HBM and are copied HBM->VMEM ONLY for active slots, under an
-    explicit @pl.when guard. (A first cut tried to get the skip for free
-    from the block pipeline by index-mapping inactive cells to a repeated
-    block — chip-measured: the pipeline re-issues DMAs for dynamically
-    equal indices, zero savings. Explicit conditional DMA is definitive.)
+    """Active-slot DMA-skipping variant of the int8 decode kernels: the
+    packed K|V stays in HBM and is copied HBM->VMEM ONLY for active slots,
+    under an explicit @pl.when guard. (A first cut tried to get the skip
+    for free from the block pipeline by index-mapping inactive cells to a
+    repeated block — chip-measured: the pipeline re-issues DMAs for
+    dynamically equal indices, zero savings. Explicit conditional DMA is
+    definitive. A second cut passed K and V as two HBM operands sliced
+    from the stacked [2, ...] array — Mosaic rejects the memref_slice
+    because XLA merges the stacked axis into the minor dim; hence the
+    packed single-operand layout, which also halves the DMA count.)
     Inactive cells write nothing: their output rows are unspecified and
     the caller's write masks must discard them. The per-cell DMA is
     serialized with its compute (no cross-cell double buffering); at full
@@ -228,82 +238,77 @@ def _cross_attn_int8_dma_kernel(
 
     @pl.when(act_ref[i] != 0)
     def _():
-        ck = pltpu.make_async_copy(k_ref.at[i], k_vmem, sems.at[0])
-        cv = pltpu.make_async_copy(v_ref.at[i], v_vmem, sems.at[1])
-        ck.start()
-        cv.start()
-        ck.wait()
-        cv.wait()
+        cp = pltpu.make_async_copy(kv_ref.at[i], kv_vmem, sem)
+        cp.start()
+        cp.wait()
         n_head = q_ref.shape[1]
         dtype = q_ref.dtype
         windowed = q_ref.ndim == 4
         for h in range(n_head):
-            q = q_ref[0, h] if windowed else q_ref[0, h][None]  # [Tq|1, hd]
-            k = k_vmem[h].astype(dtype)  # [T, hd]
+            q = q_ref[0, h] if windowed else q_ref[0, h][None]  # [Tq|1,2hd]
+            kv = kv_vmem[h].astype(dtype)  # [T, 2*hd]
             scores = jax.lax.dot_general(
-                q, k,
+                q, kv,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [Tq|1, T]
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(col < len_ref[i], scores, NEG_INF)
             probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-            v = v_vmem[h].astype(dtype)
             out = jax.lax.dot_general(
-                probs, v,
+                probs, kv,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )  # [Tq|1, 2*hd]
             o_ref[0, h] = out if windowed else out[0]
 
 
 def _cross_attention_int8_skip(
-    q: jax.Array,  # [B, H, hd] or [B, H, Tq, hd]
-    k8: jax.Array,
-    v8: jax.Array,
+    qp: jax.Array,  # [B, H, 2*hd] or [B, H, Tq, 2*hd], V lanes zero
+    kvp: jax.Array,  # [B, H, T, 2*hd] int8 packed
     lengths: jax.Array,
     active: jax.Array,  # [B] bool
     interpret: bool = False,
 ) -> jax.Array:
     """Skip-DMA path shared by the single-query and window int8 kernels.
-    Output rows of INACTIVE slots are unspecified (never written) — the
-    lockstep step's write masks already discard everything derived from
-    them; callers must not read them."""
-    b, h, t, hd = k8.shape
-    qblock = (1,) + q.shape[1:]
-    qmap = (lambda i: (i, 0, 0)) if q.ndim == 3 else (lambda i: (i, 0, 0, 0))
+    Returns FULL-WIDTH [B, ..., 2*hd] float32 — the V output sits in lanes
+    [hd:] and the wrappers slice it off. Output rows of INACTIVE slots are
+    unspecified (never written) — the lockstep step's write masks already
+    discard everything derived from them; callers must not read them."""
+    b, h, t, hd2 = kvp.shape
+    qblock = (1,) + qp.shape[1:]
+    qmap = (lambda i: (i, 0, 0)) if qp.ndim == 3 else (lambda i: (i, 0, 0, 0))
     return pl.pallas_call(
-        functools.partial(_cross_attn_int8_dma_kernel, scale=hd**-0.5),
-        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
+        functools.partial(
+            _cross_attn_int8_dma_kernel, scale=(hd2 // 2) ** -0.5
+        ),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(qblock, qmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # packed KV stays in HBM
         ],
         out_specs=pl.BlockSpec(qblock, qmap, memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((h, t, hd), jnp.int8),
-            pltpu.VMEM((h, t, hd), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((h, t, hd2), jnp.int8),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(
-        active.astype(jnp.int32), lengths.astype(jnp.int32), q, k8, v8
+        active.astype(jnp.int32), lengths.astype(jnp.int32), qp, kvp
     )
 
 
 def cross_attention_int8(
     q: jax.Array,  # [B, H, hd] compute dtype, K-scales already folded in
-    k8: jax.Array,  # [B, H, T, hd] int8 (HEAD-MAJOR)
-    v8: jax.Array,  # [B, H, T, hd] int8
+    kvp: jax.Array,  # [B, H, T, 2*hd] int8 packed (K lanes [:hd], V [hd:])
     lengths: jax.Array | None = None,  # [B] int32 valid positions
     interpret: bool = False,
     active: jax.Array | None = None,  # [B] bool — skip inactive slots' DMA
 ) -> jax.Array:
-    """Single-token cross-attention reading int8 KV directly from HBM.
+    """Single-token cross-attention reading packed int8 KV from HBM.
 
     Returns [B, H, hd] float32 (apply per-channel V scales outside).
     `lengths` masks positions >= lengths[b] (reduced-context windows share
@@ -311,23 +316,25 @@ def cross_attention_int8(
     UNMASKED kernel, so the full-context serving path pays zero masking
     overhead (measured ~4% of bulk RTFx). `active` (requires `lengths`)
     additionally skips the K/V DMA of inactive slots entirely — their
-    output rows are unspecified."""
-    b, h, t, hd = k8.shape
+    output rows are unspecified. See _cross_attn_int8_kernel for why the
+    KV must be packed K|V in one 128-lane row."""
+    b, h, t, hd2 = kvp.shape
+    hd = hd2 // 2
+    qp = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
     if active is not None:
         assert lengths is not None, "active-skip requires per-slot lengths"
-        return _cross_attention_int8_skip(
-            q, k8, v8, lengths, active, interpret=interpret
+        out = _cross_attention_int8_skip(
+            qp, kvp, lengths, active, interpret=interpret
         )
+        return out[..., hd:]
     masked = lengths is not None
     specs = [
-        pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, h, hd2), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [q, k8, v8]
+    args = [qp, kvp]
     if masked:
         # whole [B] vector in SMEM (Mosaic requires rank-1 blocks to
         # cover the array); the kernel indexes it by program_id
@@ -339,34 +346,34 @@ def cross_attention_int8(
         functools.partial(
             _cross_attn_int8_kernel, scale=hd**-0.5, masked=masked
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, hd2), jnp.float32),
         grid=(b,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, h, hd), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, h, hd2), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
-    return out
+    return out[..., hd:]
 
 
 def _cross_attn_int8_window_kernel(*refs, scale: float, masked: bool):
     """Multi-query variant of _cross_attn_int8_kernel: Tq query tokens
-    attend the same int8 KV, which streams HBM->VMEM ONCE for the whole
-    window — the speculative-verify pass reads the dominant decode HBM
-    term once per k+1 tokens instead of once per token."""
+    attend the same packed int8 KV, which streams HBM->VMEM ONCE for the
+    whole window — the speculative-verify pass reads the dominant decode
+    HBM term once per k+1 tokens instead of once per token."""
     if masked:
-        len_ref, q_ref, k_ref, v_ref, o_ref = refs
+        len_ref, q_ref, kv_ref, o_ref = refs
     else:
-        q_ref, k_ref, v_ref, o_ref = refs
+        q_ref, kv_ref, o_ref = refs
         len_ref = None
     n_head = q_ref.shape[1]
     dtype = q_ref.dtype
 
     for h in range(n_head):  # heads unrolled: keeps the KV DMAs large
-        q = q_ref[0, h]  # [Tq, hd]
-        k = k_ref[0, h].astype(dtype)  # [T, hd]
+        q = q_ref[0, h]  # [Tq, 2*hd] (V lanes zero)
+        kv = kv_ref[0, h].astype(dtype)  # [T, 2*hd]
         scores = jax.lax.dot_general(
-            q, k,
+            q, kv,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [Tq, T]
@@ -376,42 +383,41 @@ def _cross_attn_int8_window_kernel(*refs, scale: float, masked: bool):
                 col < len_ref[pl.program_id(0)], scores, NEG_INF
             )
         probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        v = v_ref[0, h].astype(dtype)
         o_ref[0, h] = jax.lax.dot_general(
-            probs, v,
+            probs, kv,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [Tq, 2*hd]; V output in lanes [hd:]
 
 
 def cross_attention_int8_window(
-    q: jax.Array,  # [B, H, Tq, hd] compute dtype, K-scales already folded in
-    k8: jax.Array,  # [B, H, T, hd] int8 (HEAD-MAJOR)
-    v8: jax.Array,  # [B, H, T, hd] int8
+    q: jax.Array,  # [B, H, Tq, hd] compute dtype, K-scales already folded
+    kvp: jax.Array,  # [B, H, T, 2*hd] int8 packed (K lanes [:hd], V [hd:])
     lengths: jax.Array | None = None,  # [B] int32 valid positions
     interpret: bool = False,
     active: jax.Array | None = None,  # [B] bool — skip inactive slots' DMA
 ) -> jax.Array:
-    """Windowed (Tq-token) cross-attention over int8 KV — the speculative
-    decode_window path. Same contract as cross_attention_int8 with a query
-    window axis; returns [B, H, Tq, hd] float32."""
-    b, h, t, hd = k8.shape
+    """Windowed (Tq-token) cross-attention over packed int8 KV — the
+    speculative decode_window path. Same contract as cross_attention_int8
+    with a query window axis; returns [B, H, Tq, hd] float32."""
+    b, h, t, hd2 = kvp.shape
+    hd = hd2 // 2
     tq = q.shape[2]
+    qp = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
     if active is not None:
         assert lengths is not None, "active-skip requires per-slot lengths"
-        return _cross_attention_int8_skip(
-            q, k8, v8, lengths, active, interpret=interpret
+        out = _cross_attention_int8_skip(
+            qp, kvp, lengths, active, interpret=interpret
         )
+        return out[..., hd:]
     masked = lengths is not None
     specs = [
-        pl.BlockSpec((1, h, tq, hd), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, h, tq, hd2), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, h, t, hd), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, h, t, hd2), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [q, k8, v8]
+    args = [qp, kvp]
     if masked:
         specs.insert(
             0, pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
@@ -421,14 +427,14 @@ def cross_attention_int8_window(
         functools.partial(
             _cross_attn_int8_window_kernel, scale=hd**-0.5, masked=masked
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, tq, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, hd2), jnp.float32),
         grid=(b,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, h, tq, hd), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h, tq, hd2), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
-    return out
+    return out[..., hd:]
 
 
 def _cross_attn_int4_window_kernel(*refs, scale: float, masked: bool):

@@ -129,14 +129,13 @@ def measure_effective_peaks(
 
         # big trees ride as jit ARGUMENTS (a closure would embed them in
         # the compile payload — multi-GB relay requests fail, CLAUDE.md)
-        k8 = jnp.ones((b, h, t, hd), jnp.int8)
-        v8 = jnp.ones((b, h, t, hd), jnp.int8)
+        kvp = jnp.ones((b, h, t, 2 * hd), jnp.int8)  # packed K|V lanes
         q1 = jnp.ones((b, h, hd), jnp.bfloat16)
 
         @jax.jit
-        def stream8(q, k, v):
+        def stream8(q, kv):
             def body(_, qq):
-                o = attn_ops.cross_attention_int8(qq, k, v, interpret=interp)
+                o = attn_ops.cross_attention_int8(qq, kv, interpret=interp)
                 return (qq + o.astype(qq.dtype) * 1e-6).astype(qq.dtype)
 
             return jax.lax.fori_loop(0, inner, body, q).sum(
@@ -144,7 +143,7 @@ def measure_effective_peaks(
             )
 
         out["int8_gbps"] = (
-            overlapped(stream8, (q1, k8, v8), inner * kv_bytes) / 1e9
+            overlapped(stream8, (q1, kvp), inner * kv_bytes) / 1e9
         )
         out["int8_geps"] = out["int8_gbps"]
         if time.monotonic() - t_start > seconds_budget:

@@ -374,12 +374,14 @@ def test_real_engine_wire_text_matches_direct_final(real_stack):
 
 @pytest.fixture(scope="module")
 def spec_stack(real_stack):
-    """A speculative continuous pool (self-draft: the target engine IS the
-    draft, so T=0 acceptance is exact) attached to the SAME tiny engine as
-    the plain pool — the --continuous_spec serving config, wire-driven.
-    VERDICT r4 item 6: the real-engine wire test must pin the option
-    plumbing and prefix-anchor seams of every serving config, not just
-    plain continuous."""
+    """The --continuous_spec_mode MIXED serving config, wire-driven: a
+    SECOND speculative pool (self-draft: the target engine IS the draft,
+    so T=0 acceptance is exact) alongside the plain main pool, routed via
+    TpuBackend(spec_scheduler=...) exactly as cli/run_server.py wires it.
+    tests/test_server_real_engine_configs.py pins the all-spec
+    (--continuous_spec) and hybrid-beam configs; this fixture covers the
+    remaining serving config — mixed routing (fulls -> spec pool, tails ->
+    plain) — over the real wire (VERDICT r4 item 6)."""
     backend = real_stack
     engine = backend.scheduler.engine
     spec_sched = ContinuousScheduler(
@@ -414,12 +416,12 @@ def spec_stack(real_stack):
         spec_sched.stop()
 
 
-def test_real_engine_spec_wire_token_parity(spec_stack):
-    """--continuous_spec over the wire: full re-decodes ride the spec
-    pool's verify rounds; every window must still be token-exact vs a
-    from-scratch PLAIN decode of the same audio (speculative continuous
-    batching is token-exact at T=0 for any draft — the wire path must
-    not break that)."""
+def test_real_engine_spec_mixed_wire_token_parity(spec_stack):
+    """--continuous_spec_mode mixed over the wire: full re-decodes ride
+    the spec pool's verify rounds while tails stay plain; every window
+    must still be token-exact vs a from-scratch PLAIN decode of the same
+    audio (speculative continuous batching is token-exact at T=0 for any
+    draft — the routing split must not break that)."""
     backend = spec_stack
     from whisperlive_tpu.client import Client
 
@@ -497,11 +499,14 @@ def test_real_engine_spec_wire_token_parity(spec_stack):
 def test_real_engine_hybrid_beam_wire(real_stack):
     """--beam_mode refresh over the wire: beamed full re-decodes on the
     window scheduler, greedy incremental partials on the continuous pool.
-    Parity bar: (a) both routes are exercised, (b) the beamed full equals
-    a from-scratch BEAMED decode of the same audio, (c) every greedy
-    partial extends the beam-derived forced prefix and is deterministic
-    under replay. no_speech_thresh=0.0 pins the anchor so windows 2+ ride
-    the greedy-partial route (same trick as the prefix-path test)."""
+    On top of test_server_real_engine_configs.py's routing/parity checks,
+    this adds the REPLAY-DETERMINISM contract: (a) both routes are
+    exercised, (b) the beamed full equals a from-scratch BEAMED decode of
+    the same audio, (c) every greedy partial extends the beam-derived
+    forced prefix and replays token-exactly through a fresh backend with
+    the prefix cache seeded. no_speech_thresh=0.0 pins the anchor so
+    windows 2+ ride the greedy-partial route (same trick as the
+    prefix-path test)."""
     backend = real_stack
     hybrid = RecordingBackend(
         backend.scheduler, model_name="tiny",

@@ -326,8 +326,17 @@ def main() -> None:
     if continuous is not None and os.environ.get("WL_MEASURE_PEAKS", "1") != "0":
         from whisperlive_tpu.utils import roofline
 
-        peaks = roofline.measure_effective_peaks()
         cb = continuous.cb
+        # Probe the envelopes AT THE SERVING SHAPES: the int8 kernel is
+        # latency-bound at the continuous path's per-cell slab size
+        # (T=640 measures ~3x the T=2048 bandwidth-bound rate on the
+        # relay — roofline.measure_effective_peaks docstring); a
+        # wrong-shape roof reads as a fake near-1 "device floor".
+        hd = cfg.n_text_state // cfg.n_text_head
+        peaks = roofline.measure_effective_peaks(
+            kv_shape=(cb.n_rows, cfg.n_text_head, cb.cross_ctx, hd),
+            self_shape=(cb.n_rows, cfg.n_text_head, cb.cache_len, hd),
+        )
         step_cost = roofline.decode_step_cost(
             cfg, cb.n_rows, cb.cache_len, cross_ctx=cb.cross_ctx,
             cross_kv_bits=engine.cross_kv_bits,
@@ -353,6 +362,9 @@ def main() -> None:
             ) + roofline.step_time_roof(win_cost, peaks)
             tick_roof_ms = args.steps_per_chunk * round_roof * 1e3
         else:
+            # static full-pool roof; replaced per row by the length-aware
+            # model once the row's tick_stats deltas are known (the skip
+            # kernels stream only occupied slots' block-padded cross_len)
             tick_roof_ms = (
                 args.steps_per_chunk
                 * roofline.step_time_roof(step_cost, peaks)
@@ -441,14 +453,37 @@ def main() -> None:
                     / max(row_wall, 1e-9), 3,
                 ),
             )
-            if tick_roof_ms is not None and td["ticks"]:
+            row_roof_ms = tick_roof_ms
+            if (
+                tick_roof_ms is not None
+                and not args.continuous_spec
+                and td.get("step_rows", 0)
+                and td["ticks"]
+            ):
+                from whisperlive_tpu.utils import roofline
+
+                # length-aware roof: charge cross-KV for what the block-
+                # DMA kernels actually streamed this row (tick averages)
+                cb = continuous.cb
+                row_cost = roofline.continuous_step_cost(
+                    cfg, cb.n_rows, cb.cache_len,
+                    cross_positions=td["step_cross_pos"] / td["ticks"],
+                    cross_kv_bits=engine.cross_kv_bits,
+                    weight_bits=8 if engine.decoder_int8 else 16,
+                )
+                row_roof_ms = (
+                    args.steps_per_chunk
+                    * roofline.step_time_roof(row_cost, peaks)
+                    * 1e3
+                )
+            if row_roof_ms is not None and td["ticks"]:
                 step_ms = td["step_s"] / n_ticks * 1e3
                 result["detail"].update(
-                    tick_roof_ms=round(tick_roof_ms, 1),
+                    tick_roof_ms=round(row_roof_ms, 1),
                     # achieved-vs-roof: fraction of the modeled device
                     # floor the measured tick reaches (<= ~1; the roof
                     # assumes the FULL slot pool resident every step)
-                    tick_sol_frac=round(tick_roof_ms / max(step_ms, 1e-9), 3),
+                    tick_sol_frac=round(row_roof_ms / max(step_ms, 1e-9), 3),
                     measured_peaks={
                         k: round(v, 1) for k, v in peaks.items()
                     } or None,

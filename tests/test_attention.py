@@ -261,3 +261,59 @@ def test_cross_attention_int8_active_skip_matches_masked():
             np.testing.assert_array_equal(
                 np.asarray(got_w[i]), np.asarray(ref_w[i])
             )
+
+
+def test_cross_attention_int8_skip_block_dma_matches_masked(monkeypatch):
+    """Length-aware block DMA (ops/attention.py _cross_attn_int8_dma_kernel,
+    opt-in WL_BLOCK_DMA=1 — chip-measured slower than the whole-slab copy
+    on the latency-bound relay, kept for real-silicon HBM-bound serving):
+    when T divides into 128-position blocks, an active slot copies only
+    ceil(len/128) blocks. Active rows must stay bit-identical to the plain
+    masked kernel — VMEM rows beyond the copied blocks hold garbage, and
+    the NEG_INF mask must zero them exactly (int8 garbage widens to finite
+    bf16, so 0-probability rows contribute exact zeros to the output)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("WL_BLOCK_DMA", "1")
+
+    from whisperlive_tpu.ops.attention import (
+        cross_attention_int8,
+        cross_attention_int8_window,
+    )
+
+    rng = np.random.default_rng(7)
+    b, h, t, hd = 6, 4, 256, 16  # t = 2 x 128-blocks -> block-DMA path
+    q = jnp.asarray(rng.standard_normal((b, h, hd)), jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 127, (b, h, t, hd)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 127, (b, h, t, hd)), jnp.int8)
+    kvp = jnp.concatenate([k8, v8], axis=-1)
+    # lengths straddling block boundaries: 1 block, exactly 1 block,
+    # partial 2nd block, full T, tiny, and a dead slot
+    lengths = jnp.asarray([100, 128, 130, 256, 1, 7], jnp.int32)
+    active = jnp.asarray([True, True, True, True, True, False])
+
+    ref = cross_attention_int8(q, kvp, lengths=lengths, interpret=True)
+    got = cross_attention_int8(
+        q, kvp, lengths=lengths, active=active, interpret=True
+    )
+    for i in range(b):
+        if bool(active[i]):
+            np.testing.assert_array_equal(
+                np.asarray(got[i]), np.asarray(ref[i])
+            )
+
+    # window variant (speculative verify / windowed continuation path)
+    tq = 4
+    qw = jnp.asarray(rng.standard_normal((b, h, tq, hd)), jnp.float32)
+    ref_w = cross_attention_int8_window(
+        qw, kvp, lengths=lengths, interpret=True
+    )
+    got_w = cross_attention_int8_window(
+        qw, kvp, lengths=lengths, active=active, interpret=True
+    )
+    for i in range(b):
+        if bool(active[i]):
+            np.testing.assert_array_equal(
+                np.asarray(got_w[i]), np.asarray(ref_w[i])
+            )

@@ -66,7 +66,8 @@ def test_measure_effective_peaks_and_step_roof():
         iters=2, n=128, chain=2, kv_shape=(2, 2, 64, 8), inner=2
     )
     assert set(peaks) == {
-        "tflops", "bf16_gbps", "int8_gbps", "bf16_geps", "int8_geps"
+        "tflops", "bf16_gbps", "int8_gbps", "bf16_geps", "int8_geps",
+        "int8_mm_gbps",
     }
     assert all(v > 0 for v in peaks.values())
 
@@ -83,3 +84,32 @@ def test_measure_effective_peaks_and_step_roof():
     assert 0 < r1 < r8
     # fallback path (no probe) also returns a positive bound
     assert roofline.step_time_roof(s1, {}) > 0
+
+
+def test_continuous_step_cost_length_aware():
+    """continuous_step_cost (utils/roofline.py): at full occupancy and
+    full cross lengths it must agree with decode_step_cost's traffic
+    model; fewer streamed positions shrink only the cross-KV int8 term
+    (weights + self-KV stay full-pool — XLA batch ops have no skip)."""
+    from whisperlive_tpu.models.whisper import WHISPER_CONFIGS
+    from whisperlive_tpu.utils import roofline
+
+    cfg = WHISPER_CONFIGS["tiny"]
+    n_rows, cache_len, ctx = 8, 144, 640
+    full = roofline.decode_step_cost(cfg, n_rows, cache_len, cross_ctx=ctx)
+    cont_full = roofline.continuous_step_cost(
+        cfg, n_rows, cache_len, cross_positions=n_rows * ctx
+    )
+    assert abs(cont_full.bytes - full.bytes) < 1e-6 * full.bytes
+    assert abs(cont_full.elements - full.elements) < 1e-6 * full.elements
+    assert abs(cont_full.flops - full.flops) < 1e-6 * full.flops
+
+    half = roofline.continuous_step_cost(
+        cfg, n_rows, cache_len, cross_positions=n_rows * ctx / 2
+    )
+    assert half.weight_bytes == cont_full.weight_bytes
+    assert half.bf16_bytes == cont_full.bf16_bytes  # self-KV unchanged
+    assert half.int8_bytes < cont_full.int8_bytes
+    assert half.bytes < cont_full.bytes
+    # the dtype split still partitions the total exactly
+    assert abs((half.int8_bytes + half.bf16_bytes) - half.bytes) < 1e-6 * half.bytes

@@ -1594,6 +1594,12 @@ class ContinuousScheduler:
         self.tick_stats = {
             "ticks": 0, "insert_s": 0.0, "step_s": 0.0, "harvest_s": 0.0,
             "insert_calls": 0, "insert_windows": 0,
+            # length-aware roofline inputs (what the skip kernels actually
+            # stream): occupied lane rows and block-padded cross positions
+            # summed per tick at dispatch time (ops/attention.py block DMA
+            # copies ceil(cross_len/128) 128-position blocks per active
+            # row; released/empty slots stream nothing)
+            "step_rows": 0, "step_cross_pos": 0,
         }
 
     def acceptance_rate(self) -> float:
@@ -2193,6 +2199,24 @@ class ContinuousScheduler:
                 t1 = time.monotonic()
                 if not self._slots:
                     continue
+                # roofline inputs captured at dispatch (harvest may free
+                # slots): cross positions the skip kernel will stream per
+                # occupied slot — block-padded cross_len under the opt-in
+                # WL_BLOCK_DMA kernel, the whole slab otherwise (default;
+                # chip-measured faster on the latency-bound relay)
+                blk = 128
+                ctx = self.cb.cross_ctx
+                pad = (
+                    (lambda n: -(-min(n, ctx) // blk) * blk)
+                    if os.environ.get("WL_BLOCK_DMA", "0") == "1"
+                    and ctx % blk == 0 and ctx > blk
+                    else (lambda n: ctx)
+                )
+                occ_cross = [
+                    pad(info.cross_len or ctx)
+                    for info in self._slots.values()
+                ]
+                lanes = max(self.cb.n_rows // self.cb.n_slots, 1)
                 status = self.cb.step()
                 self._gstep += self.cb.gstep_per_chunk
                 t2 = time.monotonic()
@@ -2203,6 +2227,8 @@ class ContinuousScheduler:
                 ts["insert_s"] += t1 - t0
                 ts["step_s"] += t2 - t1
                 ts["harvest_s"] += t3 - t2
+                ts["step_rows"] += len(occ_cross) * lanes
+                ts["step_cross_pos"] += sum(occ_cross) * lanes
                 if logger.isEnabledFor(logging.DEBUG):
                     logger.debug(
                         "cb tick: insert %.0fms step %.0fms harvest %.0fms "

@@ -18,6 +18,7 @@ columns are masked to -inf and pad rows are sliced off by the caller.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -218,6 +219,7 @@ def _cross_attn_int8_dma_kernel(
     sem,  # DMA semaphore
     *,
     scale: float,
+    block_dma: bool = False,
 ):
     """Active-slot DMA-skipping variant of the int8 decode kernels: the
     packed K|V stays in HBM and is copied HBM->VMEM ONLY for active slots,
@@ -233,14 +235,60 @@ def _cross_attn_int8_dma_kernel(
     the caller's write masks must discard them. The per-cell DMA is
     serialized with its compute (no cross-cell double buffering); at full
     occupancy this ties the pipelined kernel within ~10% (chip-measured)
-    and at partial occupancy the skipped cells win outright."""
+    and at partial occupancy the skipped cells win outright.
+
+    LENGTH-AWARE BLOCK DMA (opt-in, WL_BLOCK_DMA=1): when T divides into
+    128-position blocks, an active slot copies only ceil(len/128) blocks
+    instead of the whole [H, T, 2*hd] slab. VMEM rows beyond the copied
+    blocks hold stale data from a previous grid cell; the existing len
+    mask turns them into exact-zero softmax probability (NEG_INF is
+    f32-min; exp underflows to 0), the same guarantee the masked
+    full-copy path already relies on for the region between len and T.
+    All blocks are started before any is waited on.
+
+    Chip-measured NEGATIVE result on the relay v5e (scripts/
+    smoke_blockdma.py, B=16 H=20 T=640): bit-exact, but the per-cell DMA
+    at this T is LATENCY-bound, not bandwidth-bound — the whole-slab
+    pipelined kernel runs ~160 us/layer (≈164 GB/s effective, 3x the
+    T=2048 envelope) while block DMA costs 171-203 us (per-descriptor
+    setup of 20 strided 16 KB segments per block dominates; 5x fewer
+    bytes buys ~16%). Default stays whole-slab; revisit on real silicon
+    where HBM bandwidth, not descriptor latency, floors the stream (same
+    calculus as the int4 cross-KV negative, BENCH_NOTES round 1)."""
     i = pl.program_id(0)
 
     @pl.when(act_ref[i] != 0)
     def _():
-        cp = pltpu.make_async_copy(kv_ref.at[i], kv_vmem, sem)
-        cp.start()
-        cp.wait()
+        t = kv_ref.shape[2]
+        blk = 128
+        if block_dma and t % blk == 0 and t > blk:
+            nblk = jnp.clip(
+                jax.lax.div(len_ref[i] + blk - 1, blk), 1, t // blk
+            )
+
+            def start(j, _):
+                pltpu.make_async_copy(
+                    kv_ref.at[i, :, pl.ds(j * blk, blk)],
+                    kv_vmem.at[:, pl.ds(j * blk, blk)],
+                    sem,
+                ).start()
+                return 0
+
+            def wait(j, _):
+                # equal-shaped descriptor: waits one block's completion
+                pltpu.make_async_copy(
+                    kv_ref.at[i, :, pl.ds(0, blk)],
+                    kv_vmem.at[:, pl.ds(0, blk)],
+                    sem,
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, nblk, start, 0)
+            jax.lax.fori_loop(0, nblk, wait, 0)
+        else:
+            cp = pltpu.make_async_copy(kv_ref.at[i], kv_vmem, sem)
+            cp.start()
+            cp.wait()
         n_head = q_ref.shape[1]
         dtype = q_ref.dtype
         windowed = q_ref.ndim == 4
@@ -278,9 +326,11 @@ def _cross_attention_int8_skip(
     b, h, t, hd2 = kvp.shape
     qblock = (1,) + qp.shape[1:]
     qmap = (lambda i: (i, 0, 0)) if qp.ndim == 3 else (lambda i: (i, 0, 0, 0))
+    block_dma = os.environ.get("WL_BLOCK_DMA", "0") == "1"
     return pl.pallas_call(
         functools.partial(
-            _cross_attn_int8_dma_kernel, scale=(hd2 // 2) ** -0.5
+            _cross_attn_int8_dma_kernel, scale=(hd2 // 2) ** -0.5,
+            block_dma=block_dma,
         ),
         out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
         grid=(b,),

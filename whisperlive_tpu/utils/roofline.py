@@ -62,6 +62,7 @@ def measure_effective_peaks(
     chain: int = 8,
     kv_shape: tuple[int, int, int, int] = (16, 20, 2048, 64),
     inner: int = 16,
+    self_shape: tuple[int, int, int, int] | None = None,
 ) -> dict:
     """Measure THIS device's effective envelopes UNDER DISPATCH OVERLAP —
     the denominators utilization numbers must be bounded by when the
@@ -75,16 +76,23 @@ def measure_effective_peaks(
         streaming a large int8 KV HBM->VMEM, looped `inner` times per
         dispatch so device time dominates the dispatch round trip
       * bf16_gbps / bf16_geps — the step's bf16 self-KV read pattern:
-        single-query attention over a large bf16 KV (XLA path)
+        single-query attention over a large bf16 KV (XLA path), at
+        `self_shape` (defaults to kv_shape)
 
     The stream probes run the step's own op shapes rather than abstract
     copies/reductions: a `jnp.sum` reduction measures the VPU reduction
     pipeline, not the DMA stream (measured 4.5 GB/s vs ~100 GB/s real —
     the round-5 first-cut mistake), and abstract copies overstate what an
-    attention read can achieve. Each probe keeps `depth` dispatches in
-    flight and syncs via a scalar device->host fetch (block_until_ready
-    does not sync through the axon relay). Returns {} on probe failure
-    (callers fall back to effective_peaks)."""
+    attention read can achieve. SHAPES MATTER AS MUCH AS OP PATTERNS:
+    the int8 kernel at T=2048 (5.2 MB/cell, bandwidth-bound) measures
+    ~52 GB/s on the relay, but at the continuous path's actual T=640
+    (1.6 MB/cell) the pipelined per-cell DMA is LATENCY-bound and runs
+    ~160 GB/s effective (scripts/smoke_blockdma.py) — callers must pass
+    the kv_shape their step actually streams or the roof is ~3x too low
+    and sol fractions read as fake near-1 "floors". Each probe keeps
+    `depth` dispatches in flight and syncs via a scalar device->host
+    fetch (block_until_ready does not sync through the axon relay).
+    Returns {} on probe failure (callers fall back to effective_peaks)."""
     import time
 
     import jax
@@ -149,6 +157,9 @@ def measure_effective_peaks(
         if time.monotonic() - t_start > seconds_budget:
             return out
 
+        b, h, t, hd = self_shape or kv_shape
+        kv_bytes = 2.0 * b * h * t * hd
+        q1 = jnp.ones((b, h, hd), jnp.bfloat16)
         k16 = jnp.ones((b, h, t, hd), jnp.bfloat16)
         v16 = jnp.ones((b, h, t, hd), jnp.bfloat16)
 
@@ -169,6 +180,33 @@ def measure_effective_peaks(
             / 1e9
         )
         out["bf16_geps"] = out["bf16_gbps"] / 2.0
+        if time.monotonic() - t_start > seconds_budget:
+            return out
+
+        # int8-weight dequant matmul (ops/quant_matmul.py) at the decode
+        # step's small-M shape — the WEIGHT stream rides this kernel, not
+        # the attention kernel, and its effective rate differs (different
+        # block pipeline and per-tile dequant)
+        from whisperlive_tpu.ops import quant_matmul as qmm
+
+        m, kdim, ndim = 16, 1280, 5120
+        w8 = jnp.ones((kdim, ndim), jnp.int8)
+        sc = jnp.ones((ndim,), jnp.float32)
+        xm = jnp.ones((m, kdim), jnp.bfloat16)
+
+        @jax.jit
+        def wmm(x, w, s):
+            def body(_, xx):
+                o = qmm.int8_matmul(xx, w, s, interpret=interp)
+                return (xx + o[:, :kdim] * 1e-6).astype(xx.dtype)
+
+            return jax.lax.fori_loop(0, inner, body, x).sum(
+                dtype=jnp.float32
+            )
+
+        out["int8_mm_gbps"] = (
+            overlapped(wmm, (xm, w8, sc), inner * float(kdim * ndim)) / 1e9
+        )
     except Exception:  # pragma: no cover - device-dependent
         import logging
 
@@ -190,8 +228,18 @@ def step_time_roof(step: "StepCost", peaks: dict) -> float:
         tf, bw = effective_peaks()
         return max(step.flops / tf, step.bytes / bw)
     t_mxu = step.flops / (peaks["tflops"] * 1e12)
-    t_hbm = step.int8_bytes / (peaks["int8_gbps"] * 1e9) + step.bf16_bytes / (
-        peaks["bf16_gbps"] * 1e9
+    # weights ride the dequant-matmul kernel; charge them at its own
+    # measured rate when probed (they are int8 whenever weight_bits=8,
+    # i.e. part of int8_bytes — split them out of the attention stream)
+    kv_int8 = step.int8_bytes
+    t_w = 0.0
+    if "int8_mm_gbps" in peaks and step.weight_stream_int8:
+        kv_int8 = step.int8_bytes - step.weight_bytes
+        t_w = step.weight_bytes / (peaks["int8_mm_gbps"] * 1e9)
+    t_hbm = (
+        t_w
+        + kv_int8 / (peaks["int8_gbps"] * 1e9)
+        + step.bf16_bytes / (peaks["bf16_gbps"] * 1e9)
     )
     return max(t_mxu, t_hbm)
 
@@ -208,6 +256,8 @@ class StepCost:
     # element-rate-bound, BENCH_NOTES r1 — bytes alone mislead here)
     int8_bytes: float = 0.0  # dtype split of the traffic, for roofs that
     bf16_bytes: float = 0.0  # charge each stream at its measured rate
+    weight_stream_int8: bool = True  # weight_bytes included in int8_bytes
+    # (int8 decoder weights, the serving default) vs in bf16_bytes
 
     @property
     def bytes(self) -> float:
@@ -267,6 +317,58 @@ def decode_step_cost(
         elements=float(weight_elems + kv_elems),
         int8_bytes=float(int8_bytes),
         bf16_bytes=float(bf16_bytes),
+        weight_stream_int8=(weight_bits == 8),
+    )
+
+
+def continuous_step_cost(
+    cfg: Any,
+    n_rows: int,
+    cache_len: int,
+    cross_positions: float,
+    cross_kv_bits: int = 8,
+    weight_bits: int = 8,
+) -> StepCost:
+    """Cost of one lockstep CONTINUOUS decode step under the length-aware
+    active-skip kernels (ops/attention.py block DMA): cross-KV streams
+    only `cross_positions` total block-padded encoder positions (summed
+    over the occupied lane rows — ContinuousEngine tick_stats
+    step_cross_pos per tick), while weights and self-KV stream for the
+    full `n_rows` pool (XLA batch ops, no skip). Using the full-pool
+    cross model here would overstate mandatory traffic and push
+    tick_sol_frac past 1 the moment the kernel skips its first block."""
+    d = cfg.n_text_state
+    L = cfg.n_text_layer
+    V = cfg.n_vocab
+
+    per_item = L * (24 * d * d + 4 * cache_len * d)
+    per_item += 2 * d * V
+    # cross_positions is already summed over active rows
+    flops = n_rows * float(per_item) + L * 4 * cross_positions * d
+
+    wbits = weight_bits / 8.0
+    weight_bytes = (L * 12 * d * d + V * d) * wbits
+    weight_elems = L * 12 * d * d + V * d
+
+    cross_elems = L * 2 * cross_positions * d  # summed over active rows
+    self_elems = n_rows * L * 2 * cache_len * d
+    kv_bytes = cross_elems * cross_kv_bits / 8.0 + self_elems * 2.0
+
+    int8_bytes = cross_elems * cross_kv_bits / 8.0 if cross_kv_bits in (4, 8) else 0.0
+    bf16_bytes = self_elems * 2.0 + (0.0 if cross_kv_bits in (4, 8) else cross_elems * 2.0)
+    if weight_bits == 8:
+        int8_bytes += float(weight_bytes)
+    else:
+        bf16_bytes += float(weight_bytes)
+
+    return StepCost(
+        flops=float(flops),
+        weight_bytes=float(weight_bytes),
+        kv_bytes=float(kv_bytes),
+        elements=float(weight_elems + cross_elems + self_elems),
+        int8_bytes=float(int8_bytes),
+        bf16_bytes=float(bf16_bytes),
+        weight_stream_int8=(weight_bits == 8),
     )
 
 

@@ -29,7 +29,10 @@ import numpy as np
 
 MODEL = os.environ.get("WL_BENCH_MODEL", "large-v3")
 CROSS_BITS = int(os.environ.get("WL_CROSS_BITS", "8"))
-BATCH = int(os.environ.get("WL_BENCH_BATCH", "8"))
+# B=16 overtook B=8 once the packed K|V cross-KV layout halved the
+# step's DMA stream count (round 5: 212 vs 190 RTFx, repeatable; B=32
+# exhausts the relay chip's HBM) — see BENCH_NOTES.md round-5 sweep.
+BATCH = int(os.environ.get("WL_BENCH_BATCH", "16"))
 DECODE_TOKENS = int(os.environ.get("WL_BENCH_TOKENS", "120"))
 ITERS = int(os.environ.get("WL_BENCH_ITERS", "4"))
 WINDOW_S = 30.0
@@ -245,5 +248,23 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _is_oom(e: BaseException) -> bool:
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "out of memory" in s.lower()
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:
+        # The default B=16 headline leaves limited HBM headroom on the
+        # relay chip (B=32 hard-OOMs). If a fragmentation-unlucky run
+        # exhausts HBM, re-exec at B=8 in a FRESH process (the relay only
+        # reliably frees device buffers on client exit) rather than lose
+        # the round's bench artifact. Explicit WL_BENCH_BATCH is honored
+        # as-is — no silent substitution under an operator override.
+        if _is_oom(e) and "WL_BENCH_BATCH" not in os.environ and BATCH > 8:
+            print(f"OOM at B={BATCH}; re-exec at B=8: {e}", file=sys.stderr)
+            os.environ["WL_BENCH_BATCH"] = "8"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
